@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.schema.SchemaRegistry
+import graft.sources.IngestReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-row ingest tests using the reference's own SSM sample data
+  * (FIXTURES.md §A golden rows; Logverz-Engine.json:1653-1744). */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_ingest_spec")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("VPCFlow sample row: space-CSV with header, '-' → NULL in numerics") {
+    val header = SchemaRegistry.vpcFlow.fields.map(_.name).mkString(" ")
+    val row = "5 123456789012 eni-1235b8ca123456789 52.95.128.179 10.0.0.71 " +
+      "80 34210 6 14 15044 1616729292 1616729349 ACCEPT OK vpc-abcdefab012345678 " +
+      "subnet-aaaaaaaa012345678 i-01234567890123456 19 IPv4 52.95.128.179 " +
+      "10.0.0.71 ap-southeast-2 apse2-az3 - - S3 - ingress -"
+    val path = tmpFile("vpc.log", s"$header\n$row\n")
+    val df = IngestReader.csv(spark, SchemaRegistry.vpcFlow, path)
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("version") == 5)
+    assert(r.getAs[Long]("account-id") == 123456789012L)
+    assert(r.getAs[Long]("bytes") == 15044L)
+    assert(r.getAs[String]("action") == "ACCEPT")
+    // '-' tokens in numeric traffic-path → NULL (FIXTURES coercion case)
+    assert(r.isNullAt(r.fieldIndex("traffic-path")))
+    assert(r.getAs[String]("pkt-src-aws-service") == "S3")
+    assert(r.getAs[String]("flow-direction") == "ingress")
+  }
+
+  test("ClassicLB sample row: headerless space-CSV with quoted request") {
+    val row = "2015-05-13T23:39:43.945958Z my-loadbalancer " +
+      "192.168.131.39:2817 10.0.0.1:80 0.000073 0.001048 0.000057 200 200 " +
+      "0 29 \"GET http://www.example.com:80/ HTTP/1.1\" \"curl/7.38.0\" - -"
+    val path = tmpFile("elb.log", row + "\n")
+    val df = IngestReader.csv(spark, SchemaRegistry.classicLB, path)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("elb") == "my-loadbalancer")
+    assert(r.getAs[Double]("request_processing_time") == 0.000073)
+    assert(r.getAs[Int]("elb_status_code") == 200)
+    assert(r.getAs[Long]("sent_bytes") == 29L)
+    assert(r.getAs[String]("request") == "GET http://www.example.com:80/ HTTP/1.1")
+    assert(r.getAs[String]("user_agent") == "curl/7.38.0")
+    assert(r.isNullAt(r.fieldIndex("ssl_cipher")) ||
+      r.getAs[String]("ssl_cipher") == "-")
+  }
+
+  test("CloudTrail sample: JSON Records unnest + JSON columns as strings") {
+    val doc = """{"Records":[{"eventVersion":"1.0",""" +
+      """"userIdentity":{"type":"IAMUser","principalId":"EX_PRINCIPAL_ID"},""" +
+      """"eventTime":"2014-03-06T21:22:54Z","eventSource":"ec2.amazonaws.com",""" +
+      """"eventName":"StartInstances","awsRegion":"us-east-2",""" +
+      """"sourceIPAddress":"192.0.2.64","userAgent":"ec2-api-tools 1.6.12.2",""" +
+      """"requestParameters":{"instancesSet":{"items":[{"instanceId":"i-ebeaf9e2"}]}},""" +
+      """"responseElements":null}]}"""
+    val path = tmpFile("trail.json", doc + "\n")
+    val df = IngestReader.json(spark, SchemaRegistry.cloudTrail, path)
+    val r = df.collect()(0)
+    assert(r.getAs[Float]("eventVersion") == 1.0f)
+    assert(r.getAs[String]("eventName") == "StartInstances")
+    assert(r.getAs[java.sql.Timestamp]("eventTime") != null)
+    val ui = r.getAs[String]("userIdentity")
+    assert(ui.contains("\"type\":\"IAMUser\""))
+    assert(r.isNullAt(r.fieldIndex("errorMessage")))
+  }
+
+  test("single-entry ZIP reads; multi-entry rejected") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_zip_spec")
+    def writeZip(name: String, entries: (String, String)*): String = {
+      val p = dir.resolve(name)
+      val zos = new ZipOutputStream(Files.newOutputStream(p))
+      entries.foreach { case (n, content) =>
+        zos.putNextEntry(new ZipEntry(n))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      p.toString
+    }
+    val single = writeZip("ok.zip", "log.txt" -> "a 1\nb 2\n")
+    val lines = IngestReader.zipLines(spark, single).collect()
+    assert(lines.map(_.getString(1)).sorted.toSeq == Seq("a 1", "b 2"))
+
+    val multi = writeZip("bad.zip", "a.txt" -> "x", "b.txt" -> "y")
+    val ex = intercept[org.apache.spark.SparkException] {
+      IngestReader.zipLines(spark, multi).collect()
+    }
+    assert(ex.getMessage.contains("multi-entry") ||
+      ex.getCause.getMessage.contains("multi-entry"))
+  }
+}
