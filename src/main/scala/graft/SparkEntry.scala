@@ -19,7 +19,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (operators.CoreQueries.queries, operators.CoreQueries.oracleSql),
-    (operators.ReferenceQueries.queries, operators.ReferenceQueries.oracleSql)
+    (operators.ReferenceQueries.queries, operators.ReferenceQueries.oracleSql),
+    (operators.PipelineQueries.queries, operators.PipelineQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{Det, Tables => T}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as registry queries: text analysis,
+  * deduplication, similarity search, multimodal plumbing. Oracles cover
+  * everything SQL-expressible — including an exhaustive-pairwise DuckDB
+  * oracle for the MinHash-LSH near-dup path (the LSH result must equal the
+  * exact O(n²) answer on the planted near-dup data).
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ---------------------------------------------------
+    "q25_text_tokens" -> ((s, d) => {
+      val t = col("text")
+      T.documents(s, d)
+        .select(col("lang"), TextAnalysis.tokenCount(t).as("n_tok"),
+          TextAnalysis.meanTokenLen(t).as("mtl"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          Det.davg(col("mtl")).as("avg_token_len"))
+        .orderBy(col("lang"))
+    }),
+
+    "q26_text_quality" -> ((s, d) => {
+      val t = col("text")
+      T.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.qualityScore(t).as("q"),
+          TextAnalysis.alphaRatio(t).as("ar"),
+          TextAnalysis.stopwordRatio(t).as("sr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("q")).as("sum_quality"),
+          Det.davg(col("ar")).as("avg_alpha"),
+          sum(when(col("q") >= 0.8, 1).otherwise(0)).cast("long")
+            .as("n_high_quality"))
+        .orderBy(col("source"))
+    }),
+
+    "q27_text_langid" -> ((s, d) => {
+      T.documents(s, d)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    "q28_text_fingerprint" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
+
+    // ---- dedup -----------------------------------------------------------
+    "q29_dedup_exact" -> ((s, d) =>
+      Dedup.exactSummary(T.documents(s, d))),
+
+    "q30_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashNearDups(T.documents(s, d), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          col("common"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q31_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashNearDups(T.documents(s, d), maxDist = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----------------------------------------------
+    "q33_ann_brute" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q34_ann_lsh_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.lshRecall(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    "q32_embed_neardup" -> ((s, d) => {
+      Similarity.embeddingNearDups(T.embeddings(s, d), threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "q35_multimodal_decode" -> ((s, d) => {
+      Multimodal.decodeMeta(Multimodal.pack(T.documents(s, d)))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          sum(col("width")).cast("long").as("sum_width"),
+          sum(col("height")).cast("long").as("sum_height"))
+        .orderBy(col("format"))
+    }),
+
+    "q36_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(
+        Multimodal.pack(T.documents(s, d).where(col("doc_id") < 50)))
+        .select(col("doc_id"), col("frame_idx"), col("duration_s"),
+          col("frame_offset_s"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  private def sqlShingles(rel: String): String =
+    s"""SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    for i in range(1, len(w) - 1)]) AS s
+       |FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+       |      FROM $rel)
+       |WHERE len(w) >= 3""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q25_text_tokens" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+         |    AS total_tokens,
+         |  CAST(MIN(len(string_split(trim(text), ' '))) AS INTEGER)
+         |    AS min_tokens,
+         |  CAST(MAX(len(string_split(trim(text), ' '))) AS INTEGER)
+         |    AS max_tokens,
+         |  ${Det.sqlAvg("CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(string_split(trim(text), ' '))")}
+         |    AS avg_token_len
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q26_text_quality" -> {
+      val nTok = "len(string_split(trim(text), ' '))"
+      val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)"
+      val sw = TextAnalysis.sqlStopwordHits(TextAnalysis.langProfiles.head._2)
+      val q = s"round((least(CAST($nTok AS DOUBLE) / 100.0, 1.0) + " +
+        s"least(CAST($sw AS DOUBLE) / $nTok * 10.0, 1.0) + $alpha) / 3.0, 6)"
+      s"""SELECT source, COUNT(*) AS n,
+         |  ${Det.sqlSum(q)} AS sum_quality,
+         |  ${Det.sqlAvg(alpha)} AS avg_alpha,
+         |  CAST(SUM(CASE WHEN $q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high_quality
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q27_text_langid" ->
+      s"""SELECT lang, ${TextAnalysis.sqlLangId} AS pred_lang, COUNT(*) AS n
+         |FROM documents
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
+
+    "q28_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q29_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS n_dups
+        |FROM documents""".stripMargin,
+
+    // Exhaustive O(n²) oracle — the LSH path must find exactly the pairs the
+    // full pairwise scan finds (LSH miss probability at j≥0.8 is ~2e-4/pair).
+    "q30_dedup_minhash" ->
+      s"""WITH sh AS (${sqlShingles("documents")})
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q33_ann_brute" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q35_multimodal_decode" ->
+      """SELECT CASE strlen(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |       ELSE 'webp' END AS format,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(64 + (strlen(text) * 7 + ascii(substr(text, 1, 1))) % 577)
+        |    AS BIGINT) AS sum_width,
+        |  CAST(SUM(64 + (strlen(text) * 13 + ascii(substr(text, -1, 1))) % 385)
+        |    AS BIGINT) AS sum_height
+        |FROM documents GROUP BY format ORDER BY format""".stripMargin,
+
+    "q36_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(strlen(text) % 3600 + 1 AS INTEGER) AS duration_s,
+        |  CAST(floor(frame_idx * (strlen(text) % 3600 + 1) / 4.0) AS INTEGER)
+        |    AS frame_offset_s
+        |FROM documents, (SELECT unnest(range(4)) AS frame_idx)
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data pipelines (near-dup mining, retrieval
+  * eval, cluster sampling).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — a BroadcastNestedLoopJoin followed by a per-query top-k window.
+  *    Exact; scales linearly in |corpus| with no shuffle of the corpus side.
+  *  - LSH (random hyperplanes): deterministic signed-projection signatures,
+  *    multi-table bucket join for candidates, exact re-rank within
+  *    candidates. At 100 TB the bucket join replaces the full scan per query
+  *    with |bucket| lookups — the classic sub-linear ANN trade.
+  *
+  * Dot products use double accumulation via `aggregate(zip_with(...))` —
+  * pure codegen-able higher-order functions, no UDFs.
+  */
+object Similarity {
+
+  /** cosine(a, b) with double accumulation. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query row (excludes self-matches).
+    * Output: (query_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
+    * planes each, components ±1 seeded by (table, bit, dim). */
+  private def planes(nTables: Int, bitsPerTable: Int, dim: Int)
+      : Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nTables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Per-table LSH bucket signature: sign-bit vector of hyperplane
+    * projections packed into a long. */
+  def signatures(df: DataFrame, nTables: Int = 8, bitsPerTable: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val ps = planes(nTables, bitsPerTable, dim)
+    val tableCols = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val plane = typedlit(ps(t)(b))
+        val proj = aggregate(
+          zip_with(col(vecCol), plane, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("table"), bits.as("bucket"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array(tableCols: _*)).as("sig"))
+      .select(col("id"), col("vec"), col("sig.table").as("table"),
+        col("sig.bucket").as("bucket"))
+  }
+
+  /** LSH ANN: approximate top-k via bucket-join candidates + exact re-rank.
+    * Output: (query_id, rank, neighbor_id, cos). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qs = signatures(queries, nTables, bitsPerTable, dim, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        col("table"), col("bucket"))
+    val cs = signatures(corpus, nTables, bitsPerTable, dim, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("table"), col("bucket"))
+    val cands = cs.join(broadcast(qs), Seq("table", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):
+    * LSH bucket self-join for candidates, exact cosine verify. The scale
+    * path for near-dup mining over embedding corpora. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+      nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigs = signatures(corpus, nTables, bitsPerTable, dim, idCol, vecCol)
+    val a = sigs.select(col("id").as("id_a"), col("vec").as("va"),
+      col("table"), col("bucket"))
+    val b = sigs.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Recall@k of the LSH path against brute force, per query. */
+  def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("total"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0)).cast("double") / col("total"))
+          .as("recall"))
+  }
+}

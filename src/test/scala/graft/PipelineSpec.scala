@@ -1,0 +1,84 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+  private def docs = Tables.documents(spark, TestSession.sfDir)
+  private def embs = Tables.embeddings(spark, TestSession.sfDir)
+
+  test("minhash LSH finds the planted near-dup pairs and only high-jaccard ones") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.8).collect()
+    assert(pairs.nonEmpty, "expected planted near-dups")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+    // id_a < id_b, no self pairs
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("simhash near-dups overlap the minhash near-dups on planted pairs") {
+    val mh = Dedup.minhashNearDups(docs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashNearDups(docs, maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.nonEmpty && sh.nonEmpty)
+    val overlap = mh.intersect(sh).size.toDouble / mh.size
+    assert(overlap >= 0.5, s"simhash found only $overlap of minhash pairs")
+  }
+
+  test("exact dedup is idempotent and keeps the lowest id per group") {
+    val d1 = Dedup.exact(docs)
+    assert(d1.count() == Dedup.exact(d1).count())
+    // no planted exact dups in this data: count unchanged
+    assert(d1.count() == docs.count())
+  }
+
+  test("brute-force top-k: rank 1 matches argmax cosine, k rows per query") {
+    val top = Similarity.bruteForceTopK(embs.where($"vec_id" < 3), embs, 5)
+    val byQ = top.groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(byQ.length == 3 && byQ.forall(_.getAs[Long]("n") == 5))
+    val r = top.where($"rank" === 1).collect()
+    assert(r.forall(_.getAs[Double]("cos") <= 1.0001))
+    // cos monotonically non-increasing with rank per query
+    val seq = top.orderBy($"query_id", $"rank")
+      .select($"query_id", $"cos").collect()
+    seq.sliding(2).foreach { case Array(a, b) =>
+      if (a.getLong(0) == b.getLong(0))
+        assert(a.getDouble(1) >= b.getDouble(1) - 1e-12)
+      case _ => ()
+    }
+  }
+
+  test("LSH recall is in (0,1] and LSH results are a subset of valid ids") {
+    val rec = Similarity.lshRecall(embs.where($"vec_id" < 5), embs, 5)
+      .collect()
+    assert(rec.length == 5)
+    assert(rec.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0
+    })
+  }
+
+  test("langId is deterministic and en-dominant on this corpus") {
+    val pred = docs.withColumn("p", TextAnalysis.langId($"text"))
+      .groupBy($"p").count().collect()
+    val en = pred.find(r => r.getAs[String]("p") == "en").map(_.getAs[Long]("count"))
+    assert(en.exists(_ > 0))
+  }
+
+  test("multimodal decode: deterministic fake codec, metadata matches bytes") {
+    val out = Multimodal.decodeMeta(Multimodal.pack(docs.limit(20))).collect()
+    assert(out.length == 20)
+    assert(out.forall { r =>
+      val w = r.getAs[Int]("width"); w >= 64 && w < 64 + 577
+    })
+    // deterministic: same input → same output
+    val again = Multimodal.decodeMeta(Multimodal.pack(docs.limit(20))).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
