@@ -20,7 +20,9 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (operators.CoreQueries.queries, operators.CoreQueries.oracleSql),
     (operators.ReferenceQueries.queries, operators.ReferenceQueries.oracleSql),
-    (operators.PipelineQueries.queries, operators.PipelineQueries.oracleSql)
+    (operators.PipelineQueries.queries, operators.PipelineQueries.oracleSql),
+    (operators.StreamCatalogQueries.queries,
+      operators.StreamCatalogQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

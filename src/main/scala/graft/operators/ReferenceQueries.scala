@@ -17,7 +17,7 @@ object ReferenceQueries {
 
   /** lineitem re-declared as a reference DataType (CSV, comma, headerless) —
     * used by the ingest round-trip queries. */
-  private val lineitemDT = DataTypeSchema(
+  val lineitemSchema: DataTypeSchema = DataTypeSchema(
     "LineitemCsv",
     Seq("l_orderkey" -> SBigint, "l_partkey" -> SBigint,
       "l_suppkey" -> SBigint, "l_linenumber" -> SInteger,
@@ -39,7 +39,7 @@ object ReferenceQueries {
   private def fixtureDir(d: String, kind: String): String =
     s"/tmp/graft_fixtures/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$kind"
 
-  private def ensureCsvFixture(s: SparkSession, d: String): String = {
+  def csvFixture(s: SparkSession, d: String): String = {
     val out = fixtureDir(d, "lineitem_csv")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T.lineitem(s, d)
@@ -134,8 +134,8 @@ object ReferenceQueries {
 
     // ---- ingest: CSV round-trip (S6/S7 + P3) ----------------------------
     "q21_ingest_csv" -> ((s, d) => {
-      val dir = ensureCsvFixture(s, d)
-      graft.sources.IngestReader.csv(s, lineitemDT, dir)
+      val dir = csvFixture(s, d)
+      graft.sources.IngestReader.csv(s, lineitemSchema, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           Det.dsum(col("l_quantity")).as("sum_qty"),
@@ -172,9 +172,9 @@ object ReferenceQueries {
 
     // ---- the full collection job with S3Object-dialect WHERE (§3.1) -----
     "q24_collect_job" -> ((s, d) => {
-      val dir = ensureCsvFixture(s, d)
+      val dir = csvFixture(s, d)
       CollectJob.run(s, CollectJob.Spec(
-        schema = lineitemDT,
+        schema = lineitemSchema,
         paths = Seq(dir),
         datasetName = "lineitem_collected",
         query = Some("SELECT l_orderkey, l_linenumber, l_quantity, " +

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.functions.Coerce
+import graft.schema.DataTypeSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Continuous collection — Structured Streaming port of the reference's
+  * S3-event → SQS → Lambda pipeline (reference sources/collection/
+  * collection.js:548-580,666-697; semantics table in SURVEY §2.9).
+  *
+  * Mapping:
+  *  - S3 `ObjectCreated:*` notifications + prefix/suffix filter → the file
+  *    source's directory watch + `pathGlobFilter`;
+  *  - event-source BatchSize (≤10 files) → `maxFilesPerTrigger`;
+  *  - MaxBatchWaitTime (0-300 s, default 30) → `Trigger.ProcessingTime`;
+  *  - at-least-once SQS delete-on-success → the checkpointed file source's
+  *    exactly-once (a strict upgrade, documented);
+  *  - each batch re-uses the batch ingest stack (parse → coerce → optional
+  *    WHERE) via `foreachBatch`, like the worker's per-batch dataflow.
+  *
+  * No watermark is needed for parity (the reference appends every arriving
+  * file regardless of event time); [[windowedCounts]] shows the watermarked
+  * event-time path used by the 100 TB extension.
+  */
+object StreamingCollect {
+
+  final case class StreamSpec(
+      schema: DataTypeSchema,
+      inputDir: String,
+      maxFilesPerTrigger: Int = 10,    // BatchSize 10 (collection.js:675-685)
+      batchWindowSeconds: Int = 30,    // MaxBatchWaitTime default
+      pathGlobFilter: Option[String] = None, // suffix filter analog
+      query: Option[String] = None)
+
+  /** The continuous-collection reader: a file-source stream of raw CSV rows
+    * parsed+coerced exactly like the batch path. */
+  def reader(spark: SparkSession, spec: StreamSpec): DataFrame = {
+    val in = spec.schema.input
+    var r = spark.readStream
+      .option("maxFilesPerTrigger", spec.maxFilesPerTrigger)
+      .option("header", in.csvHeader)
+      .option("sep", in.fieldDelimiter)
+      .option("quote", in.quoteCharacter)
+    spec.pathGlobFilter.foreach(g => r = r.option("pathGlobFilter", g))
+    val raw = r.schema(spec.schema.rawSchema).csv(spec.inputDir)
+    Coerce(raw, spec.schema)
+  }
+
+  /** Sink writing each micro-batch through the optional WHERE pre-filter to
+    * parquet — the worker's filterdata→bulkCreate loop (worker.js:258-312),
+    * with Spark checkpointing replacing SQS redelivery. */
+  def writer(df: DataFrame, spec: StreamSpec, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .trigger(Trigger.ProcessingTime(s"${spec.batchWindowSeconds} seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val filtered = spec.query match {
+          case Some(q) if q.toLowerCase.contains("where") =>
+            batch.createOrReplaceTempView(spec.schema.name)
+            batch.sparkSession.sql(
+              graft.jobs.CollectJob.rewriteS3ObjectDialect(q,
+                spec.schema.name))
+          case _ => batch
+        }
+        filtered.write.mode("append").parquet(outDir)
+      }
+
+  /** Watermarked event-time windowed aggregation over a stream — the
+    * Spark-native capability the reference lacks (SURVEY §2.9 "watermark /
+    * late data: none"). Used by the streaming query registry entries. */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Run a bounded streaming query over existing files (AvailableNow) into
+    * an in-memory table and return the result — lets the batch Verify
+    * harness exercise the streaming path end-to-end. */
+  def runBounded(spark: SparkSession, stream: DataFrame,
+      queryName: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
