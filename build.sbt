@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of whole-stage-codegen classes across the query registry can
+  // fill the default 240m code cache mid-run, silently disabling the JIT
+  // (10-50x slowdown for everything after).
+  "-XX:ReservedCodeCacheSize=1g",
 )

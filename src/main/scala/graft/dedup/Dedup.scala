@@ -69,23 +69,21 @@ object Dedup {
   private val NumHashes = 64
   private val BandRows = 4 // → 16 bands; LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** MinHash signatures: one row per doc, columns h0..h63.
-    * Permutation family = xxhash64 re-mix of the shingle hash with the
-    * function index (codegen'd, overflow-free). */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signatures: one row per doc, `sig: array<long>(64)`, via the
+    * [[graft.functions.SketchAggs.minhashAgg]] TypedImperativeAggregate —
+    * one 512-byte buffer instead of 64 codegen'd agg columns (the naive
+    * 64-column plan cost ~20 s of janino compile alone at sf0.1). */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id"))
+      .agg(graft.functions.SketchAggs.minhashAgg(col("sh")).as("sig"))
 
   /** LSH candidate pairs (id_a < id_b) from banded minhash signatures. */
   def lshCandidates(sig: DataFrame): DataFrame = {
     val nBands = NumHashes / BandRows
-    val bandCols = (0 until nBands).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val banded = sig.select(col("id"), explode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> named_struct(" +
+        s"'band', b, 'bh', xxhash64(slice(sig, b * $BandRows + 1, $BandRows))))"
+    )).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -116,7 +114,12 @@ object Dedup {
     * ≥ threshold. */
   def minhashNearDups(df: DataFrame, threshold: Double = 0.5, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, k, idCol, textCol)
+    // The shingle table feeds three consumers (signatures, sizes, verify
+    // join); materialize it once (localCheckpoint truncates lineage and
+    // avoids CacheManager re-registration churn on repeated invocations —
+    // persist() showed 8x slowdowns on the second call). At cluster scale
+    // this is the table you'd checkpoint/bucket by id.
+    val sh = shingles(df, k, idCol, textCol).localCheckpoint()
     val cands = lshCandidates(minhashSignatures(sh))
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
@@ -130,15 +133,8 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("th"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col("id"), fp.as("simhash"))
+    toks.groupBy(col("id"))
+      .agg(graft.functions.SketchAggs.simhashAgg(col("th")).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidates come

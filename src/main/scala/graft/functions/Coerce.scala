@@ -29,19 +29,28 @@ object Coerce {
   private def nullTokens(c: Column): Column =
     when(c.isNull || lower(c) === "null", lit(null)).otherwise(c)
 
-  /** JS parseInt: optional sign + leading digits; anything after ignored. */
+  /** JS parseInt: optional sign + leading digits; anything after ignored.
+    * Fast path: a plain `try_cast` (codegen'd, no regex) handles well-formed
+    * values; the regex prefix-extraction only evaluates for rows the cast
+    * rejects (coalesce short-circuits in codegen), so dirty tokens pay the
+    * regex cost, clean data doesn't. */
   def asLong(c: Column): Column = {
     val cleaned = nullTokens(trim(c))
-    regexp_extract(cleaned, "^[-+]?\\d+", 0).try_cast("long")
+    coalesce(
+      cleaned.try_cast("long"),
+      regexp_extract(cleaned, "^[-+]?\\d+", 0).try_cast("long"))
   }
 
   def asInt(c: Column): Column = asLong(c).try_cast("int")
 
-  /** JS parseFloat: optional sign, decimal, exponent prefix. */
+  /** JS parseFloat: optional sign, decimal, exponent prefix (same fast-path
+    * structure as [[asLong]]). */
   def asDouble(c: Column): Column = {
     val cleaned = nullTokens(trim(c))
-    regexp_extract(cleaned, "^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?", 0)
-      .try_cast("double")
+    coalesce(
+      cleaned.try_cast("double"),
+      regexp_extract(cleaned, "^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?", 0)
+        .try_cast("double"))
   }
 
   def asFloat(c: Column): Column = asDouble(c).try_cast("float")

@@ -1,0 +1,12 @@
+/* Bridge into Spark's private[sql] Column↔Expression converters (the Spark 4
+ * Column API wraps ColumnNode; classic.ExpressionUtils is the sanctioned
+ * conversion but is package-private). Same access pattern third-party Spark
+ * extensions use. */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

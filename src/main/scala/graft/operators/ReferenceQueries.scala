@@ -53,12 +53,17 @@ object ReferenceQueries {
           col("l_returnflag"), col("l_linestatus"),
           date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
             .as("l_shipdate"))
-        .write.mode("overwrite").option("header", "false").csv(out)
+        // 16 files so the read parallelizes by file count, gzipped like the
+        // reference's log objects (S4) — and 4x fewer bytes for the
+        // container's ~10 MB/s cold-read disk.
+        .repartition(16)
+        .write.mode("overwrite").option("header", "false")
+        .option("compression", "gzip").csv(out)
     }
     out
   }
 
-  private def ensureJsonFixture(s: SparkSession, d: String): String = {
+  def jsonFixture(s: SparkSession, d: String): String = {
     val out = fixtureDir(d, "documents_json")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       // One {"Records":[...]} document per bucket — the CloudTrail file shape.
@@ -68,7 +73,7 @@ object ReferenceQueries {
         .agg(collect_list(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("Records"))
         .select(to_json(struct(col("Records"))).as("value"))
-        .write.mode("overwrite").text(out)
+        .write.mode("overwrite").option("compression", "gzip").text(out)
     }
     out
   }
@@ -146,7 +151,7 @@ object ReferenceQueries {
 
     // ---- ingest: JSON + root unnest (S8) --------------------------------
     "q22_ingest_json" -> ((s, d) => {
-      val dir = ensureJsonFixture(s, d)
+      val dir = jsonFixture(s, d)
       graft.sources.IngestReader.json(s, documentsDT, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,23 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) with double accumulation. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** cosine(a, b) over array<float> columns, via the codegen'd
+    * [[VectorOps.dotF]] kernel (double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    VectorOps.dotF(a, b) / (VectorOps.normF(a) * VectorOps.normF(b))
 
   /** Exact top-k neighbors for each query row (excludes self-matches).
     * Output: (query_id, rank, neighbor_id, cos). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Norms are precomputed once per row; the per-pair work is a single
+    // codegen'd 64-float dot product.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.normF(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorOps.normF(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        VectorOps.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -62,10 +65,10 @@ object Similarity {
     val ps = planes(nTables, bitsPerTable, dim)
     val tableCols = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
-        val plane = typedlit(ps(t)(b))
-        val proj = aggregate(
-          zip_with(col(vecCol), plane, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
+        // ±1 plane components are exact in float; dotF keeps the projection
+        // inside whole-stage codegen.
+        val plane = typedlit(ps(t)(b).map(_.toFloat))
+        val proj = VectorOps.dotF(col(vecCol), plane)
         when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table"), bits.as("bucket"))
