@@ -22,7 +22,8 @@ object SparkEntry {
     (operators.ReferenceQueries.queries, operators.ReferenceQueries.oracleSql),
     (operators.PipelineQueries.queries, operators.PipelineQueries.oracleSql),
     (operators.StreamCatalogQueries.queries,
-      operators.StreamCatalogQueries.oracleSql)
+      operators.StreamCatalogQueries.oracleSql),
+    (operators.SystemQueries.queries, operators.SystemQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,7 +32,16 @@ object CollectJob {
       paths: Seq[String],
       datasetName: String,
       query: Option[String] = None,
-      format: String = "auto") // auto | csv | json | zip
+      format: String = "auto", // auto | csv | json | zip
+      /** TransForms — the reference plumbs a per-row transform hook
+        * end-to-end but never activates it (every built-in schema ships
+        * `TransForms: []`, the worker call site is commented out —
+        * SURVEY §2.10). Here the seam is live: named column expressions
+        * applied between parse and write. */
+      transforms: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      /** Indexes — plumbed in the reference, never consumed (jobproducer.js
+        * :185 always "[]"). Accepted for spec parity; a no-op hint. */
+      indexes: Seq[String] = Nil)
 
   /** The reference documents its pre-filter in S3-Select dialect
     * (`SELECT * FROM S3Object[*].Records[*] s WHERE ...`) while executing it
@@ -60,10 +69,13 @@ object CollectJob {
       case "zip" => IngestReader.zipCsv(spark, spec.schema, spec.paths: _*)
       case _ => IngestReader.csv(spark, spec.schema, spec.paths: _*)
     }
+    val transformed = spec.transforms.foldLeft(parsed) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
     spec.query.filter(_.toLowerCase.contains("where")) match {
-      case None => parsed // no-WHERE fast path (worker.js:296-310)
+      case None => transformed // no-WHERE fast path (worker.js:296-310)
       case Some(q) =>
-        parsed.createOrReplaceTempView(spec.datasetName)
+        transformed.createOrReplaceTempView(spec.datasetName)
         spark.sql(rewriteS3ObjectDialect(q, spec.datasetName))
     }
   }

@@ -122,6 +122,87 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest centroid; queries probe only the `nProbe`
+    * nearest cells. The alternative scale path to LSH: at 100 TB the
+    * corpus is partitioned (bucketed) by cell id, so a query touches
+    * |corpus| * nProbe / nCells rows. Centroids here are a deterministic
+    * sample (lowest ids) — a production build would run k-means||, which
+    * only changes centroid quality, not the plan shape. */
+  def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Seq[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // nearest centroid = argmax cosine; greatest-of-structs keeps it
+    // one codegen'd projection per row.
+    val cells = centroids.map { case (cid, cvec) =>
+      val c = typedlit(cvec)
+      struct(
+        (VectorOps.dotF(col(vecCol), c) /
+          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
+        lit(cid).as("cell"))
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      greatest(cells.toSeq: _*).getField("cell").as("cell"))
+  }
+
+  /** Deterministic centroid set: the `nCells` lowest-id vectors. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Seq[Float])] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** IVF ANN top-k: probe the nProbe nearest cells per query, exact re-rank
+    * within the probed cells. Output: (query_id, rank, neighbor_id, cos). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+    // per query: the nProbe nearest cells
+    val probeCells = cents.map { case (cid, cvec) =>
+      val c = typedlit(cvec)
+      struct(
+        (VectorOps.dotF(col(vecCol), c) /
+          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
+        lit(cid).as("cell"))
+    }
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        array_sort(array(probeCells: _*),
+          (a, b) => when(a.getField("cos") > b.getField("cos"), -1)
+            .when(a.getField("cos") < b.getField("cos"), 1).otherwise(0))
+          .as("cells"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(col("cells"), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    cands.withColumn("cos", cosine(col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cos"))
+  }
+
+  /** Recall@k of the IVF path against brute force, per query. */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(queries, corpus, k, nCells, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("total"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0)).cast("double") / col("total"))
+          .as("recall"))
+  }
+
   /** Recall@k of the LSH path against brute force, per query. */
   def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val exact = bruteForceTopK(queries, corpus, k)

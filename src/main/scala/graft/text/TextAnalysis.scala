@@ -27,6 +27,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token count: the GPT-2-style pre-tokenizer families —
+    * letter runs, digit runs, and single punctuation marks each count as a
+    * token (the regex split a byte-pair encoder applies before merges).
+    * ~4 chars/token on English text; the standard cheap proxy for LLM
+    * token budgeting. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+  def sqlBpeTokenCount: String =
+    s"len(regexp_extract_all(text, '$bpePattern'))"
+
   /** Count occurrences of any of `words` as whole tokens. */
   private def stopwordHits(text: Column, words: Seq[String]): Column = {
     val pat = words.map(java.util.regex.Pattern.quote)

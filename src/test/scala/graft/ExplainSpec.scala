@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries scale
+  * must be visible in the executed plan, not assumed. */
+class ExplainSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSession.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q02 selective filters are pushed to the parquet scan") {
+    val p = plan("q02_selective_agg")
+    // plan toString truncates long filter lists — match the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected shipdate pushdown in:\n$p")
+  }
+
+  test("q05 star join broadcasts the dimension tables") {
+    val p = plan("q05_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dims should not sort-merge join:\n$p")
+  }
+
+  test("q19 view projection prunes the parquet read schema") {
+    val p = plan("q19_view_projection")
+    // documents has 5 columns; the Default view reads 3 — `text` must not
+    // be scanned.
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      s"text column not pruned from scan:\n$p")
+  }
+
+  test("q33 ANN uses the codegen'd dot-product kernel, not HOFs") {
+    val p = plan("q33_ann_brute")
+    assert(p.contains("dotproductf") || p.contains("DotProductF"),
+      s"custom kernel missing from plan:\n$p")
+    assert(!p.contains("zip_with"), s"interpreted HOF in hot path:\n$p")
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q16 find-DSL predicate reaches the scan as pushed filters") {
+    val p = plan("q16_find_dsl")
+    assert(p.contains("PushedFilters:") && p.contains("o_totalprice"),
+      s"find-DSL predicate not pushed:\n$p")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Audit
+import graft.registry.QueryRegistry
+import graft.similarity.Similarity
+import graft.sources.FolderWalk
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SystemSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("query registry deactivates prior queries on the same table") {
+    import QueryRegistry._
+    var reg = empty(spark)
+    reg = record(reg, Entry("q1", 1L, "db", "t", "D", "a", "Batch", "o", "",
+      Active = true, Archive = false))
+    reg = record(reg, Entry("q2", 2L, "db", "t", "D", "b", "Batch", "o", "",
+      Active = true, Archive = false))
+    val active = activeQueries(reg).select("UsersQuery").as[String].collect()
+    assert(active.toSeq == Seq("q2"))
+    assert(byTable(reg, "db", "t").count() == 2)
+  }
+
+  test("audit latestStatus picks the newest heartbeat per invocation") {
+    val rows = Audit.toDF(spark, Seq(
+      Audit.StatusRow("j1", "i1", 10L, "INVOKED", "g", "s"),
+      Audit.StatusRow("j1", "i1", 20L, "RUNNING", "g", "s"),
+      Audit.StatusRow("j1", "i1", 30L, "COMPLETED", "g", "s"),
+      Audit.StatusRow("j1", "i2", 15L, "RUNNING", "g", "s")))
+    val latest = Audit.latestStatus(rows)
+      .select("invocationid", "status").as[(String, String)].collect().toMap
+    assert(latest == Map("i1" -> "COMPLETED", "i2" -> "RUNNING"))
+    val done = Audit.completedJobs(rows).select("jobid").as[String].collect()
+    assert(done.isEmpty) // i2 still RUNNING
+  }
+
+  test("folder walk respects depth and finds partition leaves") {
+    val root = java.nio.file.Files.createTempDirectory("graft_walk").toString
+    Tables.documents(spark, TestSession.sfDir).limit(50)
+      .select($"doc_id", $"lang", $"source")
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
+    val depth1 = FolderWalk.walk(spark, Seq(root), 1)
+    assert(depth1.nonEmpty && depth1.forall(_.contains("lang=")))
+    val depth0 = FolderWalk.walk(spark, Seq(root), 0)
+    assert(depth0.map(_.stripPrefix("file:")) == Seq(root))
+  }
+
+  test("IVF assigns every vector to a cell and recall is sane") {
+    val emb = Tables.embeddings(spark, TestSession.sfDir)
+    val cents = Similarity.ivfCentroids(emb, 8)
+    assert(cents.length == 8)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+    val rec = Similarity.ivfRecall(emb.where($"vec_id" < 5), emb, 5,
+      nCells = 8, nProbe = 8) // probe all cells → recall must be 1.0
+    assert(rec.collect().forall(_.getAs[Double]("recall") == 1.0))
+  }
+}
