@@ -104,8 +104,63 @@ object SystemQueries {
       val emb = T.embeddings(s, d)
       Similarity.ivfRecall(emb.where(col("vec_id") < 10), emb, k = 5)
         .orderBy(col("query_id"))
+    }),
+
+    // ---- single-entry ZIP ingest (SURVEY §2.1 S5) -----------------------
+    "q46_ingest_zip" -> ((s, d) => {
+      val dir = zipFixture(s, d)
+      graft.sources.IngestReader.zipCsv(s, ReferenceQueries.lineitemSchema, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_discount")).as("sum_disc"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ---- extended datetime scalars (SURVEY §2.8 timeConverter family) ---
+    "q47_datetime_extended" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(
+          weekofyear(col("o_orderdate")).as("wk"),
+          date_format(col("o_orderdate"), "EEEE").as("day_name"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("wk") <= 4)
+        .orderBy(col("wk"), col("day_name"))
     })
   )
+
+  /** Single-entry ZIP fixture: first 2000 lineitem rows as one CSV member
+    * per archive (the reference's yauzl constraint, worker.js:546-552). */
+  private def zipFixture(s: SparkSession, d: String): String = {
+    val outDir = s"/tmp/graft_fixtures/${d.replaceAll("[^A-Za-z0-9.]", "_")}/zip"
+    val marker = new java.io.File(s"$outDir/_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(outDir).mkdirs()
+      val rows = T.lineitem(s, d)
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
+        .select(concat_ws(",",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          format_string("%.6f", col("l_quantity")),
+          format_string("%.6f", col("l_extendedprice")),
+          format_string("%.6f", col("l_discount")),
+          format_string("%.6f", col("l_tax")),
+          col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+        .collect().map(_.getString(0))
+      import java.util.zip.{ZipEntry, ZipOutputStream}
+      val groups = rows.grouped(500).zipWithIndex
+      groups.foreach { case (chunk, i) =>
+        val zos = new ZipOutputStream(
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(s"$outDir/part$i.zip")))
+        zos.putNextEntry(new ZipEntry(s"part$i.csv"))
+        zos.write((chunk.mkString("\n") + "\n").getBytes("UTF-8"))
+        zos.closeEntry()
+        zos.close()
+      }
+      marker.createNewFile()
+    }
+    outDir
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q40_transforms" ->
@@ -143,6 +198,21 @@ object SystemQueries {
     "q43_folder_walk" ->
       """SELECT DISTINCT 'lang=' || lang || '/source=' || source AS prefix
         |FROM documents ORDER BY prefix""".stripMargin,
+
+    "q46_ingest_zip" ->
+      s"""WITH sub AS (SELECT * FROM lineitem
+         |             ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+         |SELECT l_linestatus, COUNT(*) AS n,
+         |  ${Det.sqlSum("l_discount")} AS sum_disc
+         |FROM sub GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q47_datetime_extended" ->
+      """SELECT CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+        |  dayname(o_orderdate) AS day_name, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY wk, day_name
+        |HAVING wk <= 4
+        |ORDER BY wk, day_name""".stripMargin,
 
     "q44_bpe_tokens" -> {
       s"""SELECT lang,

@@ -47,6 +47,31 @@ class SystemSpec extends AnyFunSuite {
     assert(depth0.map(_.stripPrefix("file:")) == Seq(root))
   }
 
+  test("NoSQL visibility filter: owner/access/admin semantics (P7)") {
+    import graft.operators.NoSqlDsl
+    val df = Seq(
+      ("q1", "alice,bob", "carol"),
+      ("q2", "dave", "alice"),
+      ("q3", "dave", "eve")).toDF("name", "Owners", "Access")
+    def vis(u: String, admin: Boolean = false) =
+      NoSqlDsl.visibilityFilter(df, u, admin).select("name")
+        .as[String].collect().toSet
+    assert(vis("alice") == Set("q1", "q2"))
+    assert(vis("carol") == Set("q1"))
+    assert(vis("nobody") == Set.empty)
+    assert(vis("nobody", admin = true) == Set("q1", "q2", "q3"))
+  }
+
+  test("catalog create-or-replace and drop round-trip") {
+    import graft.catalog.CatalogOps
+    val df = Tables.region(spark, TestSession.sfDir)
+    CatalogOps.createOrReplace(df, "graft_cat_test")
+    assert(spark.catalog.tableExists("graft_cat_test"))
+    assert(CatalogOps.describeTable(spark, "graft_cat_test").count() == 2)
+    assert(CatalogOps.dropTable(spark, "graft_cat_test"))
+    assert(!CatalogOps.dropTable(spark, "graft_cat_test")) // already gone
+  }
+
   test("IVF assigns every vector to a cell and recall is sane") {
     val emb = Tables.embeddings(spark, TestSession.sfDir)
     val cents = Similarity.ivfCentroids(emb, 8)
