@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the custom kernels, so `spark.sql` users get the same
+  * operators as the Column API (the reference's query surface is SQL-first).
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions` /
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` — the canonical
+  *    plugin route;
+  *  - [[GraftFunctions.register]] for an already-built session.
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product_f",
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))),
+    ("minhash_agg",
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (es: Seq[Expression]) => MinHashAgg(es.head).toAggregateExpression()),
+    ("simhash_agg",
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}
+
+/** `spark.sql.extensions`-loadable plugin registering the graft functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    Seq[(String, Seq[Expression] => Expression)](
+      ("dot_product_f", es => DotProductF(es(0), es(1))),
+      ("minhash_agg", es => MinHashAgg(es.head).toAggregateExpression()),
+      ("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression())
+    ).foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), builder))
+    }
+}

@@ -124,6 +124,29 @@ object SystemQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("wk") <= 4)
         .orderBy(col("wk"), col("day_name"))
+    }),
+
+    // ---- distinct counting (SURVEY §2.4) --------------------------------
+    "q48_distinct_count" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey"))
+            .as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- custom kernels on the SQL surface ------------------------------
+    "q49_sql_kernel" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      T.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT vec_id, label
+          |FROM (SELECT vec_id, label,
+          |        dot_product_f(embedding, embedding) AS norm2
+          |      FROM embeddings)
+          |ORDER BY norm2 DESC, vec_id LIMIT 20""".stripMargin)
     })
   )
 
@@ -213,6 +236,22 @@ object SystemQueries {
         |GROUP BY wk, day_name
         |HAVING wk <= 4
         |ORDER BY wk, day_name""".stripMargin,
+
+    "q48_distinct_count" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT)
+        |    AS n_part_supp,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_sql_kernel" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                       CAST(embedding AS DOUBLE[])) AS norm2
+        |  FROM embeddings)
+        |ORDER BY norm2 DESC, vec_id LIMIT 20""".stripMargin,
 
     "q44_bpe_tokens" -> {
       s"""SELECT lang,

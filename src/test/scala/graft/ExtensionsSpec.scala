@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("GraftExtensions registers SQL functions via withExtensions") {
+    val orig = TestSession.spark // ensure the shared context exists
+    // getOrCreate would return the existing default session and skip the
+    // extensions — clear, build a sibling session on the same context,
+    // restore. (Never stop s2: the SparkContext is shared suite-wide.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+    val r = s2.sql(
+      "SELECT dot_product_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+    val mh = s2.sql(
+      "SELECT minhash_agg(x) AS sig FROM VALUES (1L), (2L), (3L) t(x)")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length == 64)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // heavy skew: 90% of rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "row_id")
+    val dim = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val plain = big.join(dim, "k").select("row_id", "v").collect().toSet
+    val salted = SkewJoin.saltedInnerJoin(big, dim, "k", 8, col("row_id"))
+      .select("row_id", "v").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+}
