@@ -77,8 +77,11 @@ final case class DataTypeSchema(
   */
 object SchemaRegistry {
   private val mapper = new ObjectMapper()
+  // closing brace optional: the reference's ProcessingErrors doc ships with
+  // a literal `'logstream':{type: Sequelize.STRING` typo that its own
+  // regex-based parser tolerates (Logverz-Engine.json:1761).
   private val colRe =
-    """'([^']+)'\s*:\s*\{\s*type:\s*Sequelize\.([A-Z]+)(?:\((\d+)\))?\s*\}\s*,?""".r
+    """'([^']+)'\s*:\s*\{\s*type:\s*Sequelize\.([A-Z]+)(?:\((\d+)\))?\s*\}?\s*,?""".r
 
   def parseSeqType(name: String, len: Option[Int]): SeqType = name match {
     case "STRING" => SeqType.SString(len.getOrElse(255))
@@ -117,8 +120,10 @@ object SchemaRegistry {
             .getOrElse(""),
           csvHeader = csv.flatMap(c => Option(c.get("FileHeaderInfo")))
             .exists(h => h.asBoolean(false) || h.asText == "USE"),
+          // CloudFront's doc carries the two-char string "\t" (escaped in
+          // the CFN JSON); normalize to a real tab for the CSV reader.
           fieldDelimiter = csv.flatMap(c => Option(c.get("FieldDelimiter")))
-            .map(_.asText).getOrElse(","),
+            .map(_.asText.replace("\\t", "\t")).getOrElse(","),
           recordDelimiter = csv.flatMap(c => Option(c.get("RecordDelimiter")))
             .map(_.asText).getOrElse("\n"),
           quoteCharacter = csv.flatMap(c => Option(c.get("QuoteCharacter")))
@@ -196,6 +201,19 @@ object SchemaRegistry {
     Map("Default" -> Seq("timestamp", "request", "backend_status_code",
       "backend_processing_time")))
 
-  val builtins: Map[String, DataTypeSchema] =
-    Seq(vpcFlow, cloudTrail, classicLB).map(s => s.name -> s).toMap
+  /** All 11 reference DataType schema documents, shipped as resources in the
+    * reference's exact SSM wire format and parsed by [[parseDocument]]
+    * (Logverz-Engine.json:1606-1770; the SetDataTypePlease placeholder is
+    * excluded). */
+  lazy val builtins: Map[String, DataTypeSchema] = {
+    val names = Seq("VPCFlow", "CloudTrail", "ClassicLB", "ApplicationLB",
+      "NetworkLB", "CloudFront", "CostDemoAWS", "CostDemoAzure",
+      "WindowsDemoEvents", "Invocations", "ProcessingErrors")
+    names.map { n =>
+      val in = getClass.getResourceAsStream(s"/graft/schemas/$n.json")
+      require(in != null, s"missing schema resource $n")
+      val doc = new String(in.readAllBytes(), "UTF-8")
+      n -> parseDocument(n, doc)
+    }.toMap
+  }
 }

@@ -73,6 +73,32 @@ class IngestSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("errorMessage")))
   }
 
+  test("CloudFront tab-CSV golden row through the builtin schema") {
+    // The reference's SSM sample row is space-collapsed, but the declared
+    // InputSerialization (and real CloudFront logs) are tab-delimited —
+    // test the declared format. %20-encoded UA keeps fields atomic.
+    val fields = ("4/12/2019 21:02:31 LAX1 392 192.0.2.100 GET " +
+      "d111111abcdef8.cloudfront.net /index.html 200 - " +
+      "\"Mozilla/5.0%20(Windows%20NT%2010.0)\" - - Hit " +
+      "SOX4xwn4XV6Q4rgb7XiVGOHms_BGlTAC4KyHmureZmBNrjGdRLiNIQ== " +
+      "d111111abcdef8.cloudfront.net https 23 0.001 - TLSv1.2 " +
+      "ECDHE-RSA-AES128-GCM-SHA256 Hit HTTP/2.0 - - 11040 0.001 Hit " +
+      "text/html 78 - -").split(" ")
+    val row = fields.mkString("\t") // 33 tokens ↔ 33 declared columns
+    val schema = SchemaRegistry.builtins("CloudFront")
+    assert(schema.input.fieldDelimiter == "\t")
+    val path = tmpFile("cf.log", row + "\n")
+    val df = IngestReader.csv(spark, schema, path)
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("sc-bytes") == 392)
+    assert(r.getAs[String]("c-ip") == "192.0.2.100")
+    assert(r.getAs[Int]("sc-status") == 200)
+    assert(r.getAs[Double]("time-taken") == 0.001)
+    assert(r.getAs[String]("cs(User-Agent)").startsWith("Mozilla/5.0"))
+    assert(r.isNullAt(r.fieldIndex("cs(Referer)"))
+      || r.getAs[String]("cs(Referer)") == "-")
+  }
+
   test("single-entry ZIP reads; multi-entry rejected") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graft_zip_spec")

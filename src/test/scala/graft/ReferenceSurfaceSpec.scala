@@ -84,6 +84,23 @@ class ReferenceSurfaceSpec extends AnyFunSuite {
     assert(SchemaRegistry.vpcFlow.fields.exists(_.name == "account-id"))
   }
 
+  test("all 11 reference schema documents parse with expected shapes") {
+    val b = SchemaRegistry.builtins
+    val expectedCols = Map("VPCFlow" -> 29, "CloudTrail" -> 21,
+      "ClassicLB" -> 15, "ApplicationLB" -> 29, "NetworkLB" -> 21,
+      "CloudFront" -> 33, "CostDemoAWS" -> 126, "CostDemoAzure" -> 96,
+      "WindowsDemoEvents" -> 27, "Invocations" -> 6, "ProcessingErrors" -> 7)
+    expectedCols.foreach { case (n, c) =>
+      assert(b(n).fields.size == c, s"$n column count")
+    }
+    assert(b("CloudFront").input.fieldDelimiter == "\t") // normalized \t
+    assert(b("CloudTrail").input.rootElement == "Records")
+    assert(b("VPCFlow").input.csvHeader)
+    assert(b("ApplicationLB").fields.count(_.stype == SeqType.SDouble) == 3)
+    // the reference's own ProcessingErrors typo (missing brace) is tolerated
+    assert(b("ProcessingErrors").fields.last.name == "logstream")
+  }
+
   // ---- find-DSL ----------------------------------------------------------
   private lazy val findDf =
     Seq((1L, "alpha", 10.0, Some("x")), (2L, "beta", 20.0, None),
