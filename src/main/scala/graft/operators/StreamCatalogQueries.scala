@@ -40,6 +40,28 @@ object StreamCatalogQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Stateful streaming: watermarked dropDuplicates (the reference has no
+    // stateful ops — SURVEY §2.9 — this is the Spark-native upgrade; state
+    // store size is bounded by the watermark horizon at scale).
+    "q50_stream_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // synthetic dup stream: each event arrives twice (union of two
+        // readers), dedup must collapse them back to one per event_id
+        .withColumn("event_id", col("event_id"))
+      val doubled = stream.unionByName(stream)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+      val agg = doubled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      StreamingCollect.runBounded(s, agg, "q50_stream_dedup_sink")
+        .orderBy(col("event_type"))
+    }),
+
     // Catalog: ListTables with LIKE filter (P8).
     "q39_catalog_tables" -> ((s, d) => {
       T.documents(s, d).limit(1).createOrReplaceTempView("graft_docs")
@@ -63,6 +85,10 @@ object StreamCatalogQueries {
 
     "q39_catalog_tables" ->
       """SELECT name FROM (VALUES ('graft_docs'), ('graft_orders')) t(name)
-        |ORDER BY name""".stripMargin
+        |ORDER BY name""".stripMargin,
+
+    "q50_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
