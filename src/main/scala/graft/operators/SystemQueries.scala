@@ -137,6 +137,18 @@ object SystemQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- percentiles (exact + approx sketch path) -----------------------
+    "q51_percentiles" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+            .as("quartiles"),
+          Det.davg(col("o_totalprice")).as("mean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- custom kernels on the SQL surface ------------------------------
     "q49_sql_kernel" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -244,6 +256,13 @@ object SystemQueries {
         |    AS n_part_supp,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_percentiles" ->
+      s"""SELECT o_orderpriority,
+         |  quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS quartiles,
+         |  ${Det.sqlAvg("o_totalprice")} AS mean_price,
+         |  COUNT(*) AS n
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q49_sql_kernel" ->
       """SELECT vec_id, label FROM (
