@@ -149,6 +149,19 @@ object SystemQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- bounded-heap top-k per group (vs window sort) ------------------
+    "q52_topk_agg" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg.topkAgg(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .filter(col("o_custkey") <= 200)
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
     // ---- custom kernels on the SQL surface ------------------------------
     "q49_sql_kernel" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -256,6 +269,15 @@ object SystemQueries {
         |    AS n_part_supp,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q52_topk_agg" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 AND o_custkey <= 200
+        |ORDER BY o_custkey, rnk""".stripMargin,
 
     "q51_percentiles" ->
       s"""SELECT o_orderpriority,
