@@ -81,7 +81,17 @@ object CollectJob {
   }
 
   /** Run and persist as a table, drop-and-replace like the reference's
-    * `sync({force:true})` (enginesharedv3.mjs:319-336). */
-  def collect(spark: SparkSession, spec: Spec): Unit =
-    run(spark, spec).write.mode("overwrite").saveAsTable(spec.datasetName)
+    * `sync({force:true})` (enginesharedv3.mjs:319-336). `bucketBy` buckets
+    * the saved table on a join key so later fact-fact joins against it are
+    * co-located (no shuffle of this side) — the Spark-native replacement
+    * for the reference's dormant Indexes hook at 100 TB. */
+  def collect(spark: SparkSession, spec: Spec,
+      bucketBy: Option[(String, Int)] = None): Unit = {
+    val w = run(spark, spec).write.mode("overwrite")
+    bucketBy match {
+      case Some((key, n)) =>
+        w.bucketBy(n, key).sortBy(key).saveAsTable(spec.datasetName)
+      case None => w.saveAsTable(spec.datasetName)
+    }
+  }
 }

@@ -92,6 +92,40 @@ object IngestReader {
     Coerce(asStrings, schema)
   }
 
+  /** CSV read that also surfaces unparseable rows — the reference's
+    * ProcessingErrors path (failed batches dump row + error to an errors
+    * table / S3, reference sources/worker/worker.js:774-823 DebugInsert,
+    * schema enginesharedv3.mjs:38-90). Returns (typed rows, error rows);
+    * error rows carry the raw line in `errormessage` position like the
+    * reference's dump. */
+  def csvWithErrors(spark: SparkSession, schema: DataTypeSchema,
+      jobid: String, paths: String*): (DataFrame, DataFrame) = {
+    val in = schema.input
+    import org.apache.spark.sql.types.{StructField, StringType}
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.rawSchema.fields :+ StructField("_corrupt_record", StringType))
+    val raw = spark.read
+      .option("header", in.csvHeader)
+      .option("sep", in.fieldDelimiter)
+      .option("quote", in.quoteCharacter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(paths: _*)
+      .cache() // corrupt-record column requires the same scan for both sides
+    val good = Coerce(raw.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record"), schema)
+    val errors = raw.where(col("_corrupt_record").isNotNull)
+      .select(
+        lit(jobid).as("jobid"),
+        lit("").as("invocationid"),
+        (unix_timestamp() * 0L).as("updateunixtime"), // filled by caller
+        col("_corrupt_record").as("errormessage"),
+        input_file_name().as("path"),
+        lit("").as("loggroup"), lit("").as("logstream"))
+    (good, errors)
+  }
+
   /** Single-entry-ZIP text source: binaryFile scan + executor-side inflate.
     * Multi-entry archives are rejected, keeping the reference's constraint
     * (worker.js:546-552). Returns one row per text line, with the source

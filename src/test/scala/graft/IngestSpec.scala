@@ -99,6 +99,43 @@ class IngestSpec extends AnyFunSuite {
       || r.getAs[String]("cs(Referer)") == "-")
   }
 
+  test("corrupt CSV rows route to the ProcessingErrors-shaped side channel") {
+    import graft.schema.{DataTypeSchema, FieldSpec, InputSerialization, SeqType}
+    val schema = DataTypeSchema("T",
+      Seq(FieldSpec("a", SeqType.SInteger), FieldSpec("b", SeqType.SDouble),
+        FieldSpec("c", SeqType.SString(8))),
+      InputSerialization(fieldDelimiter = ","))
+    // row 2 has too many columns → corrupt; row 3 parses (dirty values are
+    // a COERCION concern, not a parse error)
+    val path = tmpFile("err.csv", "1,2.5,x\n9,9,9,9,TOOMANY\n-,3.5,y\n")
+    val (good, errors) =
+      IngestReader.csvWithErrors(spark, schema, "job1", path)
+    assert(good.count() == 2)
+    assert(good.where(org.apache.spark.sql.functions.col("a").isNull)
+      .count() == 1) // "-" coerced to NULL, row kept
+    val errs = errors.collect()
+    assert(errs.length == 1)
+    assert(errs(0).getAs[String]("errormessage").contains("TOOMANY"))
+    assert(errs(0).getAs[String]("jobid") == "job1")
+  }
+
+  test("bucketed collect: saved table is bucketed for co-located joins") {
+    import graft.jobs.CollectJob
+    val dir = graft.operators.ReferenceQueries.csvFixture(spark, TestSession.sfDir)
+    CollectJob.collect(spark,
+      CollectJob.Spec(graft.operators.ReferenceQueries.lineitemSchema,
+        Seq(dir), "lineitem_bucketed"),
+      bucketBy = Some(("l_orderkey", 4)))
+    try {
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED lineitem_bucketed")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("l_orderkey"))
+      assert(desc.contains("Num Buckets") && desc.contains("4"))
+      assert(spark.table("lineitem_bucketed").count() ==
+        Tables.lineitem(spark, TestSession.sfDir).count())
+    } finally spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+  }
+
   test("single-entry ZIP reads; multi-entry rejected") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graft_zip_spec")
