@@ -40,9 +40,12 @@ object StreamCatalogQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Stateful streaming: watermarked dropDuplicates (the reference has no
-    // stateful ops — SURVEY §2.9 — this is the Spark-native upgrade; state
-    // store size is bounded by the watermark horizon at scale).
+    // Stateful streaming: watermarked dedup (the reference has no stateful
+    // ops — SURVEY §2.9 — this is the Spark-native upgrade). Uses
+    // dropDuplicatesWithinWatermark so per-key state IS evicted once the
+    // watermark passes: plain dropDuplicates("event_id") only purges state
+    // when the event-time column is part of the dedup key, so it would grow
+    // without bound on a real stream.
     "q50_stream_dedup" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -55,7 +58,7 @@ object StreamCatalogQueries {
         .withColumn("event_id", col("event_id"))
       val doubled = stream.unionByName(stream)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
       val agg = doubled.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       StreamingCollect.runBounded(s, agg, "q50_stream_dedup_sink")

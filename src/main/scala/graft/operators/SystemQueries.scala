@@ -138,14 +138,22 @@ object SystemQueries {
     }),
 
     // ---- percentiles (exact + approx sketch path) -----------------------
+    // One percentile() pass computes all three quantiles (single sort per
+    // group); emitted as scalar columns so the driver's hash gate can
+    // compare rows (array-typed outputs are unhashable on the oracle side).
     "q51_percentiles" -> ((s, d) => {
       T.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
-            .as("quartiles"),
+            .as("__q"),
           Det.davg(col("o_totalprice")).as("mean_price"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          element_at(col("__q"), 1).as("p25"),
+          element_at(col("__q"), 2).as("p50"),
+          element_at(col("__q"), 3).as("p75"),
+          col("mean_price"), col("n"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -281,7 +289,9 @@ object SystemQueries {
 
     "q51_percentiles" ->
       s"""SELECT o_orderpriority,
-         |  quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS quartiles,
+         |  quantile_cont(o_totalprice, 0.25) AS p25,
+         |  quantile_cont(o_totalprice, 0.5) AS p50,
+         |  quantile_cont(o_totalprice, 0.75) AS p75,
          |  ${Det.sqlAvg("o_totalprice")} AS mean_price,
          |  COUNT(*) AS n
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Job/invocation status + audit surface.
@@ -30,12 +29,25 @@ object Audit {
   }
 
   /** Latest status per (jobid, invocationid) — the controller's poll view
-    * (controller.js:430-501 reads these to admission-control the fleet). */
+    * (controller.js:430-501 reads these to admission-control the fleet).
+    *
+    * Implemented as a `min_by` aggregate rather than a row_number window:
+    * the window form sorts every group in full after a shuffle, while the
+    * aggregate gets map-side partial aggregation (each input partition
+    * reduces to one candidate row per group before the exchange) — the
+    * shape that survives a 100 TB status log. Ordering key: latest
+    * updateunixtime wins, ties broken by lexicographically-least status
+    * (identical to the window's `updateunixtime DESC, status ASC`). */
   def latestStatus(statusRows: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("jobid"), col("invocationid"))
-      .orderBy(col("updateunixtime").desc, col("status"))
-    statusRows.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val keys = Seq("jobid", "invocationid")
+    val others = statusRows.columns.filterNot(keys.contains)
+    statusRows
+      .groupBy(keys.map(col): _*)
+      .agg(min_by(
+        struct(others.map(col): _*),
+        struct((col("updateunixtime") * -1).as("__neg_ts"),
+          col("status"))).as("__r"))
+      .select(keys.map(col) ++ others.map(c => col(s"__r.$c")): _*)
   }
 
   /** Jobs whose every invocation reached a terminal state. */

@@ -85,16 +85,28 @@ object StreamingCollect {
 
   /** Run a bounded streaming query over existing files (AvailableNow) into
     * an in-memory table and return the result — lets the batch Verify
-    * harness exercise the streaming path end-to-end. */
+    * harness exercise the streaming path end-to-end.
+    *
+    * Stateful operators allocate one state-store instance per shuffle
+    * partition for the life of the query; on a bounded verification run
+    * over small inputs the session default (sized for batch shuffles) is
+    * pure per-partition overhead, so the stream runs with a small explicit
+    * count and the session value is restored afterwards. A production
+    * continuous job would instead size this once to its key cardinality. */
   def runBounded(spark: SparkSession, stream: DataFrame,
-      queryName: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      queryName: String, statePartitions: Int = 4): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(queryName)
   }
 }
