@@ -69,6 +69,10 @@ object Dedup {
   private val NumHashes = 64
   private val BandRows = 4 // → 16 bands; LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
+  /** Default per-bucket size cap for candidate generation (see
+    * [[cappedSelfJoinPairs]]). */
+  val DefaultBucketCap = 256
+
   /** MinHash signatures: one row per doc, `sig: array<long>(64)`, via the
     * [[graft.functions.SketchAggs.minhashAgg]] TypedImperativeAggregate —
     * one 512-byte buffer instead of 64 codegen'd agg columns (the naive
@@ -77,20 +81,52 @@ object Dedup {
     sh.groupBy(col("id"))
       .agg(graft.functions.SketchAggs.minhashAgg(col("sh")).as("sig"))
 
-  /** LSH candidate pairs (id_a < id_b) from banded minhash signatures. */
-  def lshCandidates(sig: DataFrame): DataFrame = {
+  /** Candidate pairs (id_a < id_b) from a bucket table `(keys..., id)`, with
+    * a per-bucket size cap. Buckets with ≤ cap members do the normal
+    * all-pairs self-join; a bucket with n > cap members would contribute
+    * n(n-1)/2 pairs — the quadratic blowup a giant near-dup cluster (crawl
+    * boilerplate) plants in one (band, hash) bucket — so oversized buckets
+    * instead contribute a linear star: every member paired with the
+    * bucket's lowest id. Members of an oversized bucket are near-certain
+    * duplicates of each other, so the star keeps cluster connectivity (any
+    * member reaches any other through the representative) while candidate
+    * count stays O(n · cap) corpus-wide. Downstream exact verification
+    * (Jaccard / Hamming / cosine) applies to star pairs unchanged. */
+  private[graft] def cappedSelfJoinPairs(buckets: DataFrame,
+      keys: Seq[String], cap: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    // One count+min per bucket — partial-aggregated before the exchange, so
+    // the stat pass is a narrow shuffle of (keys, long, long) rows.
+    val stats = buckets.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+    val withN = buckets.join(stats, keys)
+    val small = withN.where(col("__n") <= cap)
+      .select(keyCols :+ col("id"): _*)
+    val a = small.as("a")
+    val b = small.as("b")
+    val sameBucket = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
+    val smallPairs = a.join(b, sameBucket && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val starPairs = withN
+      .where(col("__n") > cap && col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    // distinct on bare (long, long) pairs — the only corpus-sized shuffle
+    // here, and it carries no signature/vector payload.
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** LSH candidate pairs (id_a < id_b) from banded minhash signatures,
+    * skew-bounded by [[cappedSelfJoinPairs]]. */
+  def lshCandidates(sig: DataFrame,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val nBands = NumHashes / BandRows
     val banded = sig.select(col("id"), explode(expr(
       s"transform(sequence(0, ${nBands - 1}), b -> named_struct(" +
         s"'band', b, 'bh', xxhash64(slice(sig, b * $BandRows + 1, $BandRows))))"
     )).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    cappedSelfJoinPairs(banded, Seq("band", "bh"), bucketCap)
   }
 
   /** Exact Jaccard for given candidate pairs, via the shingle sets. */
@@ -113,6 +149,7 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidate pairs with exact Jaccard
     * ≥ threshold. */
   def minhashNearDups(df: DataFrame, threshold: Double = 0.5, k: Int = 3,
+      bucketCap: Int = DefaultBucketCap,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // The shingle table feeds three consumers (signatures, sizes, verify
     // join); materialize it once (localCheckpoint truncates lineage and
@@ -120,7 +157,7 @@ object Dedup {
     // persist() showed 8x slowdowns on the second call). At cluster scale
     // this is the table you'd checkpoint/bucket by id.
     val sh = shingles(df, k, idCol, textCol).localCheckpoint()
-    val cands = lshCandidates(minhashSignatures(sh))
+    val cands = lshCandidates(minhashSignatures(sh), bucketCap)
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
 
@@ -139,24 +176,29 @@ object Dedup {
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidates come
     * from 16-bit chunk tables (any equal chunk ⇒ candidate — exact for
-    * maxDist ≤ 3 by pigeonhole over 4 chunks; heuristic above that). */
+    * maxDist ≤ 3 by pigeonhole over 4 chunks; heuristic above that),
+    * skew-bounded by [[cappedSelfJoinPairs]]. The candidate distinct runs
+    * on bare id pairs; fingerprints are re-joined afterwards for the
+    * Hamming verify (the fingerprint table is one (long, long) row per
+    * doc, so the re-join is far narrower than carrying fingerprints
+    * through the chunk self-join). */
   def simhashNearDups(df: DataFrame, maxDist: Int = 6,
+      bucketCap: Int = DefaultBucketCap,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
-    val chunks = fp.select(col("id"), col("simhash"),
+    // Feeds two consumers (chunk tables, verify re-join); see
+    // minhashNearDups for why localCheckpoint and not persist.
+    val fp = simhash(df, idCol, textCol).localCheckpoint()
+    val chunks = fp.select(col("id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftrightunsigned(col("simhash"), c * 16)
             .bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.c").as("c"),
-        col("ch.v").as("v"))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
+      .select(col("id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    cappedSelfJoinPairs(chunks, Seq("c", "v"), bucketCap)
+      .join(fp.select(col("id").as("id_a"), col("simhash").as("sh_a")),
+        "id_a")
+      .join(fp.select(col("id").as("id_b"), col("simhash").as("sh_b")),
+        "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))

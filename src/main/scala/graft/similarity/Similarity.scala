@@ -84,39 +84,51 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Candidate dedup runs on bare (query_id, neighbor_id) id pairs — a
+    // corpus vector appears in nTables buckets, so carrying vectors through
+    // the distinct would widen that shuffle ~2×dim×4 bytes per row for no
+    // reason. Vectors re-join after the distinct: queries by broadcast,
+    // corpus by one id-keyed shuffle (once per candidate, not per table).
     val qs = signatures(queries, nTables, bitsPerTable, dim, idCol, vecCol)
-      .select(col("id").as("query_id"), col("vec").as("qv"),
-        col("table"), col("bucket"))
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
     val cs = signatures(corpus, nTables, bitsPerTable, dim, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
-        col("table"), col("bucket"))
+      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
     val cands = cs.join(broadcast(qs), Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", cosine(col("qv"), col("cv")))
+    cands.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):
-    * LSH bucket self-join for candidates, exact cosine verify. The scale
-    * path for near-dup mining over embedding corpora. */
+    * LSH bucket self-join for candidates (skew-bounded by the same
+    * per-bucket cap as text dedup — a bucket of mutual near-dups larger
+    * than the cap contributes a linear star instead of quadratic
+    * all-pairs), exact cosine verify on re-joined vectors. The candidate
+    * distinct carries bare id pairs, never `array<float>` payloads. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
       nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
+      bucketCap: Int = graft.dedup.Dedup.DefaultBucketCap,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = signatures(corpus, nTables, bitsPerTable, dim, idCol, vecCol)
-    val a = sigs.select(col("id").as("id_a"), col("vec").as("va"),
-      col("table"), col("bucket"))
-    val b = sigs.select(col("id").as("id_b"), col("vec").as("vb"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .distinct()
+    val buckets =
+      signatures(corpus, nTables, bitsPerTable, dim, idCol, vecCol)
+        .select(col("id"), col("table"), col("bucket"))
+    val pairs = graft.dedup.Dedup.cappedSelfJoinPairs(
+      buckets, Seq("table", "bucket"), bucketCap)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

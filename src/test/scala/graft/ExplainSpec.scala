@@ -50,4 +50,41 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("o_totalprice"),
       s"find-DSL predicate not pushed:\n$p")
   }
+
+  /** The candidate-pair distinct is the corpus-sized shuffle in the
+    * similarity pipelines; it must carry bare id pairs, never
+    * `array<float>` vector payloads (vectors re-join after the distinct). */
+  private def idPairShufflesCarryNoArrays(name: String,
+      aCol: String, bCol: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // sparkPlan predates EnsureRequirements (no exchanges yet) and under
+    // AQE the executed plan hides inside AdaptiveSparkPlanExec — so plan
+    // statically with AQE off to make every exchange visible.
+    val sp = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries(name)(spark, TestSession.sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val pairShuffles = sp.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains(aCol) &&
+            e.outputPartitioning.toString.contains(bCol) => e
+    }
+    assert(pairShuffles.nonEmpty, s"no ($aCol, $bCol) exchange in:\n$sp")
+    pairShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"pair exchange carries an array column: ${e.output}\n$sp")
+    }
+  }
+
+  test("q32 embedding near-dup pair shuffle carries no vector payload") {
+    idPairShufflesCarryNoArrays("q32_embed_neardup", "id_a", "id_b")
+  }
+
+  test("q34 LSH top-k candidate shuffle carries no vector payload") {
+    idPairShufflesCarryNoArrays("q34_ann_lsh_recall", "query_id", "neighbor_id")
+  }
 }

@@ -31,6 +31,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 0.5, s"simhash found only $overlap of minhash pairs")
   }
 
+  test("per-bucket cap: planted duplicate cluster yields linear candidates") {
+    // 300 identical docs + 5 distinct: every band bucket holds the whole
+    // cluster, so without the cap the self-join would emit 300*299/2 =
+    // 44850 candidate pairs. With cap=50 the oversized buckets contribute
+    // a star on the lowest id instead: exactly 299 pairs.
+    val cluster = (0L until 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rest = (300L until 305L).map(i =>
+      (i, s"unique document number $i with its own words entirely-$i"))
+    val planted = (cluster ++ rest).toDF("doc_id", "text")
+    val sh = Dedup.shingles(planted)
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh),
+      bucketCap = 50).collect()
+    assert(cands.length == 299, s"expected 299 star pairs, got ${cands.length}")
+    assert(cands.forall(_.getAs[Long]("id_a") == 0L))
+    // end-to-end: verification keeps all star pairs (jaccard = 1.0), so
+    // the cluster stays fully connected through the representative
+    val nd = Dedup.minhashNearDups(planted, threshold = 0.8, bucketCap = 50)
+    assert(nd.count() == 299)
+    assert(nd.collect().forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("per-bucket cap: embedding duplicate cluster yields linear candidates") {
+    val vec = (0 until 64).map(i => (i % 7).toFloat / 7f)
+    val cluster = (0L until 300L).map(i => (i, vec))
+    val planted = cluster.toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDups(planted, threshold = 0.9,
+      bucketCap = 50).collect()
+    assert(nd.length == 299, s"expected 299 star pairs, got ${nd.length}")
+    assert(nd.forall(_.getAs[Long]("id_a") == 0L))
+    assert(nd.forall(_.getAs[Double]("cos") > 0.999))
+  }
+
   test("exact dedup is idempotent and keeps the lowest id per group") {
     val d1 = Dedup.exact(docs)
     assert(d1.count() == Dedup.exact(d1).count())
