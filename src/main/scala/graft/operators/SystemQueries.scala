@@ -99,11 +99,18 @@ object SystemQueries {
         .orderBy(col("lang"))
     }),
 
-    // ---- IVF ANN recall (similarity, scale path #2) ---------------------
-    "q45_ann_ivf" -> ((s, d) => {
+    // ---- IVF ANN (similarity, scale path #2) ----------------------------
+    // Gate configuration: nProbe = nCells probes every cell, so the IVF
+    // candidate set is the whole corpus and the top-k must equal brute
+    // force (assignment, probe ranking, and re-rank all exercised; the
+    // oracle is the exact SQL top-k). Partial-probe recall is covered by
+    // PipelineSpec.
+    "q45_ann_ivf_fullprobe" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      Similarity.ivfRecall(emb.where(col("vec_id") < 10), emb, k = 5)
-        .orderBy(col("query_id"))
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+        nCells = 16, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- single-entry ZIP ingest (SURVEY §2.1 S5) -----------------------
@@ -312,6 +319,19 @@ object SystemQueries {
          |    AS total_ws_tokens,
          |  COUNT(*) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
-    }
+    },
+
+    // Full-probe IVF is exhaustive, so the answer is exact top-k — the
+    // same oracle as brute force.
+    "q45_ann_ivf_fullprobe" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -58,7 +58,10 @@ object Similarity {
   }
 
   /** Per-table LSH bucket signature: sign-bit vector of hyperplane
-    * projections packed into a long. */
+    * projections packed into a long. `bitsPerTable = 0` degenerates to a
+    * single bucket per table (every pair a candidate) — the exhaustive
+    * configuration the correctness gate uses to prove the bucket-join
+    * machinery equals brute force. */
   def signatures(df: DataFrame, nTables: Int = 8, bitsPerTable: Int = 8,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
@@ -70,7 +73,7 @@ object Similarity {
         val plane = typedlit(ps(t)(b).map(_.toFloat))
         val proj = VectorOps.dotF(col(vecCol), plane)
         when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
+      }.reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
       struct(lit(t).as("table"), bits.as("bucket"))
     }
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),

@@ -85,6 +85,7 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("q34 LSH top-k candidate shuffle carries no vector payload") {
-    idPairShufflesCarryNoArrays("q34_ann_lsh_recall", "query_id", "neighbor_id")
+    idPairShufflesCarryNoArrays("q34_ann_lsh_exhaustive", "query_id",
+      "neighbor_id")
   }
 }

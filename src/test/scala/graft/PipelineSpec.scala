@@ -97,6 +97,20 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("IVF recall: partial probe in (0,1], full probe exactly 1.0") {
+    val qs = embs.where($"vec_id" < 5)
+    val partial = Similarity.ivfRecall(qs, embs, 5, nCells = 16, nProbe = 4)
+      .collect()
+    assert(partial.length == 5)
+    assert(partial.forall { r =>
+      val x = r.getAs[Double]("recall"); x > 0.0 && x <= 1.0
+    })
+    val full = Similarity.ivfRecall(qs, embs, 5, nCells = 16, nProbe = 16)
+      .collect()
+    assert(full.forall(_.getAs[Double]("recall") == 1.0),
+      "full-probe IVF must equal brute force")
+  }
+
   test("langId is deterministic and en-dominant on this corpus") {
     val pred = docs.withColumn("p", TextAnalysis.langId($"text"))
       .groupBy($"p").count().collect()
