@@ -94,4 +94,14 @@ object CollectJob {
       case None => w.saveAsTable(spec.datasetName)
     }
   }
+
+  /** Run and bulk-insert into an RDBMS — the reference's true job output
+    * (worker.js:774-823 bulk insert; S10). Writer parallelism is bounded
+    * by [[graft.sinks.JdbcSink]]'s connection-capacity model so the
+    * collection fleet never exceeds what the database host sustains. */
+  def collectJdbc(spark: SparkSession, spec: Spec, url: String,
+      props: java.util.Properties, instanceMemoryMb: Long, engine: String,
+      overwrite: Boolean = true): Unit =
+    graft.sinks.JdbcSink.write(run(spark, spec), url, spec.datasetName,
+      props, instanceMemoryMb, engine, overwrite)
 }

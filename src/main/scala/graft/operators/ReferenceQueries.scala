@@ -187,6 +187,31 @@ object ReferenceQueries {
           "AND s.l_returnflag != 'N'")))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(1000)
+    }),
+
+    // ---- JDBC sink round-trip (SURVEY §2.1 S10 true parity) -------------
+    // The same collect pipeline as q24 but lands in an embedded Derby
+    // database through the connection-capacity-bounded JDBC writer, then
+    // reads back over JDBC and aggregates — so the gate hashes data that
+    // physically round-tripped through the RDBMS bulk-insert path.
+    "q53_jdbc_sink" -> ((s, d) => {
+      val dir = csvFixture(s, d)
+      val url = "jdbc:derby:memory:graftq53;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      CollectJob.collectJdbc(s, CollectJob.Spec(
+        schema = lineitemSchema,
+        paths = Seq(dir),
+        datasetName = "lineitem_jdbc",
+        query = Some("SELECT l_orderkey, l_quantity, l_discount, " +
+          "l_returnflag FROM S3Object[*] s WHERE s.l_discount > 0.05")),
+        url, props, instanceMemoryMb = 8000, engine = "postgres")
+      graft.sinks.JdbcSink.read(s, url, "lineitem_jdbc", props)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+          graft.Det.dsum(col("l_discount")).as("sum_disc"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -263,6 +288,15 @@ object ReferenceQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
         |WHERE l_discount > 0.09 AND l_returnflag <> 'N'
-        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "q53_jdbc_sink" -> {
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${graft.Det.sqlSum("l_quantity")} AS sum_qty,
+         |  ${graft.Det.sqlSum("l_discount")} AS sum_disc
+         |FROM lineitem
+         |WHERE l_discount > 0.05
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }
   )
 }
