@@ -66,6 +66,67 @@ object NoSqlDsl {
     q.limit.fold(out)(out.limit)
   }
 
+  /** PutItem with the reference's cached-merge and privilege-escalation
+    * guard (`createupdatequeries`, nosql.js:309-354):
+    *
+    *  - the key attributes come from the validated request, never from the
+    *    payload — after the merge the reference re-applies
+    *    `Keys.map(k => Item[k] = HashandSort[k])`, so a payload that smuggles
+    *    different key values is ignored;
+    *  - if the row exists and is a collection-type query (`QueryType ==
+    *    "C"`), `DatabaseName`/`TableName` are restored from the stored row
+    *    ("ensuring that DatabaseName and TableName fields are not
+    *    overwritten during update as that results in privilege
+    *    escalation" — a user with write access to a query row must not be
+    *    able to re-point it at a table they lack permissions on);
+    *  - analysis-type rows (and inserts) take the payload as-is.
+    *
+    * Pure column algebra over the registry DataFrame — the merge is a
+    * `when(keyMatch, merged).otherwise(original)` projection, no
+    * driver-side row surgery; only the insert-or-update decision is a
+    * bounded point lookup (the put IS a point operation). */
+  def putItem(registry: DataFrame, key: Map[String, Any],
+      payload: Map[String, Any],
+      collectionType: String = "C"): DataFrame = {
+    require(key.nonEmpty, "PutItem requires key attributes")
+    val keyMatch = key.map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    val guarded = Set("DatabaseName", "TableName")
+    def mergedValue(c: String): Column =
+      if (key.contains(c)) col(c) // keys: validated request wins
+      else payload.get(c) match {
+        case Some(v) if guarded(c) =>
+          when(col("QueryType") === lit(collectionType), col(c))
+            .otherwise(lit(v))
+        case Some(v) => lit(v)
+        case None => col(c)
+      }
+    val updated = registry.select(registry.columns.map { c =>
+      when(keyMatch, mergedValue(c)).otherwise(col(c)).as(c)
+    }: _*)
+    if (!registry.where(keyMatch).isEmpty) updated
+    else {
+      val values = registry.schema.fields.map { f =>
+        key.getOrElse(f.name, payload.get(f.name).orNull)
+      }
+      val row = org.apache.spark.sql.Row(values: _*)
+      val inserted = registry.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(row), registry.schema)
+      registry.unionByName(inserted)
+    }
+  }
+
+  /** DeleteItem by key equality — the reference extracts the key pair from
+    * the request parameters per table (`Logverz-Queries`: two
+    * AttributeName/AttributeValue parameters; `Logverz-Identities`:
+    * (Name, Type) — nosql.js:169-196) and issues a point delete. */
+  def deleteItem(registry: DataFrame, key: Map[String, Any]): DataFrame = {
+    require(key.nonEmpty, "DeleteItem requires key attributes")
+    val keyMatch = key.map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    registry.where(!coalesce(keyMatch, lit(false)))
+  }
+
   /** Visibility filter analog of `sharedqueryfiltering` (nosql.js:244-289):
     * keep rows owned by `user`, shared with `user`, or everything for
     * admins/powerusers. Owners/Access are comma-joined lists in the

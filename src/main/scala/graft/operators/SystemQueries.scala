@@ -58,6 +58,49 @@ object SystemQueries {
         .orderBy(col("UnixTime"))
     }),
 
+    // ---- NoSQL write path: PutItem merge + escalation guard, DeleteItem
+    // (nosql.js:309-354,169-196). The final registry state after a blocked
+    // escalation attempt (C-type row keeps its DatabaseName/TableName), a
+    // legitimate analysis-row move, an insert, and a point delete — the
+    // oracle is the independently-derived expected end state.
+    "q54_nosql_put" -> ((s, d) => {
+      import QueryRegistry._
+      var reg = empty(s)
+      reg = record(reg, Entry("SELECT *", 1000L, "proddb", "secure_t",
+        "VPCFlow", "collect1", "C", "alice", "", Active = true,
+        Archive = false))
+      reg = record(reg, Entry("SELECT a", 2000L, "proddb", "open_t",
+        "CloudTrail", "analysis1", "A", "bob", "", Active = true,
+        Archive = false))
+      reg = record(reg, Entry("SELECT b", 3000L, "devdb", "t3",
+        "VPCFlow", "collect2", "C", "carol", "", Active = true,
+        Archive = false))
+      // escalation attempt: payload tries to re-point the C-type row at a
+      // different database/table — the guard restores both
+      reg = NoSqlDsl.putItem(reg,
+        key = Map("UsersQuery" -> "SELECT *", "UnixTime" -> 1000L),
+        payload = Map("DatabaseName" -> "evil_db", "TableName" -> "stolen",
+          "QueryName" -> "renamed"))
+      // analysis rows may move (reference else-branch merges payload as-is)
+      reg = NoSqlDsl.putItem(reg,
+        key = Map("UsersQuery" -> "SELECT a", "UnixTime" -> 2000L),
+        payload = Map("DatabaseName" -> "archive_db",
+          "QueryName" -> "analysis1v2"))
+      // insert-if-absent
+      reg = NoSqlDsl.putItem(reg,
+        key = Map("UsersQuery" -> "SELECT c", "UnixTime" -> 4000L),
+        payload = Map("DatabaseName" -> "newdb", "TableName" -> "new_t",
+          "DataType" -> "Custom", "QueryName" -> "fresh",
+          "QueryType" -> "A", "Owners" -> "dave", "Access" -> "",
+          "Active" -> true, "Archive" -> false))
+      // point delete (Logverz-Queries key pair)
+      reg = NoSqlDsl.deleteItem(reg,
+        Map("UsersQuery" -> "SELECT b", "UnixTime" -> 3000L))
+      reg.select(col("UsersQuery"), col("UnixTime"), col("DatabaseName"),
+        col("TableName"), col("QueryName"), col("QueryType"))
+        .orderBy(col("UnixTime"))
+    }),
+
     // ---- audit / invocation status view (SURVEY §2.9) -------------------
     "q42_audit_status" -> ((s, d) => {
       // Deterministic synthetic heartbeat stream derived from events.
@@ -238,6 +281,18 @@ object SystemQueries {
         |  ('SELECT 2', CAST(2000 AS BIGINT), 't2', 'second', 'Batch'),
         |  ('SELECT 3', CAST(3000 AS BIGINT), 't1', 'third', 'Continuous'))
         |  t(UsersQuery, UnixTime, TableName, QueryName, QueryType)
+        |ORDER BY UnixTime""".stripMargin,
+
+    "q54_nosql_put" ->
+      """SELECT * FROM (VALUES
+        |  ('SELECT *', CAST(1000 AS BIGINT), 'proddb', 'secure_t',
+        |   'renamed', 'C'),
+        |  ('SELECT a', CAST(2000 AS BIGINT), 'archive_db', 'open_t',
+        |   'analysis1v2', 'A'),
+        |  ('SELECT c', CAST(4000 AS BIGINT), 'newdb', 'new_t',
+        |   'fresh', 'A'))
+        |  t(UsersQuery, UnixTime, DatabaseName, TableName, QueryName,
+        |    QueryType)
         |ORDER BY UnixTime""".stripMargin,
 
     "q42_audit_status" ->

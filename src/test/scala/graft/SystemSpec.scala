@@ -62,6 +62,50 @@ class SystemSpec extends AnyFunSuite {
     assert(vis("nobody", admin = true) == Set("q1", "q2", "q3"))
   }
 
+  test("NoSQL PutItem guard: C-type rows keep DatabaseName/TableName") {
+    import graft.operators.NoSqlDsl
+    import graft.registry.QueryRegistry._
+    val reg = record(record(empty(spark),
+      Entry("q1", 1L, "prod", "secure", "VPCFlow", "c1", "C", "alice", "",
+        Active = true, Archive = false)),
+      Entry("q2", 2L, "prod", "open", "VPCFlow", "a1", "A", "bob", "",
+        Active = true, Archive = false))
+    // escalation attempt on the collection row: both guarded fields stick
+    val afterEsc = NoSqlDsl.putItem(reg,
+      Map("UsersQuery" -> "q1", "UnixTime" -> 1L),
+      Map("DatabaseName" -> "evil", "TableName" -> "stolen",
+        "QueryName" -> "ok"))
+    val r1 = afterEsc.where($"UsersQuery" === "q1").collect().head
+    assert(r1.getAs[String]("DatabaseName") == "prod")
+    assert(r1.getAs[String]("TableName") == "secure")
+    assert(r1.getAs[String]("QueryName") == "ok") // non-guarded field moved
+    // analysis row: payload wins (reference else-branch)
+    val afterMove = NoSqlDsl.putItem(reg,
+      Map("UsersQuery" -> "q2", "UnixTime" -> 2L),
+      Map("DatabaseName" -> "archive", "TableName" -> "moved"))
+    val r2 = afterMove.where($"UsersQuery" === "q2").collect().head
+    assert(r2.getAs[String]("DatabaseName") == "archive")
+    assert(r2.getAs[String]("TableName") == "moved")
+    // payload can never rewrite key attributes
+    val afterKeySmuggle = NoSqlDsl.putItem(reg,
+      Map("UsersQuery" -> "q2", "UnixTime" -> 2L),
+      Map("UnixTime" -> 999L, "QueryName" -> "renamed"))
+    assert(afterKeySmuggle.where($"UnixTime" === 999L).isEmpty)
+    assert(afterKeySmuggle.where($"UsersQuery" === "q2")
+      .collect().head.getAs[String]("QueryName") == "renamed")
+    // insert-if-absent, then point delete removes exactly that row
+    val inserted = NoSqlDsl.putItem(reg,
+      Map("UsersQuery" -> "q3", "UnixTime" -> 3L),
+      Map("DatabaseName" -> "dev", "TableName" -> "t", "DataType" -> "X",
+        "QueryName" -> "new", "QueryType" -> "A", "Owners" -> "eve",
+        "Access" -> "", "Active" -> true, "Archive" -> false))
+    assert(inserted.count() == 3)
+    val deleted = NoSqlDsl.deleteItem(inserted,
+      Map("UsersQuery" -> "q3", "UnixTime" -> 3L))
+    assert(deleted.count() == 2 &&
+      deleted.where($"UsersQuery" === "q3").isEmpty)
+  }
+
   test("catalog create-or-replace and drop round-trip") {
     import graft.catalog.CatalogOps
     val df = Tables.region(spark, TestSession.sfDir)
