@@ -61,13 +61,23 @@ object IamPolicy {
       !st.notResource.exists(resourceMatch(_, resource))
     else true // statement without resource constraint applies
 
-  /** Evaluate all statements of all policies for one request. */
+  /** Evaluate all statements of all policies for one request.
+    *
+    * Deny statements are evaluated on action match ALONE — the reference's
+    * `allowdenyaction` runs `getmatchingaction` over the deny statements
+    * and returns Deny on any hit, never consulting the deny's resources;
+    * resource matching happens only for allows
+    * (authenticationsharedv3.js:6-49). That is stricter than AWS IAM
+    * semantics (a deny scoped to resource X here also denies the action on
+    * resource Y), in the fail-closed direction. */
   def evaluate(policies: Seq[Policy], action: String,
       resource: String): Decision = {
-    val applicable = policies.flatMap(_.statements).filter(st =>
-      actionApplies(st, action) && resourceApplies(st, resource))
-    if (applicable.exists(_.effect == Deny)) ExplicitDeny
-    else if (applicable.exists(_.effect == Allow)) Allowed
+    val statements = policies.flatMap(_.statements)
+    if (statements.exists(st =>
+        st.effect == Deny && actionApplies(st, action))) ExplicitDeny
+    else if (statements.exists(st =>
+        st.effect == Allow && actionApplies(st, action) &&
+          resourceApplies(st, resource))) Allowed
     else ImplicitDeny
   }
 

@@ -34,8 +34,14 @@ import org.apache.spark.sql.functions._
 object IngestReader {
 
   /** CSV read with options derived from the schema's InputSerialization.
-    * Header present ⇒ names come from the file (FileHeaderInfo USE);
-    * headerless ⇒ positional mapping to the declared columns. */
+    * Header present ⇒ columns bind to the declared schema BY NAME — the
+    * reference parses with Papa Parse `header: true` and zips the
+    * resulting objects onto the schema by key (worker.js:474-499), so a
+    * file whose column order differs from the declaration still lands
+    * every value in the right column, and header names absent from the
+    * file surface as nulls (extra file columns are dropped, like the
+    * object→schema pass). Headerless ⇒ positional mapping to the declared
+    * columns (`_.zipObject` analog). */
   def csv(spark: SparkSession, schema: DataTypeSchema,
       paths: String*): DataFrame = {
     val in = schema.input
@@ -45,14 +51,18 @@ object IngestReader {
       .option("lineSep", in.recordDelimiter)
       .option("quote", in.quoteCharacter)
       .option("mode", "PERMISSIVE")
-    val raw =
-      if (in.csvHeader) reader.csv(paths: _*)
-      else reader.schema(schema.rawSchema).csv(paths: _*)
-    // Rows with fewer than 2 parsed fields are dropped by the reference
-    // (worker.js:494-498); approximate: require at least one non-null besides
-    // the first column when headerless.
-    Coerce(raw.toDF(schema.fields.map(_.name).take(raw.columns.length) ++
-      raw.columns.drop(schema.fields.length): _*), schema)
+    if (in.csvHeader) {
+      val raw = reader.csv(paths: _*)
+      val present = raw.columns.toSet
+      Coerce(raw.select(schema.fields.map { f =>
+        if (present(f.name)) col(s"`${f.name}`").as(f.name)
+        else lit(null).cast("string").as(f.name)
+      }: _*), schema)
+    } else {
+      val raw = reader.schema(schema.rawSchema).csv(paths: _*)
+      Coerce(raw.toDF(schema.fields.map(_.name).take(raw.columns.length) ++
+        raw.columns.drop(schema.fields.length): _*), schema)
+    }
   }
 
   /** JSON read + optional one-level root-element unnest (CloudTrail

@@ -34,6 +34,23 @@ class AuthSpec extends AnyFunSuite {
     }
   }
 
+  test("deny applies on action match alone, ignoring the deny's resources") {
+    // authenticationsharedv3.js:6-29: deny statements go through
+    // getmatchingaction only — a deny scoped to resource X still denies
+    // the action against resource Y (fail-closed, unlike AWS IAM).
+    val p = Policy(Seq(
+      Statement(Allow, action = Seq("sql:Select"), resource = Seq("*")),
+      Statement(Deny, action = Seq("sql:Select"),
+        resource = Seq("arn:table/secret"))))
+    assert(evaluate(Seq(p), "sql:Select", "arn:table/public") == ExplicitDeny)
+    assert(evaluate(Seq(p), "sql:Select", "arn:table/secret") == ExplicitDeny)
+    // a deny on a different action does not block
+    val p2 = Policy(Seq(
+      Statement(Allow, action = Seq("sql:Select"), resource = Seq("*")),
+      Statement(Deny, action = Seq("sql:Drop"), resource = Seq("*"))))
+    assert(evaluate(Seq(p2), "sql:Select", "arn:table/public") == Allowed)
+  }
+
   test("no applicable statement is implicit deny (property)") {
     forAllSampled(genAction, genResource) { (a, r) =>
       assert(evaluate(Seq(Policy(Nil)), a, r) == ImplicitDeny)

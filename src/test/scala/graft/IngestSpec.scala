@@ -37,6 +37,26 @@ class IngestSpec extends AnyFunSuite {
     assert(r.getAs[String]("flow-direction") == "ingress")
   }
 
+  test("header CSV binds by name: permuted column order, missing → null") {
+    // The reference zips Papa-Parse objects onto the schema by header
+    // name, not position — a file with reordered columns must still land
+    // values correctly, and a declared column absent from the file is null.
+    val fields = SchemaRegistry.vpcFlow.fields.map(_.name)
+    val permuted = fields.reverse.filterNot(_ == "flow-direction")
+    val valuesByName = Map(
+      "version" -> "5", "account-id" -> "123456789012", "bytes" -> "15044",
+      "action" -> "ACCEPT")
+    val row = permuted.map(f => valuesByName.getOrElse(f, "-")).mkString(" ")
+    val path = tmpFile("vpc_permuted.log",
+      s"${permuted.mkString(" ")}\n$row\n")
+    val r = IngestReader.csv(spark, SchemaRegistry.vpcFlow, path).collect()(0)
+    assert(r.getAs[Int]("version") == 5)
+    assert(r.getAs[Long]("account-id") == 123456789012L)
+    assert(r.getAs[Long]("bytes") == 15044L)
+    assert(r.getAs[String]("action") == "ACCEPT")
+    assert(r.isNullAt(r.fieldIndex("flow-direction"))) // not in the file
+  }
+
   test("ClassicLB sample row: headerless space-CSV with quoted request") {
     val row = "2015-05-13T23:39:43.945958Z my-loadbalancer " +
       "192.168.131.39:2817 10.0.0.1:80 0.000073 0.001048 0.000057 200 200 " +
