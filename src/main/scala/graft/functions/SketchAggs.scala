@@ -160,6 +160,71 @@ case class SimHashAgg(
       c: IndexedSeq[Expression]): SimHashAgg = copy(child = c.head)
 }
 
+/** Element-wise mean of `array<float>` vectors: per group one
+  * `[count, sum_0..sum_{d-1}]` double buffer — the centroid-update step of
+  * distributed k-means as a single partial-aggregating buffer (the naive
+  * alternative, posexplode + groupBy(cell, dim), shuffles n×dim rows
+  * before partial aggregation collapses them; this never explodes). */
+case class VectorMeanAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  // dimension is data-driven: allocate lazily on the first vector
+  override def createAggregationBuffer(): Array[Double] = Array.empty
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toFloatArray()
+      val b = if (buf.isEmpty) new Array[Double](arr.length + 1) else buf
+      b(0) += 1.0
+      var i = 0
+      while (i < arr.length) { b(i + 1) += arr(i); i += 1 }
+      b
+    }
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty || buf(0) == 0.0) null
+    else new GenericArrayData(
+      Array.tabulate(buf.length - 1)(i => (buf(i + 1) / buf(0)).toFloat))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorMeanAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorMeanAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): VectorMeanAgg = copy(child = c.head)
+}
+
 object SketchAggs {
   /** minhash_agg(shingleHash): array<long> of 64 minima. */
   def minhashAgg(c: Column): Column =
@@ -170,4 +235,9 @@ object SketchAggs {
   def simhashAgg(c: Column): Column =
     GraftSqlBridge.column(
       SimHashAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** vector_mean_agg(vec): element-wise mean of array<float> vectors. */
+  def vectorMeanAgg(c: Column): Column =
+    GraftSqlBridge.column(
+      VectorMeanAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
 }

@@ -159,7 +159,8 @@ object Similarity {
       greatest(cells.toSeq: _*).getField("cell").as("cell"))
   }
 
-  /** Deterministic centroid set: the `nCells` lowest-id vectors. */
+  /** Deterministic centroid set: the `nCells` lowest-id vectors (the
+    * cheapest seed — see [[kmeansCentroids]] for the quality path). */
   def ivfCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[(Long, Seq[Float])] =
@@ -167,12 +168,80 @@ object Similarity {
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
 
+  /** max cosine similarity of `vecCol` to the given centroid set — the
+    * "distance to nearest centroid" signal, one codegen'd projection. */
+  private def maxCosTo(cents: Array[Seq[Float]], vecCol: String): Column = {
+    val sims = cents.map { cvec =>
+      val c = typedlit(cvec)
+      VectorOps.dotF(col(vecCol), c) /
+        (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))
+    }
+    if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
+  }
+
+  /** Deterministic k-means|| centroids (spherical k-means, cosine
+    * geometry). Seeding follows the k-means|| shape — a fixed number of
+    * batch rounds, each adding the points farthest from the current
+    * centroid set in ONE pass over the corpus — but replaces the
+    * probabilistic d²-oversampling with a top-k by (distance, id), which
+    * keeps the seed fully deterministic (the property every oracle and
+    * resume path here relies on). Lloyd iterations then alternate
+    * assignment (argmax-cosine projection, no shuffle of vectors beyond
+    * the cell key) with a centroid-mean update through the single-buffer
+    * [[graft.functions.SketchAggs.vectorMeanAgg]] — per corpus partition
+    * the shuffle is nCells buffers, not n×dim rows. Each round is one
+    * scan; at 100 TB the (id, vec) projection would be cached/bucketed
+    * once, and only ~(seedRounds + iterations) scans ever happen.
+    * Empty cells keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int,
+      iterations: Int = 3, seedRounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Seq[Float])] = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // ---- k-means||-style deterministic seeding ----
+    var seeds: Array[Seq[Float]] =
+      vecs.orderBy(col("id")).limit(1).collect()
+        .map(_.getSeq[Float](1))
+    val perRound = math.max(1, (nCells - 1 + seedRounds - 1) / seedRounds)
+    while (seeds.length < nCells) {
+      val want = math.min(perRound, nCells - seeds.length)
+      val far = vecs
+        .withColumn("__sim", maxCosTo(seeds, "vec"))
+        .orderBy(col("__sim").asc, col("id").asc)
+        .limit(want)
+        .collect().map(_.getSeq[Float](1))
+      seeds = seeds ++ far
+    }
+    // ---- Lloyd iterations ----
+    var cents = seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    var it = 0
+    while (it < iterations) {
+      val means = ivfAssign(vecs, cents, "id", "vec")
+        .groupBy(col("cell"))
+        .agg(graft.functions.SketchAggs.vectorMeanAgg(col("vec")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF ANN top-k: probe the nProbe nearest cells per query, exact re-rank
-    * within the probed cells. Output: (query_id, rank, neighbor_id, cos). */
+    * within the probed cells. Output: (query_id, rank, neighbor_id, cos).
+    * Centroids come from deterministic [[kmeansCentroids]] by default
+    * (recall on clustered data); `useKmeans = false` falls back to the
+    * lowest-id seed. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      useKmeans: Boolean = true): DataFrame = {
+    val cents =
+      if (useKmeans) kmeansCentroids(corpus, nCells, idCol = idCol,
+        vecCol = vecCol)
+      else ivfCentroids(corpus, nCells, idCol, vecCol)
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
     // per query: the nProbe nearest cells
     val probeCells = cents.map { case (cid, cvec) =>

@@ -111,6 +111,22 @@ class PipelineSpec extends AnyFunSuite {
       "full-probe IVF must equal brute force")
   }
 
+  test("k-means centroids are deterministic and cover all cells") {
+    val c1 = Similarity.kmeansCentroids(embs, nCells = 8)
+    val c2 = Similarity.kmeansCentroids(embs, nCells = 8)
+    assert(c1.length == 8)
+    assert(c1.map(_._2).toSeq == c2.map(_._2).toSeq,
+      "k-means seed/iteration must be deterministic")
+    // every corpus vector assigns to some cell; at least half the cells
+    // are non-empty on this corpus (Lloyd keeps empty cells' previous
+    // centroid, so fewer is legal but suspicious on 500+ vectors)
+    val assigned = Similarity.ivfAssign(
+      embs.select($"vec_id".as("id"), $"embedding".as("vec")),
+      c1, "id", "vec")
+    assert(assigned.count() == embs.count())
+    assert(assigned.select("cell").distinct().count() >= 4)
+  }
+
   test("langId is deterministic and en-dominant on this corpus") {
     val pred = docs.withColumn("p", TextAnalysis.langId($"text"))
       .groupBy($"p").count().collect()
