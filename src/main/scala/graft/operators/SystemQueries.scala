@@ -101,6 +101,32 @@ object SystemQueries {
         .orderBy(col("UnixTime"))
     }),
 
+    // ---- as-of join (custom LogicalPlan + Strategy + SparkPlan) ---------
+    // Enrich every event with the latest purchase checkpoint of its user
+    // at or before the event time, then aggregate per event type. The
+    // oracle is DuckDB's native ASOF LEFT JOIN — an independent engine's
+    // implementation of the same operator. Times compare as epoch
+    // microseconds on both sides; checkpoints pre-aggregate to one row
+    // per (user, time) so the as-of pick is unique.
+    "q55_asof_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      val cp = T.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("cp_user"),
+          unix_micros(col("ts")).as("cp_t"))
+        .agg(max(col("value")).as("pval")) // max is exact, no Det routing
+      graft.plans.AsofJoin.asof(ev, cp,
+          Seq("user_id"), Seq("cp_user"), "t", "cp_t")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("cp_t").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_matched"),
+          Det.dsum(coalesce(col("pval"), lit(0.0))).as("sum_matched_val"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- audit / invocation status view (SURVEY §2.9) -------------------
     "q42_audit_status" -> ((s, d) => {
       // Deterministic synthetic heartbeat stream derived from events.
@@ -282,6 +308,23 @@ object SystemQueries {
         |  ('SELECT 3', CAST(3000 AS BIGINT), 't1', 'third', 'Continuous'))
         |  t(UsersQuery, UnixTime, TableName, QueryName, QueryType)
         |ORDER BY UnixTime""".stripMargin,
+
+    "q55_asof_join" -> {
+      s"""WITH cp AS (
+         |  SELECT user_id AS cp_user, epoch_us(ts) AS cp_t,
+         |    MAX(value) AS pval
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         |), ev AS (
+         |  SELECT event_id, event_type, user_id, epoch_us(ts) AS t
+         |  FROM events)
+         |SELECT ev.event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN cp.cp_t IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  ${Det.sqlSum("COALESCE(cp.pval, 0)")} AS sum_matched_val
+         |FROM ev ASOF LEFT JOIN cp
+         |  ON ev.user_id = cp.cp_user AND ev.t >= cp.cp_t
+         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
+    },
 
     "q54_nosql_put" ->
       """SELECT * FROM (VALUES
