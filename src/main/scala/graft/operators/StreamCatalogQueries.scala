@@ -65,6 +65,38 @@ object StreamCatalogQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Stateful streaming: session windows (gap-based sessionization over
+    // the event stream). Streaming session aggregations only support
+    // append output, which emits a session once the watermark passes its
+    // window end — so the fixture stages TWO files processed as separate
+    // micro-batches (maxFilesPerTrigger = 1): the real events, then one
+    // far-future "flush" event per user. After the flush batch the
+    // watermark sits a day past every real session's end, finalizing all
+    // of them into the sink; the flush rows' own sessions can never pass
+    // the watermark and stay unemitted in state — the standard
+    // close-the-books pattern for bounded replays of an append-mode
+    // session stream. The oracle recomputes sessions independently as a
+    // gaps-and-islands SQL (break when the inter-event gap reaches the
+    // 12 h session gap — Spark's [t, t+gap) window-merge semantics
+    // expressed with lag()).
+    "q56_stream_sessions" -> ((s, d) => {
+      val dir = sessionFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val sessions = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamingCollect.runBounded(s, sessions, "q56_stream_sessions_sink",
+          outputMode = "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Catalog: ListTables with LIKE filter (P8).
     "q39_catalog_tables" -> ((s, d) => {
       T.documents(s, d).limit(1).createOrReplaceTempView("graft_docs")
@@ -72,6 +104,28 @@ object StreamCatalogQueries {
       CatalogOps.listTables(s, Some("graft\\_%")).select(col("name"))
     })
   )
+
+  /** Two-file session fixture: the events (µs timestamps), then a flush
+    * file whose single event per user sits 24 h past the global max —
+    * written second so the file source replays it as the later batch. */
+  private def sessionFixture(s: SparkSession, d: String): String = {
+    val out = s"/tmp/graft_fixtures/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      "/events_sessions"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      val maxTs = ev.agg(unix_micros(max(col("ts")))).collect()(0).getLong(0)
+      ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxTs + 86400000000L)).as("ts"),
+          col("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(out)
+    }
+    out
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q37_stream_window" ->
@@ -92,6 +146,25 @@ object StreamCatalogQueries {
 
     "q50_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // gaps-and-islands sessionization, 12 h gap in epoch micros: a new
+    // session starts when the inter-event gap is >= the session gap
+    // (Spark merges events whose [t, t+gap) windows overlap).
+    "q56_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |      >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, COUNT(DISTINCT sid) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -94,7 +94,8 @@ object StreamingCollect {
     * count and the session value is restored afterwards. A production
     * continuous job would instead size this once to its key cardinality. */
   def runBounded(spark: SparkSession, stream: DataFrame,
-      queryName: String, statePartitions: Int = 4): DataFrame = {
+      queryName: String, statePartitions: Int = 4,
+      outputMode: String = "complete"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
@@ -102,7 +103,7 @@ object StreamingCollect {
       val q = stream.writeStream
         .format("memory")
         .queryName(queryName)
-        .outputMode("complete")
+        .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
