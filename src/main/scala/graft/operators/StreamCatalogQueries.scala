@@ -97,6 +97,42 @@ object StreamCatalogQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Stream-stream interval join: attribute each purchase to the same
+    // user's views in the preceding 24 h. Both sides carry watermarks and
+    // the join condition bounds event-time distance, so the state store
+    // evicts rows once the watermark passes the interval — the
+    // requirements Spark imposes for unbounded-safe stream-stream joins.
+    // Raw join pairs land in the sink (an aggregation downstream of a
+    // stream-stream join would chain stateful operators); the bounded
+    // result is aggregated as a batch and checked against DuckDB's plain
+    // range join.
+    "q57_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src().where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val buys = src().where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"), col("value"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = views.join(buys,
+        col("v_user") === col("b_user") &&
+          col("b_ts") >= col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+      StreamingCollect.runBounded(s, joined, "q57_stream_join_sink",
+          outputMode = "append")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("buy_id")).as("n_attributed_buys"),
+          countDistinct(col("view_id")).as("n_converting_views"),
+          Det.dsum(col("value")).as("sum_attributed"))
+    }),
+
     // Catalog: ListTables with LIKE filter (P8).
     "q39_catalog_tables" -> ((s, d) => {
       T.documents(s, d).limit(1).createOrReplaceTempView("graft_docs")
@@ -147,6 +183,18 @@ object StreamCatalogQueries {
     "q50_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q57_stream_join" -> {
+      s"""SELECT COUNT(*) AS n_pairs,
+         |  COUNT(DISTINCT b.event_id) AS n_attributed_buys,
+         |  COUNT(DISTINCT v.event_id) AS n_converting_views,
+         |  ${Det.sqlSum("b.value")} AS sum_attributed
+         |FROM (SELECT * FROM events WHERE event_type = 'view') v
+         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         |  ON v.user_id = b.user_id
+         |  AND epoch_us(b.ts) >= epoch_us(v.ts)
+         |  AND epoch_us(b.ts) <= epoch_us(v.ts) + 86400000000""".stripMargin
+    },
 
     // gaps-and-islands sessionization, 12 h gap in epoch micros: a new
     // session starts when the inter-event gap is >= the session gap
