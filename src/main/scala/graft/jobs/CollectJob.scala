@@ -93,6 +93,10 @@ object CollectJob {
         w.bucketBy(n, key).sortBy(key).saveAsTable(spec.datasetName)
       case None => w.saveAsTable(spec.datasetName)
     }
+    // the pre-filter staging view shares the dataset's name (the reference
+    // stages into a table named after the dataset); drop it so the saved
+    // table is what name resolution finds afterwards
+    spark.catalog.dropTempView(spec.datasetName)
   }
 
   /** Run and bulk-insert into an RDBMS — the reference's true job output
@@ -101,7 +105,9 @@ object CollectJob {
     * collection fleet never exceeds what the database host sustains. */
   def collectJdbc(spark: SparkSession, spec: Spec, url: String,
       props: java.util.Properties, instanceMemoryMb: Long, engine: String,
-      overwrite: Boolean = true): Unit =
+      overwrite: Boolean = true): Unit = {
     graft.sinks.JdbcSink.write(run(spark, spec), url, spec.datasetName,
       props, instanceMemoryMb, engine, overwrite)
+    spark.catalog.dropTempView(spec.datasetName)
+  }
 }
