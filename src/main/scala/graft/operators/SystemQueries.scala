@@ -101,6 +101,45 @@ object SystemQueries {
         .orderBy(col("UnixTime"))
     }),
 
+    // ---- identities: association + end-to-end auth decisions ------------
+    // Two users resolved against a group/policy registry
+    // (AssociateUserPolicies semantics); the output row per user carries
+    // the expanded policy counts and the final deny-first decisions, and
+    // the oracle states the independently-derived expected results.
+    "q58_identity_assoc" -> ((s, d) => {
+      import graft.auth.{Identities => I}
+      import graft.auth.IamPolicy
+      val allowSelect = "{'Statement':[{'Effect':'Allow'," +
+        "'Action':'sql:Select','Resource':'*'}]}"
+      val denyDrop = "{'Statement':[{'Effect':'Deny'," +
+        "'Action':'sql:Drop','Resource':'*'}]}"
+      val managed = "{'Statement':[{'Effect':'Allow'," +
+        "'Action':'sql:Describe','Resource':'*'}]}"
+      val reg = I.toDF(s, Seq(
+        I.Entry("analysts", "GroupAWS", IAM = true, Nil, Nil,
+          Seq(denyDrop), Seq(allowSelect), Nil, None),
+        I.Entry("admins", "GroupAWS", IAM = true, Nil, Nil,
+          Nil, Seq("{'Statement':[{'Effect':'Allow','Action':'*'," +
+            "'Resource':'*'}]}"), Nil, None),
+        I.Entry("ReadOnlyAccess", "PolicyAWS", IAM = true, Nil, Nil,
+          Nil, Nil, Nil, Some(managed))))
+      val users = Seq(
+        I.addUser("dana", "UserGoogle", iamGroups = Seq("analysts"),
+          iamPolicies = Seq("ReadOnlyAccess")),
+        I.addUser("root", "UserAWS", iamGroups = Seq("admins")))
+      import s.implicits._
+      users.map { u =>
+        val e = I.associateUserPolicies(reg, u)
+        (u.Name,
+          e.GroupInline.length, e.GroupAttached.length,
+          e.UserAttached.length,
+          I.decide(reg, u, "sql:Select", "*").toString,
+          I.decide(reg, u, "sql:Drop", "*").toString)
+      }.toDF("Name", "n_inline", "n_attached", "n_user",
+        "select_decision", "drop_decision")
+        .orderBy(col("Name"))
+    }),
+
     // ---- as-of join (custom LogicalPlan + Strategy + SparkPlan) ---------
     // Enrich every event with the latest purchase checkpoint of its user
     // at or before the event time, then aggregate per event type. The
@@ -308,6 +347,14 @@ object SystemQueries {
         |  ('SELECT 3', CAST(3000 AS BIGINT), 't1', 'third', 'Continuous'))
         |  t(UsersQuery, UnixTime, TableName, QueryName, QueryType)
         |ORDER BY UnixTime""".stripMargin,
+
+    "q58_identity_assoc" ->
+      """SELECT * FROM (VALUES
+        |  ('dana', 1, 1, 1, 'Allowed', 'ExplicitDeny'),
+        |  ('root', 0, 1, 0, 'Allowed', 'Allowed'))
+        |  t(Name, n_inline, n_attached, n_user, select_decision,
+        |    drop_decision)
+        |ORDER BY Name""".stripMargin,
 
     "q55_asof_join" -> {
       s"""WITH cp AS (

@@ -102,6 +102,42 @@ class AuthSpec extends AnyFunSuite {
     assert(isAllowed(Seq(p), "s3:GetObject", "anything"))
   }
 
+  test("identity association expands groups and policies like the reference") {
+    val spark = graft.TestSession.spark
+    import graft.auth.Identities
+    import graft.auth.Identities.Entry
+    val allowSelect =
+      "{'Statement':[{'Effect':'Allow','Action':'sql:Select','Resource':'*'}]}"
+    val denyDrop =
+      "{'Statement':[{'Effect':'Deny','Action':'sql:Drop','Resource':'*'}]}"
+    val managedDoc =
+      "{\"Statement\":[{\"Effect\":\"Allow\",\"Action\":\"sql:Describe\",\"Resource\":\"*\"}]}"
+    val reg = Identities.toDF(spark, Seq(
+      Entry("analysts", "GroupAWS", IAM = true, Nil, Nil,
+        Seq(denyDrop), Seq(allowSelect), Nil, None),
+      Entry("ReadOnlyAccess", "PolicyAWS", IAM = true, Nil, Nil,
+        Nil, Nil, Nil, Some(managedDoc))))
+    val user = Identities.addUser("dana", "UserGoogle",
+      iamGroups = Seq("analysts"), iamPolicies = Seq("ReadOnlyAccess"))
+    val e = Identities.associateUserPolicies(reg, user)
+    assert(e.GroupInline == Seq(denyDrop))
+    assert(e.GroupAttached == Seq(allowSelect))
+    assert(e.UserAttached.length == 1 &&
+      e.UserAttached.head.startsWith("{\"PolicyName\":\"ReadOnlyAccess\""))
+    // UserAttached wrapper stores the doc single-quoted, and still parses
+    assert(!e.UserAttached.head.split("PolicyDocument")(1).contains('"' + "S"))
+    import graft.auth.IamPolicy._
+    assert(Identities.decide(reg, user, "sql:Select", "any") == Allowed)
+    assert(Identities.decide(reg, user, "sql:Describe", "any") == Allowed)
+    assert(Identities.decide(reg, user, "sql:Drop", "any") == ExplicitDeny)
+    assert(Identities.decide(reg, user, "sql:Insert", "any") == ImplicitDeny)
+    // unknown references fail loudly, not silently permissive
+    intercept[IllegalArgumentException] {
+      Identities.associateUserPolicies(reg,
+        Identities.addUser("x", "UserGoogle", iamGroups = Seq("ghosts")))
+    }
+  }
+
   test("table ACL decision matrix") {
     import TableAcl._
     val grants = TableGrants(owners = Set("alice", "team1"),
