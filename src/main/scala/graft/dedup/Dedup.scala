@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for training-data pipelines.
@@ -28,14 +27,18 @@ object Dedup {
 
   // ---- exact ------------------------------------------------------------
 
-  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint. */
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * A `min_by` struct aggregate, not a row_number window: the aggregate
+    * gets map-side partial aggregation (each partition reduces to one
+    * survivor per fingerprint before the exchange), where the window form
+    * shuffles and sorts every duplicate row — the difference between
+    * shuffling the distinct set and shuffling the corpus at 100 TB. */
   def exact(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__fp", "__rn")
+    val cols = df.columns
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
   /** Exact-dup summary: total docs, distinct fingerprints, dup groups. */
