@@ -62,6 +62,24 @@ object JdbcSink {
     math.max(1, math.min(budget.toLong, Int.MaxValue.toLong).toInt)
   }
 
+  /** Engine-specific column-type rewrite — `convertschema`
+    * (enginesharedv3.mjs:182-193): MSSQL's driver can't take JSON values
+    * and caps sized strings at 8000 chars, so the reference downgrades
+    * every JSON and STRING(n)/STRING column to TEXT (nvarchar(max)).
+    * Returned as the `createTableColumnTypes` option string for the JDBC
+    * writer; engines other than mssql need no rewrite. */
+  def createTableColumnTypes(schema: graft.schema.DataTypeSchema,
+      engine: String): Option[String] =
+    if (engine.toLowerCase != "mssql") None
+    else {
+      import graft.schema.SeqType.{SJson, SText}
+      val rewritten = schema.fields.collect {
+        case f if f.stype == SText || f.stype == SJson =>
+          s"`${f.name}` NVARCHAR(MAX)"
+      }
+      if (rewritten.isEmpty) None else Some(rewritten.mkString(", "))
+    }
+
   /** Bulk insert `df` into `table`, with writer parallelism bounded by the
     * connection-capacity model. `overwrite = true` is the reference's
     * drop-and-replace `sync({force:true})` (enginesharedv3.mjs:319-336);

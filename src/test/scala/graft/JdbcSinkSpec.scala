@@ -31,6 +31,17 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(JdbcSink.writerPartitions(500, "postgres") == 1)
   }
 
+  test("mssql schema downgrade mirrors convertschema") {
+    import graft.schema.SchemaRegistry
+    val ct = JdbcSink.createTableColumnTypes(SchemaRegistry.cloudTrail,
+      "mssql")
+    assert(ct.isDefined)
+    // every text/JSON column rewritten to NVARCHAR(MAX), none left sized
+    assert(ct.get.contains("NVARCHAR(MAX)") && !ct.get.contains("STRING"))
+    assert(JdbcSink.createTableColumnTypes(SchemaRegistry.cloudTrail,
+      "postgres").isEmpty)
+  }
+
   test("round-trip: bulk insert to Derby reads back equal to the source") {
     val src = Tables.lineitem(spark, TestSession.sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
