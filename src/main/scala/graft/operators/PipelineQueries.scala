@@ -133,6 +133,15 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Int8-quantized exact top-k — the 4×-narrower ANN path; the oracle
+    // replicates the quantization (round half away from zero, clamp ±127)
+    // and the integer dot product in SQL, so ranking must match exactly.
+    "q59_ann_quantized" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.quantizedTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q35_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeMeta(Multimodal.pack(T.documents(s, d)))
@@ -274,6 +283,20 @@ object PipelineQueries {
         |      c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
         |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q59_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-127, least(127, round(x * 127.0)))) AS qv
+        |  FROM embeddings)
+        |SELECT query_id, rank, neighbor_id, dq FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_inner_product(q.qv, c.qv) AS INTEGER) AS dq,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.qv, c.qv) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q35_multimodal_decode" ->

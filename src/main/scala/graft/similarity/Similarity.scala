@@ -49,6 +49,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Int8-quantized brute-force top-k: both sides quantize to
+    * `array<byte>` (4× narrower than float — the broadcast/shuffle-width
+    * lever at 100 TB), scoring is the exact integer dot product, ties
+    * break on neighbor id. Quantization and scoring are codegen'd
+    * Catalyst expressions ([[VectorOps.quantize]]/[[VectorOps.dotQ]]),
+    * so the scan stays inside whole-stage codegen. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      scale: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorOps.quantize(col(vecCol), scale).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorOps.quantize(col(vecCol), scale).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dq").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dq", VectorOps.dotQ(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("dq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dq"))
+  }
+
   /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
     * planes each, components ±1 seeded by (table, bit, dim). */
   private def planes(nTables: Int, bitsPerTable: Int, dim: Int)

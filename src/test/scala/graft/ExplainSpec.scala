@@ -80,6 +80,15 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("q59 quantized ANN uses the codegen'd int8 kernels, not HOFs") {
+    val p = plan("q59_ann_quantized")
+    assert(p.contains("dotproductq") || p.contains("DotProductQ"),
+      s"int8 dot kernel missing from plan:\n$p")
+    assert(p.contains("quantizef") || p.contains("QuantizeF"),
+      s"quantize kernel missing from plan:\n$p")
+    assert(!p.contains("transform("), s"interpreted HOF in hot path:\n$p")
+  }
+
   test("q32 embedding near-dup pair shuffle carries no vector payload") {
     idPairShufflesCarryNoArrays("q32_embed_neardup", "id_a", "id_b")
   }
