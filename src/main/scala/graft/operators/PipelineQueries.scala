@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables => T}
+import graft.curation.Sampling
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -131,6 +132,32 @@ object PipelineQueries {
         threshold = 0.999)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic curation sampling: three sources at different rates,
+    // the rest dropped; decisions are md5-bucket functions of doc_id, so
+    // the oracle replays the identical sample and the per-source
+    // counts/content hashes must match exactly.
+    "q60_curation_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(T.documents(s, d), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Dataset mixing toward target weights: sample each source at
+    // min(1, target·w/n); with 25 docs per source, a 60/30/10 mix over a
+    // 50-row target gives per-source rates 1.0/0.6/0.2 — the oracle
+    // derives the same rates from the same counts.
+    "q61_dataset_mix" -> ((s, d) => {
+      Sampling.mixToWeights(T.documents(s, d), "doc_id", "source",
+          Map("src3" -> 0.6, "src4" -> 0.3, "src5" -> 0.1),
+          targetRows = 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
     }),
 
     // Int8-quantized exact top-k — the 4×-narrower ANN path; the oracle
@@ -284,6 +311,36 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
         |    AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q60_curation_sample" ->
+      """WITH b AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS INTEGER) % 10000 AS bk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b
+        |WHERE (source = 'src0' AND bk < 10000)
+        |   OR (source = 'src1' AND bk < 5000)
+        |   OR (source = 'src2' AND bk < 2000)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q61_dataset_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IN ('src3', 'src4', 'src5') GROUP BY source),
+        |t AS (
+        |  SELECT source, CAST(round(LEAST(1.0,
+        |    50 * (CASE source WHEN 'src3' THEN 0.6 WHEN 'src4' THEN 0.3
+        |          ELSE 0.1 END) / n) * 10000) AS INTEGER) AS thr
+        |  FROM c),
+        |b AS (
+        |  SELECT d.*, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS INTEGER) % 10000 AS bk
+        |  FROM documents d)
+        |SELECT b.source, COUNT(*) AS n
+        |FROM b JOIN t ON b.source = t.source AND b.bk < t.thr
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
 
     "q59_ann_quantized" ->
       """WITH e AS (
