@@ -20,12 +20,21 @@ object GraftFunctions {
     ("dot_product_f",
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       (es: Seq[Expression]) => DotProductF(es(0), es(1))),
+    ("quantize_f",
+      new ExpressionInfo(classOf[QuantizeF].getName, "quantize_f"),
+      (es: Seq[Expression]) => QuantizeF(es(0), es(1))),
+    ("dot_product_q",
+      new ExpressionInfo(classOf[DotProductQ].getName, "dot_product_q"),
+      (es: Seq[Expression]) => DotProductQ(es(0), es(1))),
     ("minhash_agg",
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (es: Seq[Expression]) => MinHashAgg(es.head).toAggregateExpression()),
     ("simhash_agg",
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
-      (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()),
+    ("vector_mean_agg",
+      new ExpressionInfo(classOf[VectorMeanAgg].getName, "vector_mean_agg"),
+      (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, info, builder) =>
@@ -39,8 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
     Seq[(String, Seq[Expression] => Expression)](
       ("dot_product_f", es => DotProductF(es(0), es(1))),
+      ("quantize_f", es => QuantizeF(es(0), es(1))),
+      ("dot_product_q", es => DotProductQ(es(0), es(1))),
       ("minhash_agg", es => MinHashAgg(es.head).toAggregateExpression()),
-      ("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression())
+      ("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression()),
+      ("vector_mean_agg",
+        es => VectorMeanAgg(es.head).toAggregateExpression())
     ).foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, name), builder))

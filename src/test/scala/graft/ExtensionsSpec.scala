@@ -34,6 +34,18 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT minhash_agg(x) AS sig FROM VALUES (1L), (2L), (3L) t(x)")
       .collect()(0).getSeq[Long](0)
     assert(mh.length == 64)
+    // int8 kernels round-trip through SQL: quantize then integer dot
+    val dq = s2.sql(
+      "SELECT dot_product_q(" +
+        "quantize_f(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 1.0D)," +
+        "quantize_f(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1.0D))")
+      .collect()(0).getInt(0)
+    assert(dq == 64 - 64) // round(0.5*127)=64, round(-0.5*127)=-64
+    val vm = s2.sql(
+      "SELECT vector_mean_agg(v) FROM VALUES " +
+        "(array(CAST(1.0 AS FLOAT))), (array(CAST(3.0 AS FLOAT))) t(v)")
+      .collect()(0).getSeq[Float](0)
+    assert(vm == Seq(2.0f))
   }
 
   test("salted join equals plain join on skewed data") {
