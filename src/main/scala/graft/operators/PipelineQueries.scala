@@ -76,22 +76,22 @@ object PipelineQueries {
     }),
 
     // Gate configuration: maxDist = 0 over the corpus plus 20 planted
-    // copies, restricted to pairs touching a planted id. A SimHash
-    // fingerprint is a pure function of the token multiset, so each copy
-    // must pair with exactly its source — a set the oracle derives with a
-    // sorted-token equality join. The restriction matters: natural
-    // near-dup pairs can collide at hamming 0 too (measured: 4 pairs in
-    // this corpus where one extra token among ~72 flips none of the 64
-    // bit-sums), which is correct SimHash behavior but not SQL-derivable;
-    // corpus-wide maxDist > 0 behavior is covered by PipelineSpec's
-    // overlap-with-minhash property. The fingerprint + chunk-table
-    // candidate machinery still runs over the full corpus here.
+    // copies, restricted to source↔copy pairs. A SimHash fingerprint is a
+    // pure function of the token multiset, so every copy must pair with
+    // exactly its source at distance 0 — a broken fingerprint, chunk
+    // table, or verify drops rows here. The restriction matters: natural
+    // near-dup pairs (and near-dups of a copied source) can legitimately
+    // collide at hamming 0 too — one extra token among ~72 flips none of
+    // the 64 bit-sums — which is correct SimHash behavior but not
+    // SQL-derivable; corpus-wide maxDist > 0 behavior is covered by
+    // PipelineSpec's overlap-with-minhash property. The fingerprint +
+    // chunk-table candidate machinery still runs over the full corpus.
     "q31_dedup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
       val planted = docs.where(col("doc_id") < 20)
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
       Dedup.simhashNearDups(docs.unionByName(planted), maxDist = 0)
-        .where(col("id_b") >= 10000000L)
+        .where(col("id_b") - col("id_a") === 10000000L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -271,7 +271,7 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM t a JOIN t b
-        |  ON a.doc_id < b.doc_id AND a.tk = b.tk AND b.doc_id >= 10000000
+        |  ON b.doc_id = a.doc_id + 10000000 AND a.tk = b.tk
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exhaustive O(n²) cosine join over the same planted union — the LSH
