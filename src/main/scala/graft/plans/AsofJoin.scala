@@ -66,11 +66,37 @@ object AsofJoin {
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
-  /** Idempotently register the planning strategy on the session. */
+  /** Idempotently register the planning strategy and the optimizer rule
+    * on the session. */
   def ensureStrategy(spark: SparkSession): Unit = {
     val em = GraftSqlBridge.experimental(spark)
     if (!em.extraStrategies.contains(AsofJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    if (!em.extraOptimizations.contains(AsofJoinNullFilterRule))
+      em.extraOptimizations = em.extraOptimizations :+ AsofJoinNullFilterRule
+  }
+}
+
+/** Outer-join elimination for the as-of join: a filter above a left-outer
+  * as-of join that rejects nulls on a right-side attribute (e.g.
+  * `WHERE cp_t IS NOT NULL`) discards every null-extended row anyway, so
+  * the join runs as inner — unmatched left rows short-circuit inside the
+  * merge instead of being materialized and filtered one operator later.
+  * The classic null-intolerant-filter rewrite, extended to the custom
+  * operator via `experimental.extraOptimizations`. */
+object AsofJoinNullFilterRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.IsNotNull
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) if !aj.inner &&
+        splitConjunctivePredicates(cond).exists {
+          case IsNotNull(a: Attribute) => aj.right.outputSet.contains(a)
+          case _ => false
+        } =>
+      f.copy(child = aj.copy(inner = true))
   }
 }
 

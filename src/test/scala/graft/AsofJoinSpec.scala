@@ -54,6 +54,34 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(diff == 0, s"as-of exec diverges from brute force on $diff rows")
   }
 
+  test("null-rejecting filter converts left-outer as-of to inner") {
+    import graft.plans.AsofJoinPlan
+    val trades = Seq(("A", 10L, 1L), ("B", 15L, 4L))
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq(("A", 8L, 1.0)).toDF("qsym", "qt", "px")
+    val outer = AsofJoin.asof(trades, quotes, Seq("sym"), Seq("qsym"),
+      "t", "qt")
+    // filter on a right-side column's non-nullness → optimizer flips to
+    // inner, and the result equals the explicit inner join
+    val filtered = outer.where($"px".isNotNull)
+    val nodes = filtered.queryExecution.optimizedPlan.collect {
+      case a: AsofJoinPlan => a
+    }
+    assert(nodes.nonEmpty && nodes.forall(_.inner),
+      s"rule did not flip to inner:\n${filtered.queryExecution.optimizedPlan}")
+    val inner = AsofJoin.asof(trades, quotes, Seq("sym"), Seq("qsym"),
+      "t", "qt", inner = true)
+    assert(filtered.collect().toSet == inner.collect().toSet)
+    // a left-side-only filter must NOT flip the join
+    val leftOnly = AsofJoin.asof(trades, quotes, Seq("sym"), Seq("qsym"),
+        "t", "qt").where($"trade_id".isNotNull)
+    val kept = leftOnly.queryExecution.optimizedPlan.collect {
+      case a: AsofJoinPlan => a
+    }
+    assert(kept.nonEmpty && kept.forall(!_.inner))
+    assert(leftOnly.count() == 2)
+  }
+
   test("as-of plan: custom exec with clustered+sorted children, no cartesian") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
