@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables => T}
-import graft.curation.Sampling
+import graft.curation.{Sampling, Screening}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -169,6 +169,45 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Benchmark-contamination screen: every 25th doc is the "benchmark",
+    // the rest the training corpus; flag corpus docs sharing ≥ 20 % of
+    // their shingles with the benchmark (integer threshold, no floats).
+    // The planted near-dup clusters straddle the split, so real hits
+    // exist at every scale; the oracle recomputes overlap from the same
+    // shingle definition.
+    "q62_contamination" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Screening.contamination(
+          docs.where(col("doc_id") % 25 =!= 0),
+          docs.where(col("doc_id") % 25 === 0))
+        .where(col("n_hit") * 5 >= col("n_shingles"))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: deterministic synthetic emails/IPs planted on a schedule
+    // (the raw corpus has none), conservative Java/RE2-agreeing patterns,
+    // and the oracle replays the identical planting + scrub in SQL — so
+    // replacement counts and the exact character delta must match.
+    "q63_pii_scrub" -> ((s, d) => {
+      val planted = T.documents(s, d).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".5"))).otherwise(lit(""))))
+      planted.withColumn("clean", Screening.scrubPii(col("t2")))
+        .agg(
+          sum(when(col("clean").contains("<EMAIL>"), 1).otherwise(0))
+            .cast("long").as("n_email_docs"),
+          sum(when(col("clean").contains("<IP>"), 1).otherwise(0))
+            .cast("long").as("n_ip_docs"),
+          sum(length(col("t2")) - length(col("clean"))).cast("long")
+            .as("chars_removed"))
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q35_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeMeta(Multimodal.pack(T.documents(s, d)))
@@ -311,6 +350,44 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
         |    AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q62_contamination" -> {
+      s"""WITH sh AS (${sqlShingles("documents")}),
+         |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 25 = 0),
+         |c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 25 <> 0),
+         |tot AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY doc_id),
+         |hit AS (SELECT c.doc_id, COUNT(*) AS nh FROM c JOIN b USING (g)
+         |        GROUP BY c.doc_id)
+         |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |WHERE COALESCE(h.nh, 0) * 5 >= t.n
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q63_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5'
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |s AS (
+        |  SELECT t2, regexp_replace(
+        |    regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+        |  FROM planted)
+        |SELECT
+        |  CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_email_docs,
+        |  CAST(SUM(CASE WHEN clean LIKE '%<IP>%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ip_docs,
+        |  CAST(SUM(length(t2) - length(clean)) AS BIGINT) AS chars_removed
+        |FROM s""".stripMargin,
 
     "q60_curation_sample" ->
       """WITH b AS (
