@@ -29,6 +29,28 @@ object Screening {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       Ipv4Re, "<IP>")
 
+  /** Within-document repetition (the Gopher-style boilerplate signal):
+    * per doc, total k-shingle occurrences and the count of the most
+    * repeated shingle — `max_rep / n_shingles` is the repeated-fraction
+    * heuristic, but both are returned as exact integers so callers (and
+    * the oracle) threshold without floats. Two partial-aggregating
+    * groupBys over the exploded shingle stream; nothing shuffles wider
+    * than (doc, shingle, count). */
+  def repetition(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    val sh = expr(
+      s"""transform(sequence(0, size(__toks) - $k),
+         |  i -> concat_ws(' ', slice(__toks, i + 1, $k)))""".stripMargin)
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col("id"), explode(sh).as("sh"))
+      .groupBy(col("id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).cast("long").as("n_shingles"),
+        max(col("c")).cast("long").as("max_rep"))
+  }
+
   /** Per-corpus-document shingle overlap against the benchmark:
     * (id, n_shingles, n_hit). Callers flag with an integer threshold,
     * e.g. `n_hit * 2 >= n_shingles` for ≥ 50 % overlap. */

@@ -208,6 +208,15 @@ object PipelineQueries {
             .as("chars_removed"))
     }),
 
+    // Within-document repetition screen: docs containing any repeated
+    // trigram (integer counts, no float thresholds).
+    "q64_repetition" -> ((s, d) => {
+      Screening.repetition(T.documents(s, d))
+        .where(col("max_rep") >= 2)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("max_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q35_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeMeta(Multimodal.pack(T.documents(s, d)))
@@ -350,6 +359,21 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
         |    AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q64_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)] AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS sh FROM g),
+        |cnt AS (SELECT doc_id, sh, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |        CAST(MAX(c) AS BIGINT) AS max_rep
+        |      FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, max_rep FROM m
+        |WHERE max_rep >= 2 ORDER BY doc_id""".stripMargin,
 
     "q62_contamination" -> {
       s"""WITH sh AS (${sqlShingles("documents")}),
