@@ -185,37 +185,57 @@ case class AsofJoinExec(
         private var candidateKey: InternalRow = _
         private var nextOut: InternalRow = _
 
-        private def advanceRight(): InternalRow =
-          if (rIter.hasNext) rIter.next() else null
+        // SQL join semantics: a null key or null time matches nothing.
+        // Null-keyed right rows sort first (NULLS FIRST ascending) and
+        // would binary-compare equal to a null left key, so they are
+        // skipped outright; null-keyed left rows emit null-extended (or
+        // drop, when inner) without consulting the right side.
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (!rKeyProj(r).anyNull && !rTsProj(r).isNullAt(0)) return r
+          }
+          null
+        }
 
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
             val lRow = lIter.next()
             val lKey = lKeyProj(lRow)
-            val lTime = lTsProj(lRow).getLong(0)
-            // drop right rows for keys before the current left key
-            while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) < 0)
-              rHead = advanceRight()
-            // absorb right rows at this key up to the left time
-            while (rHead != null && {
-                val rKey = rKeyProj(rHead)
-                keyOrd.compare(rKey, lKey) == 0 &&
-                  rTsProj(rHead).getLong(0) <= lTime
-              }) {
-              candidate = rHead.copy()
-              candidateKey = lKey.copy()
-              rHead = advanceRight()
+            val lTsRow = lTsProj(lRow)
+            if (lKey.anyNull || lTsRow.isNullAt(0)) {
+              if (!isInner) {
+                numOutput += 1
+                return resultProj(joined(lRow, nullRight))
+              }
+              // inner + null key: fall through to the next left row
+            } else {
+              val lTime = lTsRow.getLong(0)
+              // drop right rows for keys before the current left key
+              while (rHead != null &&
+                  keyOrd.compare(rKeyProj(rHead), lKey) < 0)
+                rHead = advanceRight()
+              // absorb right rows at this key up to the left time
+              while (rHead != null && {
+                  val rKey = rKeyProj(rHead)
+                  keyOrd.compare(rKey, lKey) == 0 &&
+                    rTsProj(rHead).getLong(0) <= lTime
+                }) {
+                candidate = rHead.copy()
+                candidateKey = lKey.copy()
+                rHead = advanceRight()
+              }
+              val matched = candidate != null && candidateKey != null &&
+                keyOrd.compare(candidateKey, lKey) == 0
+              if (matched) {
+                numOutput += 1
+                return resultProj(joined(lRow, candidate))
+              } else if (!isInner) {
+                numOutput += 1
+                return resultProj(joined(lRow, nullRight))
+              }
+              // inner + unmatched: fall through to the next left row
             }
-            val matched = candidate != null && candidateKey != null &&
-              keyOrd.compare(candidateKey, lKey) == 0
-            if (matched) {
-              numOutput += 1
-              return resultProj(joined(lRow, candidate))
-            } else if (!isInner) {
-              numOutput += 1
-              return resultProj(joined(lRow, nullRight))
-            }
-            // inner + unmatched: fall through to the next left row
           }
           null
         }

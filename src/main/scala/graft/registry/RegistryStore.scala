@@ -42,7 +42,7 @@ object RegistryStore {
 
   /** Highest committed sequence in the log (-1 for an empty/missing log). */
   def latestSeq(spark: SparkSession, path: String): Long =
-    if (!exists(path)) -1L
+    if (!exists(spark, path)) -1L
     else spark.read.parquet(path).agg(max(col(SeqCol))).collect()(0)
       .getLong(0)
 
@@ -67,12 +67,15 @@ object RegistryStore {
       keyCols: Seq[String]): Unit = {
     val seq = latestSeq(spark, path)
     val state = replay(spark, path, keyCols).localCheckpoint()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     append(state, path, seq)
   }
 
-  private def exists(path: String): Boolean =
-    new java.io.File(path).exists()
+  // Hadoop FS, not java.io — the log lives wherever the warehouse does
+  // (S3/HDFS in production, local disk in tests).
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

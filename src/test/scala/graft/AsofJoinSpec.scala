@@ -54,6 +54,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(diff == 0, s"as-of exec diverges from brute force on $diff rows")
   }
 
+  test("null keys and times match nothing (SQL join semantics)") {
+    val trades = Seq(
+      (Option("A"), Option(10L), 1L),
+      (None: Option[String], Option(10L), 2L), // null key
+      (Option("A"), None: Option[Long], 3L))   // null time
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      (Option("A"), Option(8L), 1.0),
+      (None: Option[String], Option(5L), 9.0)) // null-keyed quote: inert
+      .toDF("qsym", "qt", "px")
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), Seq("qsym"),
+        "t", "qt")
+      .select($"trade_id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    val inner = AsofJoin.asof(trades, quotes, Seq("sym"), Seq("qsym"),
+        "t", "qt", inner = true)
+      .select($"trade_id").as[Long].collect().toSet
+    assert(inner == Set(1L))
+  }
+
   test("null-rejecting filter converts left-outer as-of to inner") {
     import graft.plans.AsofJoinPlan
     val trades = Seq(("A", 10L, 1L), ("B", 15L, 4L))
