@@ -87,11 +87,17 @@ object Identities {
     require(missingP.isEmpty,
       s"unknown IAMPolicies: ${missingP.mkString(",")}")
 
-    // the reference's exact storage format: outer JSON double-quoted, the
-    // document's quotes swapped to single (authenticationsharedv3.js:388)
+    // the reference's exact storage format: outer JSON (properly escaped,
+    // as JSON.stringify would emit — raw interpolation breaks on
+    // newlines/backslashes in pretty-printed documents), the document's
+    // quotes swapped to single first (authenticationsharedv3.js:388)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val userAttached = user.IAMPolicies.map { p =>
       val doc = Option(policyRows(p).getAs[String]("Document")).getOrElse("")
-      s"""{"PolicyName":"$p","PolicyDocument":"${doc.replace('"', '\'')}"}"""
+      val node = mapper.createObjectNode()
+      node.put("PolicyName", p)
+      node.put("PolicyDocument", doc.replace('"', '\''))
+      mapper.writeValueAsString(node)
     }
 
     user.copy(

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  val DefaultBuckets = 10000
+  /** The native bucket space: first 4 hex chars of md5 = 16 bits. Using
+    * the full 65536 keeps thresholds free of modulo bias (any smaller
+    * modulus maps 7-vs-6 hash values onto different buckets — a
+    * systematic ~7 % rate skew at modulus 10000). */
+  val DefaultBuckets = 65536
 
   /** Deterministic bucket in [0, buckets): first 4 hex chars of
     * md5(key) → int. */

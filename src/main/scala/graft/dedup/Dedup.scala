@@ -94,7 +94,16 @@ object Dedup {
     * duplicates of each other, so the star keeps cluster connectivity (any
     * member reaches any other through the representative) while candidate
     * count stays O(n · cap) corpus-wide. Downstream exact verification
-    * (Jaccard / Hamming / cosine) applies to star pairs unchanged. */
+    * (Jaccard / Hamming / cosine) applies to star pairs unchanged.
+    *
+    * Sizing contract: the cap bounds SKEW, it is not a substitute for
+    * enough buckets. The bucket space must be sized so natural occupancy
+    * `corpus / #buckets` stays well under the cap — minhash band hashes
+    * (64-bit) and simhash 16-bit chunks satisfy this into the billions,
+    * but an 8-bit-per-table embedding LSH saturates 256 buckets around
+    * cap·256 rows, at which point ordinary (non-duplicate) buckets start
+    * star-substituting and pairwise recall degrades; raise bitsPerTable
+    * with corpus size so only genuine duplicate pile-ups hit the cap. */
   private[graft] def cappedSelfJoinPairs(buckets: DataFrame,
       keys: Seq[String], cap: Int): DataFrame = {
     val keyCols = keys.map(col)

@@ -185,6 +185,9 @@ case class VectorMeanAgg(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toFloatArray()
       val b = if (buf.isEmpty) new Array[Double](arr.length + 1) else buf
+      require(arr.length == b.length - 1,
+        s"vector_mean_agg: dimension mismatch in group — saw " +
+          s"${b.length - 1}-dim and ${arr.length}-dim vectors")
       b(0) += 1.0
       var i = 0
       while (i < arr.length) { b(i + 1) += arr(i); i += 1 }
@@ -196,6 +199,9 @@ case class VectorMeanAgg(
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      require(a.length == b.length,
+        s"vector_mean_agg: dimension mismatch across partitions — " +
+          s"${a.length - 1} vs ${b.length - 1}")
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a

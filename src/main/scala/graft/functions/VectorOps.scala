@@ -54,13 +54,14 @@ case class DotProductF(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -117,12 +118,13 @@ case class QuantizeF(left: Expression, right: Expression)
       val out = ctx.freshName("out")
       val v = ctx.freshName("v")
       val r = ctx.freshName("r")
+      val mult = ctx.freshName("mult")
       s"""
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
-         |double mult = 127.0d / $s;
+         |double $mult = 127.0d / $s;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = ((double) $a.getFloat($i)) * mult;
+         |  double $v = ((double) $a.getFloat($i)) * $mult;
          |  double $r = $v >= 0 ? java.lang.Math.floor($v + 0.5d)
          |                      : java.lang.Math.ceil($v - 0.5d);
          |  if ($r > 127d) $r = 127d; else if ($r < -127d) $r = -127d;
@@ -176,13 +178,14 @@ case class DotProductQ(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int acc = 0;
+         |int $acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((int) $a.getByte($i)) * ((int) $b.getByte($i));
+         |  $acc += ((int) $a.getByte($i)) * ((int) $b.getByte($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -416,14 +416,14 @@ object PipelineQueries {
     "q60_curation_sample" ->
       """WITH b AS (
         |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        |    AS INTEGER) % 10000 AS bk
+        |    AS INTEGER) % 65536 AS bk
         |  FROM documents)
         |SELECT source, COUNT(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b
-        |WHERE (source = 'src0' AND bk < 10000)
-        |   OR (source = 'src1' AND bk < 5000)
-        |   OR (source = 'src2' AND bk < 2000)
+        |WHERE (source = 'src0' AND bk < 65536)
+        |   OR (source = 'src1' AND bk < 32768)
+        |   OR (source = 'src2' AND bk < 13107)
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q61_dataset_mix" ->
@@ -433,11 +433,11 @@ object PipelineQueries {
         |t AS (
         |  SELECT source, CAST(round(LEAST(1.0,
         |    50 * (CASE source WHEN 'src3' THEN 0.6 WHEN 'src4' THEN 0.3
-        |          ELSE 0.1 END) / n) * 10000) AS INTEGER) AS thr
+        |          ELSE 0.1 END) / n) * 65536) AS INTEGER) AS thr
         |  FROM c),
         |b AS (
         |  SELECT d.*, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        |    AS INTEGER) % 10000 AS bk
+        |    AS INTEGER) % 65536 AS bk
         |  FROM documents d)
         |SELECT b.source, COUNT(*) AS n
         |FROM b JOIN t ON b.source = t.source AND b.bk < t.thr

@@ -37,7 +37,9 @@ object Audit {
     * reduces to one candidate row per group before the exchange) — the
     * shape that survives a 100 TB status log. Ordering key: latest
     * updateunixtime wins, ties broken by lexicographically-least status
-    * (identical to the window's `updateunixtime DESC, status ASC`). */
+    * (identical to the window's `updateunixtime DESC, status ASC`);
+    * null timestamps rank LAST — `-null` is null and would sort first in
+    * the min_by struct, letting a partial heartbeat beat every real one. */
   def latestStatus(statusRows: DataFrame): DataFrame = {
     val keys = Seq("jobid", "invocationid")
     val others = statusRows.columns.filterNot(keys.contains)
@@ -45,7 +47,8 @@ object Audit {
       .groupBy(keys.map(col): _*)
       .agg(min_by(
         struct(others.map(col): _*),
-        struct((col("updateunixtime") * -1).as("__neg_ts"),
+        struct(coalesce(col("updateunixtime") * -1, lit(Long.MaxValue))
+          .as("__neg_ts"),
           col("status"))).as("__r"))
       .select(keys.map(col) ++ others.map(c => col(s"__r.$c")): _*)
   }

@@ -58,8 +58,17 @@ object AsofJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
-    val node = AsofJoinPlan(lp, rp,
-      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+    val lks = leftKeys.map(attr(lp, _))
+    val rks = rightKeys.map(attr(rp, _))
+    // the merge compares key rows with one ordering built from the LEFT
+    // key types — a silent type mismatch would misorder the pointers, so
+    // demand identical types up front (cast beforehand if needed)
+    lks.zip(rks).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of join key type mismatch: ${l.name}: ${l.dataType} vs " +
+          s"${r.name}: ${r.dataType} — cast the columns to match first")
+    }
+    val node = AsofJoinPlan(lp, rp, lks, rks,
       attr(lp, leftTs), attr(rp, rightTs), inner)
     GraftSqlBridge.ofRows(spark, node)
   }

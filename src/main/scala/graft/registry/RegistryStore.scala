@@ -62,14 +62,25 @@ object RegistryStore {
   }
 
   /** Rewrite the folded state as a fresh one-snapshot log at `seq`,
-    * replacing the old log directory. Keeps replay O(live rows). */
+    * replacing the old log directory. Keeps replay O(live rows).
+    *
+    * Stage-then-swap, never delete-then-rewrite: the snapshot is fully
+    * written to a staging sibling BEFORE the live log is touched, so a
+    * crash at any point leaves a complete copy of the state on disk
+    * (either the old log, or the `.compacting` staging dir a recovery
+    * pass can promote). The only non-atomic step is the final rename,
+    * after the data is already durable twice. */
   def compact(spark: SparkSession, path: String,
       keyCols: Seq[String]): Unit = {
     val seq = latestSeq(spark, path)
-    val state = replay(spark, path, keyCols).localCheckpoint()
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    append(state, path, seq)
+    val staging = path + ".compacting"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    append(replay(spark, path, keyCols), staging, seq)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
   }
 
   // Hadoop FS, not java.io — the log lives wherever the warehouse does

@@ -223,18 +223,30 @@ object Similarity {
       : Array[(Long, Seq[Float])] = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // ---- k-means||-style deterministic seeding ----
-    var seeds: Array[Seq[Float]] =
-      vecs.orderBy(col("id")).limit(1).collect()
-        .map(_.getSeq[Float](1))
+    val first = vecs.orderBy(col("id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(first.nonEmpty, "kmeansCentroids: empty corpus")
+    var seeds: Array[Seq[Float]] = first.map(_._2)
+    // chosen ids are excluded from later rounds — on a corpus smaller
+    // than nCells the same rows would otherwise re-seed as duplicate
+    // centroids (their distance is 0 but limit() still returns them);
+    // running out of rows just yields fewer cells
+    var chosen: Set[Long] = first.map(_._1).toSet
     val perRound = math.max(1, (nCells - 1 + seedRounds - 1) / seedRounds)
-    while (seeds.length < nCells) {
+    var exhausted = false
+    while (seeds.length < nCells && !exhausted) {
       val want = math.min(perRound, nCells - seeds.length)
       val far = vecs
+        .where(!col("id").isin(chosen.toSeq: _*))
         .withColumn("__sim", maxCosTo(seeds, "vec"))
         .orderBy(col("__sim").asc, col("id").asc)
         .limit(want)
-        .collect().map(_.getSeq[Float](1))
-      seeds = seeds ++ far
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      if (far.isEmpty) exhausted = true
+      else {
+        seeds = seeds ++ far.map(_._2)
+        chosen = chosen ++ far.map(_._1)
+      }
     }
     // ---- Lloyd iterations ----
     var cents = seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }

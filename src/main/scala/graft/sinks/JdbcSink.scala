@@ -62,28 +62,19 @@ object JdbcSink {
     math.max(1, math.min(budget.toLong, Int.MaxValue.toLong).toInt)
   }
 
-  /** Engine-specific column-type rewrite — `convertschema`
-    * (enginesharedv3.mjs:182-193): MSSQL's driver can't take JSON values
-    * and caps sized strings at 8000 chars, so the reference downgrades
-    * every JSON and STRING(n)/STRING column to TEXT (nvarchar(max)).
-    * Returned as the `createTableColumnTypes` option string for the JDBC
-    * writer; engines other than mssql need no rewrite. */
-  def createTableColumnTypes(schema: graft.schema.DataTypeSchema,
-      engine: String): Option[String] =
-    if (engine.toLowerCase != "mssql") None
-    else {
-      import graft.schema.SeqType.{SJson, SText}
-      val rewritten = schema.fields.collect {
-        case f if f.stype == SText || f.stype == SJson =>
-          s"`${f.name}` NVARCHAR(MAX)"
-      }
-      if (rewritten.isEmpty) None else Some(rewritten.mkString(", "))
-    }
-
-  /** Bulk insert `df` into `table`, with writer parallelism bounded by the
-    * connection-capacity model. `overwrite = true` is the reference's
+  /** Bulk insert `df` into `table`, with writer parallelism bounded by
+    * the connection-capacity model. `overwrite = true` is the reference's
     * drop-and-replace `sync({force:true})` (enginesharedv3.mjs:319-336);
-    * false appends, like the per-batch worker inserts. */
+    * false appends, like the per-batch worker inserts.
+    *
+    * Engine-specific column types — the reference's `convertschema`
+    * (enginesharedv3.mjs:182-193) downgrades every JSON and
+    * STRING(n)/STRING column to TEXT for MSSQL (driver rejects JSON,
+    * sized strings cap at 8000 chars). Spark needs no analog: JSON
+    * columns are StringType in [[graft.schema.DataTypeSchema]], and
+    * Spark's own `MsSqlServerDialect` maps StringType to NVARCHAR(MAX)
+    * at table creation — exactly the downgraded type the reference
+    * lands on. */
   def write(df: DataFrame, url: String, table: String, props: Properties,
       instanceMemoryMb: Long, engine: String,
       overwrite: Boolean = false, batchSize: Int = 10000): Unit = {

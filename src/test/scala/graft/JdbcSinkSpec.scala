@@ -31,15 +31,16 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(JdbcSink.writerPartitions(500, "postgres") == 1)
   }
 
-  test("mssql schema downgrade mirrors convertschema") {
-    import graft.schema.SchemaRegistry
-    val ct = JdbcSink.createTableColumnTypes(SchemaRegistry.cloudTrail,
-      "mssql")
-    assert(ct.isDefined)
-    // every text/JSON column rewritten to NVARCHAR(MAX), none left sized
-    assert(ct.get.contains("NVARCHAR(MAX)") && !ct.get.contains("STRING"))
-    assert(JdbcSink.createTableColumnTypes(SchemaRegistry.cloudTrail,
-      "postgres").isEmpty)
+  test("mssql dialect lands text/JSON columns on NVARCHAR(MAX)") {
+    // convertschema parity (enginesharedv3.mjs:182-193) comes from
+    // Spark's own dialect: StringType (which carries our SText and SJson
+    // columns) creates as NVARCHAR(MAX) — the reference's downgrade
+    // target — so no schema rewrite exists to maintain here.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types.StringType
+    val d = JdbcDialects.get("jdbc:sqlserver://host;database=x")
+    assert(d.getJDBCType(StringType).map(_.databaseTypeDefinition)
+      .contains("NVARCHAR(MAX)"))
   }
 
   test("round-trip: bulk insert to Derby reads back equal to the source") {
