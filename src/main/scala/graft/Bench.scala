@@ -6,8 +6,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle/spill scratch on tmpfs when the host has one — this
+    // container's disk reads ~10 MB/s cold, and benchmark scratch I/O
+    // should measure the engine, not the disk. Executors on a real
+    // cluster get this from the resource manager (SPARK_LOCAL_DIRS).
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_bench_local"
+      else sys.props("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

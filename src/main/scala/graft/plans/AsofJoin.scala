@@ -176,7 +176,18 @@ case class AsofJoinExec(
     val rt = tsAsLong(rightTs)
     val isInner = inner
     val schema = output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions pairs the i-th partitions positionally; that is only
+    // the (key → same partition) pairing when both sides went through the
+    // same hash exchange. EnsureRequirements guarantees it, but an AQE
+    // re-plan that coalesced one side and not the other would break it
+    // silently-wrong — fail loudly instead.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children have ${lRdd.getNumPartitions} vs " +
+        s"${rRdd.getNumPartitions} partitions — co-partitioning was not " +
+        "enforced (AQE coalescing mismatch?)")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lt), lOut)

@@ -92,22 +92,50 @@ object StreamingCollect {
     * over small inputs the session default (sized for batch shuffles) is
     * pure per-partition overhead, so the stream runs with a small explicit
     * count and the session value is restored afterwards. A production
-    * continuous job would instead size this once to its key cardinality. */
+    * continuous job would instead size this once to its key cardinality.
+    *
+    * The checkpoint (offset/commit logs + one state-store delta per
+    * partition per batch) goes to a fresh directory under tmpfs when the
+    * host has one: the logs are fsync-heavy tiny files, the worst case for
+    * a slow disk, and a bounded verification run needs no durability. A
+    * fresh UUID dir per run — never a reused path — so a leftover
+    * checkpoint can't replay as "already committed" and return an empty
+    * table. */
   def runBounded(spark: SparkSession, stream: DataFrame,
       queryName: String, statePartitions: Int = 4,
       outputMode: String = "complete"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
+    val ckpt = new java.io.File(fastTmpRoot,
+      s"graft_ckpt_$queryName-${java.util.UUID.randomUUID}")
     try {
       val q = stream.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      deleteRecursively(ckpt)
+    }
     spark.table(queryName)
+  }
+
+  /** tmpfs when present (ephemeral scratch wants RAM speed), else the
+    * JVM temp dir. */
+  private[graft] lazy val fastTmpRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+    else sys.props("java.io.tmpdir")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }
