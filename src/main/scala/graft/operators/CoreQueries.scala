@@ -156,6 +156,35 @@ object CoreQueries {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Full CUBE + grouping_id — every aggregation level in one pass
+    // (Spark expands grouping sets map-side into a single shuffled
+    // aggregate, not one job per level).
+    "q67_cube" -> ((s, d) => {
+      T.orders(s, d)
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_year").asc_nulls_first)
+    }),
+
+    // Pivot: event types to columns, one row per value bucket. The pivot
+    // values are declared (not discovered), so the plan is one shuffled
+    // aggregate with a conditional-agg column per value — identical to
+    // the FILTER-clause SQL the oracle runs, and no extra distinct pass.
+    "q68_pivot" -> ((s, d) => {
+      T.events(s, d)
+        .withColumn("bucket",
+          when(col("value") < 10, "low")
+            .when(col("value") < 100, "mid").otherwise("high"))
+        .groupBy(col("bucket"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("bucket"))
+    }),
+
     // ---- sort / top-k (SURVEY §2.6) -------------------------------------
     "q11_topk" -> ((s, d) => {
       T.lineitem(s, d)
@@ -303,6 +332,28 @@ object CoreQueries {
          |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
          |ORDER BY o_orderpriority ASC NULLS FIRST,
          |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q67_cube" ->
+      s"""SELECT o_orderstatus,
+         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         |  GROUPING(o_orderstatus,
+         |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)) AS gid,
+         |  COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus,
+         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER))
+         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+         |  o_year ASC NULLS FIRST""".stripMargin,
+
+    "q68_pivot" ->
+      """SELECT CASE WHEN value < 10 THEN 'low'
+        |       WHEN value < 100 THEN 'mid' ELSE 'high' END AS bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q11_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Det, Tables => T}
 import graft.curation.{Sampling, Screening}
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
@@ -234,6 +234,31 @@ object PipelineQueries {
         .select(col("doc_id"), col("frame_idx"), col("duration_s"),
           col("frame_offset_s"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- near-dup cluster formation (connected components) --------------
+    // Two planted copies of the first 20 docs force multi-member clusters
+    // {source, copy1, copy2} on top of the corpus's natural near-dup
+    // pairs; the verified MinHash pairs (the q30 pipeline, whose pair set
+    // is oracle-proven equal to exhaustive pairwise Jaccard) feed
+    // alternating large-star/small-star connected components, and the
+    // lowest-id member of each cluster is kept. The oracle recomputes the
+    // exhaustive edge set in SQL and resolves components with a recursive
+    // min-label CTE — a fully independent CC implementation.
+    "q65_dedup_clusters" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      def copy(off: Long) = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(off))
+      val all = docs.unionByName(copy(10000000L))
+        .unionByName(copy(20000000L))
+      val pairs = Dedup.minhashNearDups(all, threshold = 0.8)
+      Clusters.survivors(all, pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+          max(col("doc_id")).as("max_id"))
+        .where(col("n_members") > 1)
+        .orderBy(col("comp"))
     })
   )
 
@@ -475,6 +500,38 @@ object PipelineQueries {
         |    AS frame_offset_s
         |FROM documents, (SELECT unnest(range(4)) AS frame_idx)
         |WHERE doc_id < 50
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Independent connected-components implementation: exhaustive pairwise
+    // Jaccard edges (same derivation as q30's oracle, over the corpus +
+    // two planted copy generations), components resolved by a recursive
+    // min-label-propagation CTE, survivors = id == component min.
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id < 20),
+         |sh AS (${sqlShingles("docs2")}),
+         |e AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         |cc AS (
+         |  SELECT u AS id, u AS comp FROM sym
+         |  UNION
+         |  SELECT s.v AS id, c.comp FROM cc c JOIN sym s ON s.u = c.id
+         |  WHERE c.comp < s.v),
+         |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+         |SELECT comp, COUNT(*) AS n_members,
+         |  CAST(SUM(CASE WHEN id = comp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  MAX(id) AS max_id
+         |FROM lab GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""".stripMargin
   )
 }

@@ -252,6 +252,32 @@ object SystemQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- approximate distinct via mergeable HLL sketches (§2.4 at 100 TB)
+    // q48 is the exact path; this is the sketch path a 100 TB pipeline
+    // actually runs: per-(group, day) Datasketches HLL sketches built in
+    // one pass, then re-aggregated by sketch union to answer the
+    // all-time distinct — the build-once/re-aggregate-any-range pattern,
+    // exercising hll_sketch_agg's partial-merge machinery across two
+    // aggregation levels. Gate: the estimate must land within 5% of the
+    // exact distinct (lgK=12 gives σ≈1.6%, and the sketch hash is
+    // deterministic, so the boolean is stable run-to-run); the oracle
+    // computes the exact count and expects TRUE.
+    "q66_sketch_distinct" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("sketch_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- percentiles (exact + approx sketch path) -----------------------
     // One percentile() pass computes all three quantiles (single sort per
     // group); emitted as scalar columns so the driver's hash gate can
@@ -429,6 +455,12 @@ object SystemQueries {
         |    AS n_part_supp,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q66_sketch_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q52_topk_agg" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
