@@ -236,6 +236,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- sequence packing (GPT-style concat-then-chunk) -----------------
+    // Pack each shard's documents, in deterministic doc_id order, into
+    // fixed 2048-token training sequences: concatenate and cut every 2048
+    // tokens, documents spanning chunk boundaries (the standard
+    // pretraining packing — no padding, fill ratio 1 except each shard's
+    // last chunk). The operator shape at 100 TB: deterministic shard
+    // assignment (embarrassingly parallel), a per-shard window running
+    // sum (one shuffle, sorted within shard), integer division for the
+    // chunk id — no driver involvement, no cross-shard coordination.
+    "q69_sequence_pack" -> ((s, d) => {
+      val budget = 2048
+      val toks = T.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      val packed = toks
+        .withColumn("cum_excl", sum(col("tok")).over(w) - col("tok"))
+        .withColumn("chunk", floor(col("cum_excl") / budget))
+      val perChunk = packed.groupBy(col("shard"), col("chunk"))
+        .agg(count(lit(1)).as("docs_in_chunk"))
+      packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          (floor((sum(col("tok")) - 1) / budget) + 1).as("n_chunks"))
+        .join(perChunk.groupBy(col("shard"))
+          .agg(max(col("docs_in_chunk")).as("max_docs_in_chunk")), "shard")
+        .orderBy(col("shard"))
+    }),
+
     // ---- near-dup cluster formation (connected components) --------------
     // Two planted copies of the first 20 docs force multi-member clusters
     // {source, copy1, copy2} on top of the corpus's natural near-dup
@@ -501,6 +531,30 @@ object PipelineQueries {
         |FROM documents, (SELECT unnest(range(4)) AS frame_idx)
         |WHERE doc_id < 50
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q69_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, tok,
+        |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tok AS cum_excl
+        |  FROM t),
+        |c AS (
+        |  SELECT shard, CAST(floor(cum_excl / 2048) AS BIGINT) AS chunk,
+        |    COUNT(*) AS dic
+        |  FROM p GROUP BY shard, chunk)
+        |SELECT a.shard, a.n_docs, a.total_tokens, a.n_chunks,
+        |  m.max_docs_in_chunk
+        |FROM (SELECT shard, COUNT(*) AS n_docs,
+        |        CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |        CAST(floor((SUM(tok) - 1) / 2048) + 1 AS BIGINT) AS n_chunks
+        |      FROM p GROUP BY shard) a
+        |JOIN (SELECT shard, MAX(dic) AS max_docs_in_chunk
+        |      FROM c GROUP BY shard) m USING (shard)
+        |ORDER BY shard""".stripMargin,
 
     // Independent connected-components implementation: exhaustive pairwise
     // Jaccard edges (same derivation as q30's oracle, over the corpus +

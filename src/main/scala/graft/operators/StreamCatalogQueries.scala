@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamCatalogQueries {
 
+  /** Per-user state for the q70 mapGroupsWithState demo. */
+  final case class UserState(n: Long, nPurchase: Long,
+      minId: Long, maxId: Long)
+
+  /** Update row emitted per touched user per micro-batch. */
+  final case class UserUpdate(user_id: Long, n_events: Long,
+      n_purchases: Long, min_event_id: Long, max_event_id: Long)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked event-time windowed aggregation over the events stream.
     "q37_stream_window" -> ((s, d) => {
@@ -133,6 +141,53 @@ object StreamCatalogQueries {
           Det.dsum(col("value")).as("sum_attributed"))
     }),
 
+    // Arbitrary stateful streaming via the typed API: one [[UserState]]
+    // per user maintained by mapGroupsWithState — the escape hatch for
+    // state machines the built-in stateful operators can't express
+    // (the built-ins cover this particular aggregate; the point is the
+    // KeyValueGroupedDataset machinery: case-class state with an Encoder,
+    // per-key GroupState, update-mode emission). State is integer-only —
+    // counts and id bounds — so the result is exactly SQL-checkable (a
+    // running double sum would be order-sensitive). On an unbounded
+    // stream this would set a GroupStateTimeout to evict idle users; the
+    // bounded replay needs none. Update mode emits one row per touched
+    // key per micro-batch; the monotone post-aggregation (max of
+    // counters, min/max of bounds) collapses multi-batch replays to the
+    // final state without assuming single-batch execution.
+    "q70_stateful_user_agg" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id").cast("long").as("uid"),
+          col("event_id").cast("long").as("eid"),
+          (col("event_type") === "purchase").as("purch"))
+        .as[(Long, Long, Boolean)]
+      val updates = stream.groupByKey(_._1)
+        .mapGroupsWithState[UserState, UserUpdate](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (uid, rows, state) =>
+            var st = state.getOption.getOrElse(
+              UserState(0L, 0L, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, eid, purch) =>
+              st = UserState(st.n + 1, st.nPurchase + (if (purch) 1L else 0L),
+                math.min(st.minId, eid), math.max(st.maxId, eid))
+            }
+            state.update(st)
+            UserUpdate(uid, st.n, st.nPurchase, st.minId, st.maxId)
+        }.toDF()
+      StreamingCollect.runBounded(s, updates, "q70_stateful_user_agg_sink",
+          outputMode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_purchases")).as("n_purchases"),
+          min(col("min_event_id")).as("min_event_id"),
+          max(col("max_event_id")).as("max_event_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // Catalog: ListTables with LIKE filter (P8).
     "q39_catalog_tables" -> ((s, d) => {
       T.documents(s, d).limit(1).createOrReplaceTempView("graft_docs")
@@ -183,6 +238,13 @@ object StreamCatalogQueries {
     "q50_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q70_stateful_user_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS n_purchases,
+        |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q57_stream_join" -> {
       s"""SELECT COUNT(*) AS n_pairs,
