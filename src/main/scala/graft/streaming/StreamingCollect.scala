@@ -102,7 +102,7 @@ object StreamingCollect {
     * checkpoint can't replay as "already committed" and return an empty
     * table. */
   def runBounded(spark: SparkSession, stream: DataFrame,
-      queryName: String, statePartitions: Int = 4,
+      queryName: String, statePartitions: Int = 8,
       outputMode: String = "complete"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
