@@ -97,4 +97,50 @@ class ExplainSpec extends AnyFunSuite {
     idPairShufflesCarryNoArrays("q34_ann_lsh_exhaustive", "query_id",
       "neighbor_id")
   }
+
+  test("q67 cube runs as one Expand feeding one partial+final aggregate") {
+    val p = plan("q67_cube")
+    assert(p.contains("Expand"), s"grouping sets should Expand:\n$p")
+    assert(p.contains("partial_"),
+      s"cube aggregate lost map-side combine:\n$p")
+    // one pass over the fact table, not one job per grouping set
+    assert("Expand".r.findAllIn(p).size == 1, s"multiple Expands in:\n$p")
+  }
+
+  test("q68 pivot with declared values is a single aggregate, no join") {
+    val p = plan("q68_pivot")
+    assert(!p.contains("Join"), s"pivot should not plan a join:\n$p")
+    assert(p.contains("partial_"), s"pivot lost partial aggregation:\n$p")
+  }
+
+  test("q66 HLL sketches partial-aggregate before both exchanges") {
+    val p = plan("q66_sketch_distinct")
+    assert(p.contains("hll_sketch_agg") || p.contains("hll_union_agg"),
+      s"sketch aggregates missing from plan:\n$p")
+    assert(p.contains("partial_"),
+      s"sketch build lost map-side combine:\n$p")
+  }
+
+  test("q69 sequence packing shuffles once (the shard window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sp =
+      try SparkEntry.queries("q69_sequence_pack")(spark, TestSession.sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // every hash exchange is keyed by shard alone — the window, the
+    // (shard, chunk) and per-shard aggregates all reuse that clustering
+    // without re-keying (the only other exchange is the final orderBy's
+    // range partitioning)
+    val hashExchanges = sp.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+            .HashPartitioning] => e
+    }
+    assert(hashExchanges.nonEmpty, s"no hash exchange in:\n$sp")
+    assert(hashExchanges.forall(
+        _.outputPartitioning.toString.contains("shard")),
+      s"an exchange re-keys by something other than shard:\n$sp")
+  }
 }
