@@ -255,14 +255,19 @@ object PipelineQueries {
       val packed = toks
         .withColumn("cum_excl", sum(col("tok")).over(w) - col("tok"))
         .withColumn("chunk", floor(col("cum_excl") / budget))
-      val perChunk = packed.groupBy(col("shard"), col("chunk"))
-        .agg(count(lit(1)).as("docs_in_chunk"))
-      packed.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tok")).as("total_tokens"),
-          (floor((sum(col("tok")) - 1) / budget) + 1).as("n_chunks"))
-        .join(perChunk.groupBy(col("shard"))
-          .agg(max(col("docs_in_chunk")).as("max_docs_in_chunk")), "shard")
+      // Shard totals roll up FROM the per-chunk aggregate (not from a
+      // second pass over the docs): one scan, one window, two chained
+      // aggregates that both reuse the shard clustering — otherwise
+      // Catalyst computes the totals straight off the table and scans
+      // the 100 TB corpus twice.
+      packed.groupBy(col("shard"), col("chunk"))
+        .agg(count(lit(1)).as("docs_in_chunk"),
+          sum(col("tok")).as("chunk_tok"))
+        .groupBy(col("shard"))
+        .agg(sum(col("docs_in_chunk")).as("n_docs"),
+          sum(col("chunk_tok")).as("total_tokens"),
+          (floor((sum(col("chunk_tok")) - 1) / budget) + 1).as("n_chunks"),
+          max(col("docs_in_chunk")).as("max_docs_in_chunk"))
         .orderBy(col("shard"))
     }),
 

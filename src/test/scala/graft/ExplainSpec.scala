@@ -142,5 +142,11 @@ class ExplainSpec extends AnyFunSuite {
     assert(hashExchanges.forall(
         _.outputPartitioning.toString.contains("shard")),
       s"an exchange re-keys by something other than shard:\n$sp")
+    // and the corpus is scanned exactly once (shard totals roll up from
+    // the per-chunk aggregate, not from a second pass over the table)
+    val scans = sp.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"corpus scanned ${scans.size}x:\n$sp")
   }
 }
