@@ -298,6 +298,31 @@ object SystemQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // The sketch companion to q51: approx_percentile is a mergeable
+    // KLL-style quantile summary (partial-aggregable, so a 100 TB run
+    // builds per-partition sketches and merges — never a global sort the
+    // way exact percentile() requires). Gate: with accuracy 10000 the
+    // returned element's rank is within ±0.01% of the target, so its
+    // VALUE must lie between the exact 0.49 and 0.51 quantiles — checked
+    // here with wide margin, and the oracle recomputes the exact median
+    // and expects TRUE.
+    "q71_sketch_percentile" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          expr("percentile(o_totalprice, array(0.49D, 0.5D, 0.51D))")
+            .as("__q"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          element_at(col("__q"), 2).as("p50_exact"), col("n"),
+          (col("approx_p50") >= element_at(col("__q"), 1) &&
+            col("approx_p50") <= element_at(col("__q"), 3))
+            .as("sketch_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- bounded-heap top-k per group (vs window sort) ------------------
     "q52_topk_agg" -> ((s, d) => {
       T.orders(s, d)
@@ -461,6 +486,13 @@ object SystemQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS sketch_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q71_sketch_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        |  COUNT(*) AS n, TRUE AS sketch_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q52_topk_agg" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (

@@ -35,4 +35,39 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.read.parquet(outDir).count() == expected)
   }
+
+  test("stateful dedup runs on the RocksDB state store (production conf)") {
+    // The bounded verification runs use the default heap-backed state
+    // store (cheapest for small replays); an unbounded production stream
+    // holds state for every in-watermark key, which on real volumes must
+    // live off-heap — this pins that the same query runs unchanged on
+    // RocksDB, the conf a deployment would set.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val d = TestSession.sfDir
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$d/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = stream.unionByName(stream)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val got = StreamingCollect.runBounded(spark, deduped,
+        "rocksdb_dedup_sink")
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      val want = spark.read.parquet(s"$d/events.parquet")
+        .select(col("event_id")).distinct().count()
+      assert(got == want, s"RocksDB dedup got $got, want $want")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
