@@ -323,6 +323,26 @@ object SystemQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Salted skew join through the oracle gate: events join users-dim on a
+    // power-law key (user_id % 10 — every event lands on ten hot keys),
+    // 8-way salted so each hot key spreads over 8 reducers instead of
+    // melting one. The oracle is the plain SQL join — salting must be
+    // invisible in the result.
+    "q72_salted_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select((col("user_id") % 10).as("hot_key"), col("event_id"),
+          col("value"))
+      val dim = T.events(s, d)
+        .select((col("user_id") % 10).as("hot_key"))
+        .distinct()
+        .withColumn("dim_tag", concat(lit("seg"), col("hot_key")))
+      SkewJoin.saltedInnerJoin(ev, dim, "hot_key",
+          buckets = 8, saltBy = col("event_id"))
+        .groupBy(col("dim_tag"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("dim_tag"))
+    }),
+
     // ---- bounded-heap top-k per group (vs window sort) ------------------
     "q52_topk_agg" -> ((s, d) => {
       T.orders(s, d)
@@ -493,6 +513,17 @@ object SystemQueries {
         |  COUNT(*) AS n, TRUE AS sketch_ok
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q72_salted_join" -> {
+      s"""WITH ev AS (SELECT user_id % 10 AS hot_key, event_id, value
+         |            FROM events),
+         |dim AS (SELECT DISTINCT user_id % 10 AS hot_key FROM events),
+         |d2 AS (SELECT hot_key, 'seg' || hot_key AS dim_tag FROM dim)
+         |SELECT d2.dim_tag, COUNT(*) AS n,
+         |  ${Det.sqlSum("ev.value")} AS sum_value
+         |FROM ev JOIN d2 USING (hot_key)
+         |GROUP BY d2.dim_tag ORDER BY d2.dim_tag""".stripMargin
+    },
 
     "q52_topk_agg" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
