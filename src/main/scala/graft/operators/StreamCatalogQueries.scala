@@ -200,8 +200,7 @@ object StreamCatalogQueries {
     * file whose single event per user sits 24 h past the global max —
     * written second so the file source replays it as the later batch. */
   private def sessionFixture(s: SparkSession, d: String): String = {
-    val out = s"/tmp/graft_fixtures/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
-      "/events_sessions"
+    val out = graft.Scratch.fixtureDir(d, "events_sessions")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val ev = T.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),

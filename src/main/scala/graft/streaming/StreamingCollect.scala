@@ -127,11 +127,7 @@ object StreamingCollect {
 
   /** tmpfs when present (ephemeral scratch wants RAM speed), else the
     * JVM temp dir. */
-  private[graft] lazy val fastTmpRoot: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
-    else sys.props("java.io.tmpdir")
-  }
+  private[graft] def fastTmpRoot: String = graft.Scratch.root
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
