@@ -23,7 +23,8 @@ object SparkEntry {
     (operators.PipelineQueries.queries, operators.PipelineQueries.oracleSql),
     (operators.StreamCatalogQueries.queries,
       operators.StreamCatalogQueries.oracleSql),
-    (operators.SystemQueries.queries, operators.SystemQueries.oracleSql)
+    (operators.SystemQueries.queries, operators.SystemQueries.oracleSql),
+    (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.{BloomPrune, FreqAgg}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 operators: Misra–Gries heavy hitters, bloom join pruning, ORC
+  * ingest, bin-bucketed range join, flatMapGroupsWithState sessions. */
+class ExtendedSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  // ---- FreqAgg (Misra–Gries) --------------------------------------------
+
+  test("freq sketch nominates every key above the n/(k+1) guarantee") {
+    import spark.implicits._
+    // 10k rows: keys 0..4 get 1k each (10%), the rest spread over 5k keys
+    val rows = (0 until 10000).map { i =>
+      if (i % 2 == 0) (i / 1000).toLong else (100L + i % 5000)
+    }
+    val cands = rows.toDF("hk").repartition(8)
+      .agg(FreqAgg.freqSketch(col("hk"), 32))
+      .collect()(0).getSeq[Long](0)
+    (0L to 4L).foreach { k =>
+      assert(cands.contains(k), s"heavy key $k missing from $cands")
+    }
+    assert(cands.length <= 32, s"sketch overflowed: ${cands.length}")
+  }
+
+  test("freq sketch merge is partition-layout independent") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => (i % 7).toLong)
+    def run(parts: Int) = rows.toDF("hk").repartition(parts)
+      .agg(FreqAgg.freqSketch(col("hk"), 8))
+      .collect()(0).getSeq[Long](0).toSet
+    // all 7 keys fit in 8 counters — every layout must return exactly them
+    assert(run(1) == (0L to 6L).toSet)
+    assert(run(13) == (0L to 6L).toSet)
+  }
+
+  // ---- BloomPrune -------------------------------------------------------
+
+  test("bloom prune keeps all matches and drops most non-matches") {
+    val li = Tables.lineitem(spark, sf)
+    val dim = Tables.part(spark, sf)
+      .where(col("p_type") === "PROMO" && col("p_size") <= 10)
+    val bf = BloomPrune.buildLong(dim, "p_partkey", 100000L)
+    val total = li.count()
+    val pruned = li.where(
+      BloomPrune.mightContainLong(bf, col("l_partkey"))).count()
+    val matches = li.join(dim, col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(pruned >= matches, "bloom dropped a true match")
+    // dim keeps ~1/25 of parts; pruned should be well under half the fact
+    assert(pruned < total / 2,
+      s"bloom pruned nothing: $pruned of $total (matches $matches)")
+  }
+
+  test("q74 plan: bloom predicate runs before the join, join broadcasts") {
+    val p = SparkEntry.queries("q74_bloom_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloomcontainslong"),
+      s"bloom predicate missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  // ---- ORC ingest -------------------------------------------------------
+
+  test("q75 plan: predicate reaches the ORC scan") {
+    val p = SparkEntry.queries("q75_ingest_orc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Format: ORC"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("l_quantity"), s"filter not pushed to ORC scan:\n$p")
+  }
+
+  // ---- range join -------------------------------------------------------
+
+  test("q78 plan: bin-bucketed range join is hash, not nested-loop") {
+    val p = SparkEntry.queries("q78_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the events↔windows join must be a hash join on the bin key (the
+    // only nested-loop joins allowed are the single-row origin-scalar
+    // cross joins feeding both sides)
+    assert(p.contains("BroadcastHashJoin [ebin"),
+      s"range join did not bucket to an equi-join on bin:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"range predicate fell back to a nested-loop join:\n$p")
+  }
+
+  test("q78 result equals the naive range join") {
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("t"), col("value"))
+    val origin = ev.agg(min(col("t")).as("o"))
+    val H6 = 21600000000L
+    val H9 = 32400000000L
+    val windows = spark.range(0, 100).select(col("id").as("w"))
+      .crossJoin(broadcast(origin))
+      .select(col("w"), (col("o") + col("w") * H6).as("ws"),
+        (col("o") + col("w") * H6 + H9).as("we"))
+    val naive = ev.join(windows,
+        col("t") >= col("ws") && col("t") < col("we"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("w")).collect()
+    val bucketed = SparkEntry.queries("q78_range_join")(spark, sf)
+      .collect()
+    assert(bucketed.toSeq == naive.toSeq)
+  }
+
+  // ---- grouping sets ----------------------------------------------------
+
+  test("q79 plan: grouping sets is one Expand, no re-scan union") {
+    val p = SparkEntry.queries("q79_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"no Expand in grouping-sets plan:\n$p")
+    assert(!p.contains("Union"), s"grouping sets fell back to union:\n$p")
+  }
+
+  // ---- flatMapGroupsWithState sessions ----------------------------------
+
+  test("q73 custom-state sessions equal q56 built-in session windows") {
+    val a = SparkEntry.queries("q73_sessions_flatmap")(spark, sf).collect()
+    val b = SparkEntry.queries("q56_stream_sessions")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
