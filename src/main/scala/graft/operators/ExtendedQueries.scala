@@ -179,6 +179,59 @@ object ExtendedQueries {
         .orderBy(col("w"))
     }),
 
+    // Stream-static enrichment join: the streaming event feed joined to
+    // a static dimension (broadcast per micro-batch, no state store —
+    // Spark re-plans the static side into each batch). The §2.9 pattern
+    // q37-q73 didn't cover: enrichment, not correlation, so no
+    // watermarks and no join state to evict.
+    "q80_stream_enrich" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val dim = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      StreamingCollect.runBounded(s, enriched, "q80_stream_enrich_sink")
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    // Unpivot (melt): wide per-flag aggregates back to long form — the
+    // inverse of q68's pivot, through the dedicated Dataset API (a
+    // single Expand over the value columns, no union of re-scans).
+    "q81_unpivot" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over a unique total order (price, orderkey) so every rank is
+    // deterministic — rounding out q06/q07's rank/running-sum coverage.
+    "q82_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+        .limit(500)
+    }),
+
     // Grouping sets — the general form behind q10's rollup and q67's
     // cube, through the dedicated Dataset API (one Expand, no union of
     // re-scans).
@@ -264,6 +317,39 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q80_stream_enrich" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type
+         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q81_unpivot" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag,
+         |    ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |    ${Det.sqlSum("l_extendedprice")} AS sum_price,
+         |    ${Det.sqlSum("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, val FROM (
+         |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val
+         |    FROM agg
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
+         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q82_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
 
     "q79_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -117,6 +117,28 @@ class ExtendedSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"grouping sets fell back to union:\n$p")
   }
 
+  // ---- unpivot / stream-static enrich -----------------------------------
+
+  test("q81 plan: unpivot is one Expand, no union of re-scans") {
+    val p = SparkEntry.queries("q81_unpivot")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"no Expand in unpivot plan:\n$p")
+    assert(!p.contains("Union"), s"unpivot fell back to union:\n$p")
+  }
+
+  test("q80 stream-static enrichment equals the batch join") {
+    val streamed = SparkEntry.queries("q80_stream_enrich")(spark, sf)
+      .collect()
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type")).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   // ---- flatMapGroupsWithState sessions ----------------------------------
 
   test("q73 custom-state sessions equal q56 built-in session windows") {
