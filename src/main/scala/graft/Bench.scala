@@ -59,10 +59,21 @@ object Bench {
       Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
       operators.ReferenceQueries.csvFixture(spark, sfDir)
       operators.ReferenceQueries.jsonFixture(spark, sfDir)
+      operators.SystemQueries.walkFixture(spark, sfDir)
+      operators.SystemQueries.zipFixture(spark, sfDir)
+      operators.StreamCatalogQueries.sessionFixture(spark, sfDir)
+      operators.ExtendedQueries.orcFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated prefix filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q50,q56,q57 — the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -18,6 +18,45 @@ object ExtendedQueries {
   /** Per-user state for q73: the currently-open session. */
   final case class SessState(start: Long, last: Long, n: Long)
 
+  /** Per-user state for q85 (transformWithState). */
+  final case class TwsState(n: Long, nPurchase: Long)
+
+  /** Update row emitted per touched user per micro-batch (q85). */
+  final case class TwsUpdate(user_id: Long, n_events: Long,
+      n_purchases: Long)
+
+  /** q85's StatefulProcessor: the Spark 4 arbitrary-state API
+    * (successor to mapGroupsWithState — typed state handles from a
+    * StatefulProcessorHandle, RocksDB-backed, TTL-capable). One
+    * ValueState[TwsState] per user; emits the running totals for every
+    * touched key per batch (update mode), so the monotone max post-agg
+    * collapses any batch split to the final state. */
+  final class TwsCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Boolean), TwsUpdate] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[TwsState]("totals",
+        org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Boolean)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsUpdate] = {
+      var s = Option(st.get()).getOrElse(TwsState(0L, 0L))
+      rows.foreach { case (_, purch) =>
+        s = TwsState(s.n + 1, s.nPurchase + (if (purch) 1L else 0L))
+      }
+      st.update(s)
+      Iterator.single(TwsUpdate(key, s.n, s.nPurchase))
+    }
+  }
+
   /** 12 h in microseconds — q56/q73 share the gap so both check against
     * the same gaps-and-islands oracle. */
   private val GapUs = 43200000000L
@@ -232,6 +271,89 @@ object ExtendedQueries {
         .limit(500)
     }),
 
+    // Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate multiplicities (min/difference of per-value counts),
+    // where q08's distinct variants collapse them. Counted afterwards so
+    // the gate compares multiplicities, which is exactly what
+    // distinguishes ALL from DISTINCT.
+    "q83_setops_all" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val open = o.where(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority").as("pri"))
+      val done = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("pri"))
+      val inter = open.intersectAll(done)
+        .groupBy(col("pri")).agg(count(lit(1)).as("n_intersect_all"))
+      val exc = open.exceptAll(done)
+        .groupBy(col("pri")).agg(count(lit(1)).as("n_except_all"))
+      inter.join(exc, Seq("pri"), "full_outer")
+        .select(col("pri"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy(col("pri"))
+    }),
+
+    // Full-outer join with presence flags — the join shape q03-q09
+    // (inner/semi/anti/broadcast) didn't cover. Nation keys present on
+    // only one side survive with nulls; the aggregation counts each
+    // presence combination per region so the gate checks the outer
+    // semantics, not just the matched rows.
+    "q84_outer_join" -> ((s, d) => {
+      val cust = T.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = T.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"),
+          "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (col("c_nationkey").isNotNull &&
+            col("s_nationkey").isNotNull).as("both_sides"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Arbitrary stateful streaming through transformWithState — the
+    // Spark 4 successor to q70's mapGroupsWithState: typed state handles
+    // (ValueState/ListState/MapState) acquired from a
+    // StatefulProcessorHandle, mandatory RocksDB state store, TTL
+    // support. Integer-only state so the oracle is exact; the provider
+    // conf is scoped to this query and restored after.
+    "q85_transform_with_state" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id").cast("long").as("uid"),
+          (col("event_type") === "purchase").as("purch"))
+        .as[(Long, Boolean)]
+      val updates = stream.groupByKey(_._1)
+        .transformWithState(new TwsCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update)
+        .toDF("user_id", "n_events", "n_purchases")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        StreamingCollect.runBounded(s, updates,
+            "q85_transform_with_state_sink", outputMode = "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_purchases")).as("n_purchases"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // Grouping sets — the general form behind q10's rollup and q67's
     // cube, through the dedicated Dataset API (one Expand, no union of
     // re-scans).
@@ -249,7 +371,7 @@ object ExtendedQueries {
   )
 
   /** ORC round-trip fixture: lineitem re-landed as 8 ORC files. */
-  private def orcFixture(s: SparkSession, d: String): String = {
+  private[graft] def orcFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "lineitem_orc")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T.lineitem(s, d).repartition(8).write.mode("overwrite").orc(out)
@@ -317,6 +439,42 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q83_setops_all" ->
+      """WITH open AS (SELECT o_orderpriority AS pri FROM orders
+        |  WHERE o_orderstatus = 'O'),
+        |done AS (SELECT o_orderpriority AS pri FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |i AS (SELECT pri, COUNT(*) AS n_intersect_all FROM (
+        |  SELECT pri FROM open INTERSECT ALL SELECT pri FROM done)
+        |  GROUP BY pri),
+        |e AS (SELECT pri, COUNT(*) AS n_except_all FROM (
+        |  SELECT pri FROM open EXCEPT ALL SELECT pri FROM done)
+        |  GROUP BY pri)
+        |SELECT COALESCE(i.pri, e.pri) AS pri,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(n_except_all, 0) AS n_except_all
+        |FROM i FULL OUTER JOIN e ON i.pri = e.pri
+        |ORDER BY pri""".stripMargin,
+
+    "q84_outer_join" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |  GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |  GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_supp, 0) AS n_supp,
+        |  (c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL)
+        |    AS both_sides
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q85_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS n_purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q80_stream_enrich" ->
       s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,

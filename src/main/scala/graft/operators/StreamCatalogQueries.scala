@@ -199,7 +199,7 @@ object StreamCatalogQueries {
   /** Two-file session fixture: the events (µs timestamps), then a flush
     * file whose single event per user sits 24 h past the global max —
     * written second so the file source replays it as the later batch. */
-  private[operators] def sessionFixture(s: SparkSession, d: String): String = {
+  private[graft] def sessionFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "events_sessions")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val ev = T.events(s, d)

@@ -16,7 +16,7 @@ object SystemQueries {
 
   /** Partitioned-directory fixture for the folder walk (lang=X/source=Y
     * leaves — the S3-prefix layout log producers use). */
-  private def walkFixture(s: SparkSession, d: String): String = {
+  private[graft] def walkFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "walk")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
@@ -371,7 +371,7 @@ object SystemQueries {
 
   /** Single-entry ZIP fixture: first 2000 lineitem rows as one CSV member
     * per archive (the reference's yauzl constraint, worker.js:546-552). */
-  private def zipFixture(s: SparkSession, d: String): String = {
+  private[graft] def zipFixture(s: SparkSession, d: String): String = {
     val outDir = graft.Scratch.fixtureDir(d, "zip")
     val marker = new java.io.File(s"$outDir/_SUCCESS")
     if (!marker.exists()) {

@@ -139,6 +139,24 @@ class ExtendedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  // ---- transformWithState -----------------------------------------------
+
+  test("q85 transformWithState equals batch totals, conf restored") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val streamed = SparkEntry.queries("q85_transform_with_state")(
+      spark, sf).collect()
+    assert(spark.conf.getOption(key) == before,
+      "RocksDB provider conf leaked out of q85")
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .orderBy(col("user_id")).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   // ---- flatMapGroupsWithState sessions ----------------------------------
 
   test("q73 custom-state sessions equal q56 built-in session windows") {
