@@ -354,6 +354,92 @@ object ExtendedQueries {
       }
     }),
 
+    // Dynamic partition overwrite: full partitioned load, then an
+    // overwrite that rewrites ONLY the partitions present in the new
+    // data (the purchase partition, values doubled) while every other
+    // partition survives untouched — the warehouse-maintenance primitive
+    // for incremental re-loads at 100 TB (rewrite one day/type, not the
+    // table). The conf is scoped to the query and restored.
+    "q86_partition_overwrite" -> ((s, d) => {
+      val out = graft.Scratch.fixtureDir(d, "events_bytype")
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try {
+        ev.where(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Bucketed co-located join: both tables pre-bucketed and pre-sorted
+    // on the join key, so the sort-merge join needs neither an exchange
+    // nor a sort — the data layout IS the shuffle, paid once at write
+    // time and amortized over every subsequent join. ExtendedSpec
+    // asserts the join subtree contains no shuffle. The merge hint keeps
+    // the demo honest (a broadcast would also avoid the shuffle, but
+    // only because the test data is small).
+    "q87_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val to = s"graft_bkt_orders$tag"
+      val tc = s"graft_bkt_cust$tag"
+      // a previous JVM's in-memory catalog is gone but its warehouse dir
+      // survives — saveAsTable refuses the orphaned location, so clear it
+      def freshTable(name: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val orphan = new java.io.File(s"spark-warehouse/$name")
+          if (orphan.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(): Unit
+            }
+            rm(orphan)
+          }
+          write
+        }
+      // one writer task per bucket → one file per bucket: Spark only
+      // trusts (and re-uses) the per-bucket sort order when each bucket
+      // is a single file, which is also how a production re-bucketing
+      // job would lay the table out
+      freshTable(to) {
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8, col("o_custkey"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(to)
+      }
+      freshTable(tc) {
+        T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          .repartition(8, col("c_custkey"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(tc)
+      }
+      // since 3.0 Spark ignores the buckets' sort order unless told the
+      // layout guarantees it (exactly one file per bucket, which the
+      // repartition above ensures) — without this the SMJ re-sorts
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      s.table(to).hint("merge")
+        .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Grouping sets — the general form behind q10's rollup and q67's
     // cube, through the dedicated Dataset API (one Expand, no union of
     // re-scans).
@@ -439,6 +525,19 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q86_partition_overwrite" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum(
+              "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                "ELSE value END")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q87_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${Det.sqlSum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q83_setops_all" ->
       """WITH open AS (SELECT o_orderpriority AS pri FROM orders

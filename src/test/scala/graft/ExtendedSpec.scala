@@ -139,6 +139,51 @@ class ExtendedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  // ---- bucketed join / partition overwrite ------------------------------
+
+  test("q87 bucketed join subtree has no shuffle and no sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // plan statically with AQE off so every exchange is visible
+    val sp = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("q87_bucketed_join")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val smj = sp.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"bucketed join is not a sort-merge join:\n$sp")
+    smj.foreach { j =>
+      val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles:\n$sp")
+      val sorts =
+        j.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        s"bucketed+sorted tables should not re-sort:\n$sp")
+    }
+  }
+
+  test("q86 partition-pruned read after dynamic overwrite") {
+    // run the query once so the partitioned layout exists with the
+    // overwritten purchase partition
+    SparkEntry.queries("q86_partition_overwrite")(spark, sf).collect()
+    val out = Scratch.fixtureDir(sf, "events_bytype")
+    val pruned = spark.read.parquet(out)
+      .where(col("event_type") === "purchase")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning on the partitioned layout:\n$p")
+    // the overwritten partition carries doubled values
+    val doubled = pruned.agg(Det.dsum(col("value"))).collect()(0)
+      .getDouble(0)
+    val base = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .agg(Det.dsum(col("value") * 2)).collect()(0).getDouble(0)
+    assert(doubled == base, s"overwrite lost the doubling: $doubled vs $base")
+  }
+
   // ---- transformWithState -----------------------------------------------
 
   test("q85 transformWithState equals batch totals, conf restored") {
