@@ -340,8 +340,13 @@ object ExtendedQueries {
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       try {
+        // fewer state partitions than the HDFS-backed queries: each one
+        // is a full RocksDB instance (native alloc + changelog), and the
+        // keyspace (1 user state per partition-row) never needs 8 of them
+        // on a bounded replay
         StreamingCollect.runBounded(s, updates,
-            "q85_transform_with_state_sink", outputMode = "update")
+            "q85_transform_with_state_sink", statePartitions = 2,
+            outputMode = "update")
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"),
             max(col("n_purchases")).as("n_purchases"))
@@ -440,6 +445,58 @@ object ExtendedQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Variant semi-structured data (Spark 4): parse_json into the
+    // binary-encoded VariantType, then typed path extraction — the
+    // shredded-JSON path that replaces string get_json_object re-parsing
+    // (q14's form) at scale: parse once, extract many.
+    "q88_variant_json" -> ((s, d) => {
+      T.events(s, d)
+        .select(variant_get(parse_json(col("props")), "$.k", "int")
+          .as("k"), col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // RANGE window frame: per-user trailing 1 h sum over event time —
+    // the frame is value-based (all rows within the time distance), not
+    // row-count-based like q07's running sum. Decimal-routed so the
+    // in-frame addition order can't break the hash gate.
+    "q89_window_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = org.apache.spark.sql.types.DecimalType(38, 6)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(D)).over(w).cast("double")
+            .as("trailing_1h"))
+        .orderBy(col("event_id"))
+        .limit(500)
+    }),
+
+    // LATERAL correlated subquery: top-2 orders per customer, expressed
+    // as a per-row dependent subquery with ORDER BY + LIMIT — the form
+    // Catalyst decorrelates into a ranked window join rather than
+    // executing per-row (which is what makes it admissible at scale).
+    "q90_lateral_topk" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 200
+          |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    }),
+
     // Grouping sets — the general form behind q10's rollup and q67's
     // cube, through the dedicated Dataset API (one Expand, no union of
     // re-scans).
@@ -525,6 +582,33 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q88_variant_json" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS INTEGER) % 10
+         |    AS k_mod,
+         |  COUNT(*) AS n,
+         |  MAX(CAST(json_extract(props, '$$.k') AS INTEGER)) AS max_k,
+         |  ${Det.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q89_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_1h
+        |FROM events
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q90_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
 
     "q86_partition_overwrite" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -184,6 +184,30 @@ class ExtendedSpec extends AnyFunSuite {
     assert(doubled == base, s"overwrite lost the doubling: $doubled vs $base")
   }
 
+  // ---- variant / lateral ------------------------------------------------
+
+  test("q88 variant extraction equals string-path get_json_object") {
+    val viaVariant = SparkEntry.queries("q88_variant_json")(spark, sf)
+      .collect()
+    val viaString = Tables.events(spark, sf)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("k_mod")).collect()
+    assert(viaVariant.toSeq == viaString.toSeq)
+  }
+
+  test("q90 lateral top-k decorrelates — no per-row cartesian loop") {
+    val p = SparkEntry.queries("q90_lateral_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"lateral subquery executed as a cartesian product:\n$p")
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      s"expected a decorrelated ranked join:\n$p")
+  }
+
   // ---- transformWithState -----------------------------------------------
 
   test("q85 transformWithState equals batch totals, conf restored") {
