@@ -38,6 +38,16 @@ class ExtendedSpec extends AnyFunSuite {
     assert(run(13) == (0L to 6L).toSet)
   }
 
+  test("q76 sketch pass partial-aggregates before the exchange") {
+    val p = SparkEntry.queries("q76_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the FreqAgg sketch must combine map-side (≤ k entries per task
+    // cross the shuffle), not ship raw rows to one reducer
+    assert(p.contains("partial_freqagg") || p.contains("partial_FreqAgg")
+      || p.toLowerCase.contains("partial_freqagg"),
+      s"freq sketch lost map-side partial aggregation:\n$p")
+  }
+
   // ---- BloomPrune -------------------------------------------------------
 
   test("bloom prune keeps all matches and drops most non-matches") {
