@@ -63,6 +63,7 @@ object Bench {
       operators.SystemQueries.zipFixture(spark, sfDir)
       operators.StreamCatalogQueries.sessionFixture(spark, sfDir)
       operators.ExtendedQueries.orcFixture(spark, sfDir)
+      operators.ExtendedQueries.ivfIndexFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

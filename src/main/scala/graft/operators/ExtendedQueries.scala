@@ -497,6 +497,20 @@ object ExtendedQueries {
           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
     }),
 
+    // IVF index lifecycle: build once (partitioned-by-cell assignment
+    // table + centroid table on disk), reload, query. Gate configuration
+    // probes every cell, so the result must equal brute force (the q45
+    // oracle); the scale property — a real probe reads only the probed
+    // cells' partitions — is asserted separately in ExtendedSpec.
+    "q91_ivf_index" -> ((s, d) => {
+      val dir = ivfIndexFixture(s, d)
+      val emb = T.embeddings(s, d)
+      graft.similarity.Similarity.ivfTopKIndexed(
+          emb.where(col("vec_id") < 10), dir, k = 5, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Grouping sets — the general form behind q10's rollup and q67's
     // cube, through the dedicated Dataset API (one Expand, no union of
     // re-scans).
@@ -512,6 +526,16 @@ object ExtendedQueries {
           col("l_linestatus").asc_nulls_first)
     })
   )
+
+  /** Persisted IVF index fixture (built once per sf). */
+  private[graft] def ivfIndexFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "ivf_index")
+    if (!new java.io.File(s"$out/assignments/_SUCCESS").exists()) {
+      graft.similarity.Similarity.saveIvfIndex(
+        T.embeddings(s, d), out, nCells = 16)
+    }
+    out
+  }
 
   /** ORC round-trip fixture: lineitem re-landed as 8 ORC files. */
   private[graft] def orcFixture(s: SparkSession, d: String): String = {
@@ -582,6 +606,19 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    // full-probe over the persisted index ≡ brute force — same oracle
+    // shape as q45
+    "q91_ivf_index" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q88_variant_json" ->
       s"""SELECT CAST(json_extract(props, '$$.k') AS INTEGER) % 10

@@ -307,6 +307,78 @@ object Similarity {
         col("cos"))
   }
 
+  // ---- IVF index lifecycle ----------------------------------------------
+
+  /** Persist an IVF index: the assignment table written PARTITIONED BY
+    * cell, plus the centroid table. The partitioning is the point — a
+    * probe of `nProbe` cells reads only those partitions (static
+    * partition pruning on the scan, asserted in ExtendedSpec), so query
+    * cost scales with |corpus|·nProbe/nCells files touched, not with the
+    * corpus. This is the on-disk analog of the bucketed-join layout:
+    * shuffle once at build time, prune forever after. */
+  def saveIvfIndex(corpus: DataFrame, dir: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      useKmeans: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      if (useKmeans) kmeansCentroids(corpus, nCells, idCol = idCol,
+        vecCol = vecCol)
+      else ivfCentroids(corpus, nCells, idCol, vecCol)
+    cents.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Reload the centroid table (bounded: nCells rows). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Long, Seq[Float])] =
+    spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+
+  /** Top-k against a persisted index. The probed cell set (≤ queries ×
+    * nProbe values, query sets are small by contract) is resolved
+    * driver-side so the assignment scan gets a LITERAL partition filter —
+    * static pruning, no full-index read anywhere. */
+  def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadIvfCentroids(spark, dir)
+    val probeCells = cents.map { case (cid, cvec) =>
+      val c = typedlit(cvec)
+      struct(
+        (VectorOps.dotF(col(vecCol), c) /
+          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
+        lit(cid).as("cell"))
+    }
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        array_sort(array(probeCells.toSeq: _*),
+          (a, b) => when(a.getField("cos") > b.getField("cos"), -1)
+            .when(a.getField("cos") < b.getField("cos"), 1).otherwise(0))
+          .as("cells"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(col("cells"), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    val cellSet = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)) // bounded by nQueries × nProbe
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .where(col("cell").isin(cellSet.toSeq: _*))
+      .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** Recall@k of the IVF path against brute force, per query. */
   def ivfRecall(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
