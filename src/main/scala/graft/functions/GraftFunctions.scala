@@ -34,7 +34,22 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()),
     ("vector_mean_agg",
       new ExpressionInfo(classOf[VectorMeanAgg].getName, "vector_mean_agg"),
-      (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()),
+    ("freq_sketch",
+      new ExpressionInfo(classOf[FreqAgg].getName, "freq_sketch"),
+      (es: Seq[Expression]) => FreqAgg(es(0),
+        foldableInt(es(1), "freq_sketch(key, k)")).toAggregateExpression()),
+    ("topk_agg",
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (es: Seq[Expression]) => TopKAgg(es(0), es(1),
+        foldableInt(es(2), "topk_agg(score, id, k)"))
+        .toAggregateExpression()))
+
+  /** Sketch sizes must be plan-time constants (they shape the buffer). */
+  private def foldableInt(e: Expression, usage: String): Int = {
+    require(e.foldable, s"$usage: k must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, info, builder) =>
@@ -53,7 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("minhash_agg", es => MinHashAgg(es.head).toAggregateExpression()),
       ("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression()),
       ("vector_mean_agg",
-        es => VectorMeanAgg(es.head).toAggregateExpression())
+        es => VectorMeanAgg(es.head).toAggregateExpression()),
+      ("freq_sketch", es => FreqAgg(es(0),
+        es(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
+      ("topk_agg", es => TopKAgg(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue).toAggregateExpression())
     ).foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, name), builder))

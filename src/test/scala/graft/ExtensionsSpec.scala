@@ -48,6 +48,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vm == Seq(2.0f))
   }
 
+  test("freq_sketch and topk_agg are SQL-callable after register()") {
+    graft.functions.GraftFunctions.register(spark)
+    val hh = spark.sql(
+      "SELECT freq_sketch(x, 4) AS cand FROM VALUES " +
+        "(1L), (1L), (1L), (2L), (3L) t(x)")
+      .collect()(0).getSeq[Long](0)
+    assert(hh.contains(1L), s"heavy key missing from $hh")
+    val tk = spark.sql(
+      "SELECT topk_agg(s, i, 2) AS top FROM VALUES " +
+        "(1.0D, 10L), (3.0D, 30L), (2.0D, 20L) t(s, i)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(1)) == Seq(30L, 20L))
+  }
+
   test("salted join equals plain join on skewed data") {
     // heavy skew: 90% of rows share key 1
     val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
