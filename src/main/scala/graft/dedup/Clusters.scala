@@ -39,17 +39,32 @@ object Clusters {
         col("v").isNotNull)
       .distinct()
       .localCheckpoint()
+    // The loop runs ~6 shuffled stages per round over an edge list that
+    // is usually tiny relative to the corpus (dedup pair graphs are
+    // sparse); at the session's corpus-sized shuffle partitioning each
+    // round is mostly empty-task overhead. Size the loop's shuffles from
+    // the materialized edge count (≥ ~100k edges per partition), restore
+    // after. On a 100 TB run with billions of edges this leaves the
+    // session setting untouched.
+    val spark = pairs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
     var sig = signature(e)
+    val loopParts = math.max(1L, math.min(prev.toLong,
+      sig._1 / 100000L + 1L))
+    spark.conf.set(key, loopParts.toString)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nsig = signature(next)
-      converged = nsig == sig
-      sig = nsig
-      e = next
-      round += 1
-    }
+    try {
+      while (!converged && round < maxRounds) {
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val nsig = signature(next)
+        converged = nsig == sig
+        sig = nsig
+        e = next
+        round += 1
+      }
+    } finally spark.conf.set(key, prev)
     require(converged,
       s"connectedComponents: no fixpoint after $maxRounds rounds")
     // At the fixpoint the edge set is one star per component; a node's
