@@ -497,6 +497,57 @@ object ExtendedQueries {
           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
     }),
 
+    // Observed metrics: per-scan counters collected as a side channel of
+    // the ONE pass that computes the real result (the Observation API —
+    // Spark's AccumulatorV2-backed answer to "how many rows did this
+    // stage actually see", the audit signal the reference's worker
+    // heartbeats carry). No second scan: the observe node's metrics
+    // materialize when the downstream action runs.
+    "q93_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = T.lineitem(s, d)
+        .observe(obs, count(lit(1)).as("rows_seen"),
+          Det.dsum(col("l_quantity")).as("qty_seen"))
+      val nFiltered = observed.where(col("l_returnflag") === "R")
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      val m = obs.get
+      Seq((m("rows_seen").asInstanceOf[Long],
+        m("qty_seen").asInstanceOf[Double], nFiltered))
+        .toDF("rows_seen", "qty_seen", "n_filtered")
+    }),
+
+    // Sketches inside the streaming engine: per-window approximate
+    // distinct users via HLL++ (approx_count_distinct is the only
+    // distinct aggregate Structured Streaming admits — exact DISTINCT
+    // needs unbounded state). The bounded result joins to the batch
+    // exact counts and the gate checks the 5 % envelope (1 % target rsd
+    // → 5× headroom; at these cardinalities HLL++ runs in its sparse,
+    // effectively-exact regime, so the boolean is stable).
+    "q92_stream_sketch_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select(col("window.start").as("window_start"), col("n_approx"))
+      val streamed = StreamingCollect.runBounded(s, agg,
+        "q92_stream_sketch_window_sink")
+      val exact = T.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      streamed.join(exact, Seq("window_start"))
+        .select(col("window_start"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))
+        .orderBy(col("window_start"))
+    }),
+
     // IVF index lifecycle: build once (partitioned-by-cell assignment
     // table + centroid table on disk), reload, query. Gate configuration
     // probes every cell, so the result must equal brute force (the q45
@@ -606,6 +657,17 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q93_observe_metrics" ->
+      s"""SELECT COUNT(*) AS rows_seen,
+         |  ${Det.sqlSum("l_quantity")} AS qty_seen,
+         |  COUNT(*) FILTER (l_returnflag = 'R') AS n_filtered
+         |FROM lineitem""".stripMargin,
+
+    "q92_stream_sketch_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin,
 
     // full-probe over the persisted index ≡ brute force — same oracle
     // shape as q45
