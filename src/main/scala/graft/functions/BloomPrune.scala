@@ -31,7 +31,8 @@ object BloomPrune {
   def buildLong(df: DataFrame, key: String, expectedItems: Long,
       fpp: Double = 0.01): BloomFilter = {
     import df.sparkSession.implicits._
-    df.select(col(key).cast("long")).as[Long].rdd
+    // null keys can't join anyway, and putLong can't encode them
+    df.where(col(key).isNotNull).select(col(key).cast("long")).as[Long].rdd
       .treeAggregate(BloomFilter.create(expectedItems, fpp))(
         (bf, v) => { bf.putLong(v); bf },
         (a, b) => a.mergeInPlace(b))
