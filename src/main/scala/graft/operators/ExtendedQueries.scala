@@ -497,6 +497,36 @@ object ExtendedQueries {
           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
     }),
 
+    // The native streaming FILE sink: append-mode pass-through into a
+    // partitioned parquet layout with the sink's transactional commit
+    // log providing exactly-once (the _spark_metadata manifest, not
+    // best-effort directory listing) — the production landing-zone shape
+    // for continuous collection, complementing q38's foreachBatch path
+    // and q37's memory sink. Fresh output+checkpoint per invocation so a
+    // replay can't double-append.
+    "q94_stream_file_sink" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val base = s"${graft.Scratch.root}/graft_stream_sink/" +
+        java.util.UUID.randomUUID
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .partitionBy("event_type")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/data")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Observed metrics: per-scan counters collected as a side channel of
     // the ONE pass that computes the real result (the Observation API —
     // Spark's AccumulatorV2-backed answer to "how many rows did this
@@ -657,6 +687,11 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q94_stream_file_sink" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q93_observe_metrics" ->
       s"""SELECT COUNT(*) AS rows_seen,
