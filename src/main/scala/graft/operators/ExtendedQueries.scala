@@ -497,6 +497,33 @@ object ExtendedQueries {
           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
     }),
 
+    // Count-min sketch: point-frequency estimates from a fixed-size
+    // grid (the update-heavy counterpart to Misra–Gries — CMS answers
+    // "how often did THIS key occur", MG answers "which keys are
+    // heavy"). Distributed build via the stat API (mergeable grid,
+    // fixed seed), probed for the five planted heavy keys; the gate
+    // checks the one-sided CMS bound (estimate ≥ exact, overshoot ≤
+    // eps·N with eps 10× headroom), which a fixed seed makes
+    // deterministic. Completes the sketch family: HLL (q66), quantile
+    // (q71), MG (q76), bloom (q74), minhash/simhash (q30/q31).
+    "q95_countmin_sketch" -> ((s, d) => {
+      import s.implicits._
+      val keyed = T.lineitem(s, d).select(
+        when(col("l_orderkey") % 2 === 0, col("l_orderkey") % 5)
+          .otherwise(lit(100) + (col("l_orderkey") % 100000))
+          .cast("long").as("hk"))
+      val cms = keyed.stat.countMinSketch("hk", eps = 0.0001,
+        confidence = 0.99, seed = 42)
+      val n = keyed.count()
+      val exact = keyed.where(col("hk") < 5)
+        .groupBy(col("hk")).agg(count(lit(1)).as("n_exact"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      exact.toSeq.sortBy(_._1).map { case (k, ex) =>
+        val est = cms.estimateCount(k)
+        (k, ex, est >= ex && (est - ex) <= (0.001 * n).toLong)
+      }.toDF("hk", "n_exact", "within_bound")
+    }),
+
     // The native streaming FILE sink: append-mode pass-through into a
     // partitioned parquet layout with the sink's transactional commit
     // log providing exactly-once (the _spark_metadata manifest, not
@@ -687,6 +714,13 @@ object ExtendedQueries {
          |FROM w JOIN events e
          |  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
+
+    "q95_countmin_sketch" ->
+      """SELECT hk, COUNT(*) AS n_exact, TRUE AS within_bound FROM (
+        |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 5
+        |              ELSE 100 + (l_orderkey % 100000) END AS hk
+        |  FROM lineitem)
+        |WHERE hk < 5 GROUP BY hk ORDER BY hk""".stripMargin,
 
     "q94_stream_file_sink" ->
       s"""SELECT event_type, COUNT(*) AS n,
