@@ -24,7 +24,8 @@ object SparkEntry {
     (operators.StreamCatalogQueries.queries,
       operators.StreamCatalogQueries.oracleSql),
     (operators.SystemQueries.queries, operators.SystemQueries.oracleSql),
-    (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql)
+    (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql),
+    (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

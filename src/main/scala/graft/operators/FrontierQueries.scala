@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Det, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 frontier surface: recursive-CTE graph walks, deterministic
+  * train/val/test splits, blocked fuzzy matching, SCD2 history builds,
+  * and calendar gap-fill — the remaining batch-SQL operators a curation
+  * pipeline leans on.
+  *
+  * Scale notes are per-query; the common theme is that every operator
+  * here is pure declarative DataFrame/SQL (Catalyst plans all of it:
+  * partial aggregation, shuffle on explicit keys, no driver loops).
+  */
+object FrontierQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Recursive CTE (Spark 4's UnionLoop execution): walk a synthetic
+    // ownership hierarchy (parent(k) = k div 2, root = 1) from every
+    // customer to the root and aggregate by depth. Each iteration is one
+    // distributed self-join of the frontier — rows in flight shrink
+    // geometrically, and the loop is planned once (no driver-side
+    // collect between steps). Depth is O(log n): 100 TB of customers is
+    // still < 60 iterations.
+    "q96_recursive_cte" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("q96_customer")
+      s.sql("""
+        WITH RECURSIVE walk(c_custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey AS anc, 0 AS depth
+          FROM q96_customer
+          UNION ALL
+          SELECT w.c_custkey, w.anc div 2 AS anc, w.depth + 1 AS depth
+          FROM walk w WHERE w.anc > 1
+        )
+        SELECT depth, COUNT(*) AS n,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+            AS sum_bal
+        FROM walk w JOIN q96_customer c ON w.c_custkey = c.c_custkey
+        WHERE w.anc = 1
+        GROUP BY depth ORDER BY depth""")
+    }),
+
+    // Deterministic train/val/test split: bucket on the first hex digit
+    // of md5(doc_id) — 12/16 train, 2/16 val, 2/16 test. Stable across
+    // engines, re-runs, and cluster sizes (no RNG, no sampling order
+    // dependence), which is the property a training pipeline needs so
+    // that the split never leaks when the corpus is re-partitioned or
+    // appended to. Scan-speed: one hash per row, agg is partial.
+    "q98_hash_split" -> ((s, d) => {
+      val ch = substring(md5(col("doc_id").cast("string")), 1, 1)
+      T.documents(s, d)
+        .withColumn("split",
+          when(ch < "c", "train").when(ch < "e", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // Blocked fuzzy matching: near-identical customer names via
+    // levenshtein <= 2, candidate pairs restricted to equal
+    // (nation, name-length) blocks so the self-join is per-block
+    // quadratic, never corpus-quadratic. Real corpora block on shingle
+    // or phonetic keys (see Dedup.lshCandidates for the scaled form);
+    // the verify step and the dedup-pair semantics are identical.
+    "q99_fuzzy_pairs" -> ((s, d) => {
+      val c = T.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"),
+        col("c_name"), length(col("c_name")).as("len"))
+      val a = c.toDF("a_key", "nat", "a_name", "len")
+      val b = c.toDF("b_key", "nat", "b_name", "len")
+      a.join(b, Seq("nat", "len"))
+        .where(col("a_key") < col("b_key") &&
+          levenshtein(col("a_name"), col("b_name")) <= 2)
+        .groupBy(col("nat").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a_key")).as("min_key"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // SCD2 history build from a change log: per user, each run of equal
+    // event_type values becomes one version row with [valid_from,
+    // valid_to) micros; the open version has valid_to NULL. Classic
+    // lag-compare → run-id cumsum → per-run min/max — three window
+    // passes over ONE partitioning (user_id), so Catalyst plans a
+    // single shuffle + sort for all of them.
+    "q100_scd2_history" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val e = T.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"))
+      val marked = e.withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser) === col("event_type"),
+          0).otherwise(1))
+      val versions = marked
+        .withColumn("ver", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("ver"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(col("n_events")).as("n_events"),
+          max(when(col("valid_to").isNull, col("event_type")))
+            .as("open_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Calendar gap-fill: daily order counts per priority with missing
+    // (priority, day) slots restored as explicit zero rows. The date
+    // spine is sequence()/explode of the min..max range (tiny: days ×
+    // priorities) cross-joined against the distinct keys, left-joined
+    // to the pre-aggregated daily counts — the only wide shuffle is on
+    // the already-reduced (priority, day) aggregate, never on raw rows.
+    "q101_gapfill" -> ((s, d) => {
+      val o = T.orders(s, d).select(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val daily = o.groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("rev"))
+      val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+        .crossJoin(o.select(col("prio")).distinct())
+      spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"),
+          coalesce(col("rev"), lit(0.0d)).as("revenue"),
+          col("cnt").isNull.as("filled"))
+        .orderBy(col("prio"), col("day"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q96_recursive_cte" ->
+      """WITH RECURSIVE walk(c_custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey AS anc, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT w.c_custkey, w.anc // 2 AS anc, w.depth + 1 AS depth
+        |  FROM walk w WHERE w.anc > 1
+        |)
+        |SELECT depth, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_bal
+        |FROM walk w JOIN customer c ON w.c_custkey = c.c_custkey
+        |WHERE w.anc = 1
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q98_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |            THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |            THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "q99_fuzzy_pairs" ->
+      """SELECT a.c_nationkey, COUNT(*) AS n_pairs,
+        |  MIN(a.c_custkey) AS min_key
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND length(a.c_name) = length(b.c_name)
+        | AND a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 2
+        |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin,
+
+    "q100_scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+        |    CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1
+        |      END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), versions AS (
+        |  SELECT user_id, ver, MIN(event_type) AS event_type,
+        |    MIN(t) AS valid_from, COUNT(*) AS n_events
+        |  FROM (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) AS ver FROM marked)
+        |  GROUP BY user_id, ver
+        |), closed AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY ver) AS valid_to FROM versions
+        |)
+        |SELECT user_id, COUNT(*) AS n_versions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS open_type
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q101_gapfill" ->
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |    CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+         |daily AS (
+         |  SELECT prio, day, COUNT(*) AS cnt,
+         |    ${Det.sqlSum("o_totalprice")} AS rev
+         |  FROM o GROUP BY prio, day),
+         |spine AS (
+         |  SELECT p.prio, CAST(g.day AS DATE) AS day
+         |  FROM (SELECT DISTINCT prio FROM o) p,
+         |    (SELECT unnest(generate_series(
+         |       (SELECT MIN(day) FROM o), (SELECT MAX(day) FROM o),
+         |       INTERVAL 1 DAY)) AS day) g)
+         |SELECT s.prio, s.day,
+         |  COALESCE(d.cnt, 0) AS n, COALESCE(d.rev, 0.0) AS revenue,
+         |  d.cnt IS NULL AS filled
+         |FROM spine s LEFT JOIN daily d
+         |  ON s.prio = d.prio AND s.day = d.day
+         |ORDER BY s.prio, s.day""".stripMargin
+  )
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frontier operators: recursive CTE walk, deterministic hash split,
+  * blocked fuzzy pairs, SCD2 history, calendar gap-fill. */
+class FrontierSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  // ---- q96 recursive CTE ------------------------------------------------
+
+  test("recursive walk depth equals floor(log2(custkey))") {
+    // parent(k) = k div 2 with root 1 means depth(k) = floor(log2(k));
+    // key 0 never reaches the root and is excluded (matches the oracle)
+    val byDepth = SparkEntry.queries("q96_recursive_cte")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = Tables.customer(spark, sf)
+      .where(col("c_custkey") >= 1)
+      .select(floor(log2(col("c_custkey"))).cast("int").as("d"))
+      .groupBy("d").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDepth == expected)
+  }
+
+  test("recursive CTE plans as a UnionLoop, not a driver loop") {
+    Tables.customer(spark, sf).createOrReplaceTempView("q96_customer")
+    val plan = spark.sql(
+      """WITH RECURSIVE r(k) AS (
+        |  SELECT c_custkey FROM q96_customer
+        |  UNION ALL SELECT k div 2 FROM r WHERE k > 1)
+        |SELECT count(*) FROM r""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), s"no UnionLoop in:\n$plan")
+  }
+
+  // ---- q98 hash split ---------------------------------------------------
+
+  test("hash split is exhaustive, disjoint, and layout-independent") {
+    val docs = Tables.documents(spark, sf)
+    def splits(parts: Int): Map[String, Long] =
+      SparkEntry.queries("q98_hash_split")(
+          spark, sf) // registry query reads the table itself
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = splits(2)
+    assert(a.values.sum == docs.count(), "split lost or duplicated rows")
+    // md5 is uniform: train should dominate (12/16 of the key space)
+    assert(a("train") > a.getOrElse("val", 0L) &&
+      a("train") > a.getOrElse("test", 0L))
+    assert(a == splits(7), "split changed under repartitioning")
+  }
+
+  // ---- q99 fuzzy pairs --------------------------------------------------
+
+  test("blocked levenshtein finds planted near-name and skips far ones") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 7, "Customer#000000001"),
+      (2L, 7, "Customer#000000002"), // dist 1 from #1 → pair
+      (3L, 7, "Customer#000099999"), // dist 5 from #1 → no pair
+      (4L, 8, "Customer#000000001")  // other nation → no pair with #1
+    ).toDF("c_custkey", "c_nationkey", "c_name")
+    val a = rows.select(col("c_custkey").as("a_key"),
+      col("c_nationkey").as("nat"), col("c_name").as("a_name"),
+      length(col("c_name")).as("len"))
+    val b = rows.select(col("c_custkey").as("b_key"),
+      col("c_nationkey").as("nat"), col("c_name").as("b_name"),
+      length(col("c_name")).as("len"))
+    val pairs = a.join(b, Seq("nat", "len"))
+      .where(col("a_key") < col("b_key") &&
+        levenshtein(col("a_name"), col("b_name")) <= 2)
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    // #3 is 5 edits from both #1 and #2; #4 is blocked out by nation
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- q100 SCD2 --------------------------------------------------------
+
+  test("SCD2 build: planted change log yields expected versions") {
+    import spark.implicits._
+    // user 1: a a b a → 3 versions, open = 'a'; user 2: b → 1 version
+    val log = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "a"),
+      (1L, 12L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "b"),
+      (1L, 13L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), "a"),
+      (2L, 14L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val dir = s"${Scratch.root}/frontier_scd2_${java.util.UUID.randomUUID}"
+    log.write.parquet(dir)
+    // run the same pipeline shape as q100 over the planted log
+    val out = scd2(spark, dir)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(m(1L) == ((3L, "a")))
+    assert(m(2L) == ((1L, "b")))
+  }
+
+  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val e = s.read.parquet(dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("t"), col("event_type"))
+    val marked = e.withColumn("chg",
+      when(lag(col("event_type"), 1).over(byUser) === col("event_type"), 0)
+        .otherwise(1))
+    val versions = marked
+      .withColumn("ver", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("ver"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("n_events")).as("n_events"),
+        max(when(col("valid_to").isNull, col("event_type")))
+          .as("open_type"))
+  }
+
+  test("q100 plans one shuffle for all three user_id window passes") {
+    val plan = SparkEntry.queries("q100_scd2_history")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    // lag + cumsum share (user_id) sort order; groupBy(user_id, ver) and
+    // the final groupBy(user_id) reuse the same hash partitioning — the
+    // plan must not re-shuffle per window function
+    assert(exchanges <= 2, s"$exchanges user_id exchanges in:\n$plan")
+  }
+
+  // ---- q101 gap-fill ----------------------------------------------------
+
+  test("gap-fill emits a complete calendar and zero rows for gaps") {
+    val out = SparkEntry.queries("q101_gapfill")(spark, sf)
+    out.cache()
+    try {
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+      val Array(days, prios) = o
+        .agg(datediff(max(col("day")), min(col("day"))) + 1,
+          countDistinct(col("prio")))
+        .collect()(0) match {
+        case r => Array(r.getInt(0).toLong, r.getLong(1))
+      }
+      assert(out.count() == days * prios, "incomplete calendar spine")
+      val filled = out.where(col("filled"))
+      assert(filled.where(col("n") =!= 0 ||
+        col("revenue") =!= 0.0).count() == 0,
+        "filled rows must be exactly zero")
+      val real = out.where(!col("filled")).count()
+      assert(real == o.distinct().count(), "real (prio, day) slots wrong")
+    } finally out.unpersist()
+  }
+}
