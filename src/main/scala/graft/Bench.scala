@@ -64,6 +64,8 @@ object Bench {
       operators.StreamCatalogQueries.sessionFixture(spark, sfDir)
       operators.ExtendedQueries.orcFixture(spark, sfDir)
       operators.ExtendedQueries.ivfIndexFixture(spark, sfDir)
+      operators.FrontierQueries.xmlFixture(spark, sfDir)
+      operators.FrontierQueries.zorderFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

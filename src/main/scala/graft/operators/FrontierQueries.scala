@@ -16,7 +16,92 @@ import org.apache.spark.sql.functions._
   */
 object FrontierQueries {
 
+  /** Orders table round-tripped through Spark 4's built-in XML source
+    * (one <order> element per row), written once per SF. XML is a text
+    * format: types are declared on read, not inferred, so the round
+    * trip is exact. */
+  private[graft] def xmlFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "orders_xml")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("rowTag", "order").option("rootTag", "orders")
+        .format("xml").save(out)
+    }
+    out
+  }
+
+  /** Bit-interleave the low 16 bits of two non-negative ints into a
+    * 32-bit Z-value (Morton order) — pure column algebra, codegen'd:
+    * 16 shift/mask/or terms per input column. */
+  private[graft] def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Lineitem rewritten in Z-order on (l_partkey, l_suppkey): range-
+    * partitioned and sorted by the interleaved key, so any 2-D box
+    * predicate maps to a small set of Z-ranges → most parquet row
+    * groups/files fail their min/max stats and are skipped at scan
+    * time. Same rows as the source table, only the layout changes. */
+  private[graft] def zorderFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "lineitem_zorder")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.lineitem(s, d)
+        .withColumn("z", zValue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // XML ingest via the built-in Spark 4 XML source (read AND write):
+    // one <order> element per row, schema declared on read (no
+    // inference pass over 100 TB), distributed text scan like any other
+    // file source. The oracle is the same aggregate over the original
+    // parquet — i.e. the XML round trip must be lossless.
+    "q97_ingest_xml" -> ((s, d) => {
+      val dir = xmlFixture(s, d)
+      s.read
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderpriority STRING")
+        .option("rowTag", "order")
+        .format("xml").load(dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Z-order clustering + file skipping: a 2-D box predicate over the
+    // Morton-ordered copy of lineitem. Correctness side: identical rows
+    // to filtering the unclustered table (the oracle). Scale side: the
+    // box touches only the row groups whose (partkey, suppkey) min/max
+    // ranges intersect it — FrontierSpec asserts the clustered scan
+    // reads a fraction of the rows the unclustered one does. This is
+    // the standard layout trick for multi-dimensional pruning when one
+    // sort column can't serve both predicates.
+    "q102_zorder_skip" -> ((s, d) => {
+      val dir = zorderFixture(s, d)
+      s.read.parquet(dir)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(2, 5))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Recursive CTE (Spark 4's UnionLoop execution): walk a synthetic
     // ownership hierarchy (parent(k) = k div 2, root = 1) from every
@@ -138,6 +223,21 @@ object FrontierQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q97_ingest_xml" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${Det.sqlSum("o_totalprice")} AS sum_price,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q102_zorder_skip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${Det.sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 300
+         |  AND l_suppkey BETWEEN 2 AND 5
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q96_recursive_cte" ->
       """WITH RECURSIVE walk(c_custkey, anc, depth) AS (

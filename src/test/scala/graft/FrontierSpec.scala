@@ -133,6 +133,61 @@ class FrontierSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges user_id exchanges in:\n$plan")
   }
 
+  // ---- q97 XML ingest ---------------------------------------------------
+
+  test("XML round trip is lossless row-for-row") {
+    import spark.implicits._
+    val dir = operators.FrontierQueries.xmlFixture(spark, sf)
+    val back = spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderpriority STRING")
+      .option("rowTag", "order").format("xml").load(dir)
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "XML round trip changed rows")
+  }
+
+  // ---- q102 z-order -----------------------------------------------------
+
+  test("zValue interleaves bits (Morton order)") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
+      .toDF("x", "y")
+      .select(operators.FrontierQueries.zValue(col("x"), col("y")))
+      .as[Long].collect()
+    // z(5,3) = interleave(101, 011) = y2x2 y1x1 y0x0 = 0 1 | 1 0 | 1 1
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
+  }
+
+  test("z-order layout scans fewer rows than the unclustered table") {
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val dir = operators.FrontierQueries.zorderFixture(spark, sf)
+    val box = (df: org.apache.spark.sql.DataFrame) => df
+      .where(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(2, 5))
+      .select(col("l_extendedprice"))
+    val clustered = scannedRows(box(spark.read.parquet(dir)))
+    val flat = scannedRows(box(Tables.lineitem(spark, sf)))
+    // row-group stats on (partkey, suppkey) must prune most of the
+    // clustered files; the single-file source table can't skip anything
+    assert(clustered < flat,
+      s"z-order skipped nothing: clustered=$clustered flat=$flat")
+    assert(clustered.toDouble / flat < 0.7,
+      s"weak skipping: clustered=$clustered flat=$flat")
+  }
+
   // ---- q101 gap-fill ----------------------------------------------------
 
   test("gap-fill emits a complete calendar and zero rows for gaps") {
