@@ -66,6 +66,8 @@ object Bench {
       operators.ExtendedQueries.ivfIndexFixture(spark, sfDir)
       operators.FrontierQueries.xmlFixture(spark, sfDir)
       operators.FrontierQueries.zorderFixture(spark, sfDir)
+      operators.FrontierQueries.eventsSplitFixture(spark, sfDir)
+      operators.FrontierQueries.outerFlushFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

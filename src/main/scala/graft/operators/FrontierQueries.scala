@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables => T}
+import graft.streaming.StreamingCollect
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,7 +64,152 @@ object FrontierQueries {
     out
   }
 
+  /** Events copied into four parquet files so `maxFilesPerTrigger = 1`
+    * yields a genuinely multi-batch bounded stream. */
+  private[graft] def eventsSplitFixture(s: SparkSession, d: String)
+      : String = {
+    val out = graft.Scratch.fixtureDir(d, "events_split4")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Events plus a second file holding two far-future flush rows (one
+    * 'view', one 'purchase', user_id -1, max(ts) + 72 h). The flush
+    * batch pushes BOTH join-side watermarks past every real row's
+    * 24-hour join window, so the left-outer join emits all of its
+    * null-extended rows before the bounded run ends. */
+  private[graft] def outerFlushFixture(s: SparkSession, d: String)
+      : String = {
+    val out = graft.Scratch.fixtureDir(d, "events_outer_flush")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      val maxTs = ev.agg(unix_micros(max(col("ts")))).collect()(0).getLong(0)
+      val flushTs = maxTs + 72L * 3600000000L
+      import s.implicits._
+      Seq((-1L, flushTs, -1L, "view", 0.0),
+          (-2L, flushTs, -1L, "purchase", 0.0))
+        .toDF("event_id", "t", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_micros(col("t")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // foreachBatch fan-out: ONE bounded stream lands in TWO sinks per
+    // micro-batch — a raw parquet landing zone partitioned by batch_id
+    // (dynamic-partition overwrite → a replayed batch rewrites its own
+    // partition, never duplicates it) and an incrementally-maintained
+    // totals snapshot (previous snapshot ⊎ this batch's partial agg,
+    // written as snapshot_v{batchId}). This is the incremental-view-
+    // maintenance shape: each batch does O(batch + |agg|) work, never
+    // re-reads the history, and the running sums stay in DECIMAL(38,6)
+    // so the merge order can't perturb the result. The query returns
+    // the final snapshot cross-checked against the landing zone; the
+    // oracle is the plain batch aggregate over events.
+    "q105_foreach_batch" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = eventsSplitFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val base = s"${graft.Scratch.root}/graft_multisink/" +
+        java.util.UUID.randomUUID
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.persist()
+          try {
+            // sink 1: raw landing zone, exactly-once per batch partition
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("overwrite").partitionBy("batch_id")
+              .parquet(s"$base/landing")
+            // sink 2: incremental totals snapshot
+            val cur = batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast(dec)).as("sv"))
+            val ss = batch.sparkSession
+            val prevDirs = Option(new java.io.File(s"$base/totals")
+              .listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith("snapshot_v") &&
+                f.getName.stripPrefix("snapshot_v").toLong < id)
+            val merged = prevDirs.sortBy(
+                _.getName.stripPrefix("snapshot_v").toLong).lastOption
+              .map(p => ss.read.parquet(p.getAbsolutePath)
+                .unionByName(cur)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv")))
+              .getOrElse(cur)
+            merged.coalesce(1).write.mode("overwrite")
+              .parquet(s"$base/totals/snapshot_v$id")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+      val last = new java.io.File(s"$base/totals").listFiles()
+        .filter(_.getName.startsWith("snapshot_v"))
+        .maxBy(_.getName.stripPrefix("snapshot_v").toLong)
+      val totals = s.read.parquet(last.getAbsolutePath)
+      val landed = s.read.parquet(s"$base/landing")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_landed"))
+      totals.join(landed, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"),
+          (col("n") === col("n_landed")).as("sinks_agree"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Stream-stream LEFT OUTER interval join: every view pairs with the
+    // same user's purchases in the following 24 h, and views with NO
+    // such purchase surface as null-extended rows once the watermark
+    // proves no match can still arrive — the streaming form of funnel
+    // drop-off analysis. Both sides are watermarked and the join is
+    // time-bounded, so state evicts continuously (unbounded-safe); the
+    // far-future flush batch closes every real window before the
+    // bounded run ends, which is what makes the batch left join a valid
+    // oracle.
+    "q106_stream_outer_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = outerFlushFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val views = src().where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val buys = src().where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = views.join(buys,
+        col("v_user") === col("b_user") &&
+          col("b_ts") >= col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
+      StreamingCollect.runBounded(s, joined, "q106_stream_outer_sink",
+          outputMode = "append")
+        .where(col("v_user") >= 0)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("buy_id")).as("n_matched"),
+          sum(when(col("buy_id").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .orderBy(col("user_id"))
+    }),
 
     // XML ingest via the built-in Spark 4 XML source (read AND write):
     // one <order> element per row, schema declared on read (no
@@ -223,6 +369,23 @@ object FrontierQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q105_foreach_batch" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value")} AS sum_value, TRUE AS sinks_agree
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q106_stream_outer_join" ->
+      """SELECT v.user_id, COUNT(*) AS n_rows,
+        |  COUNT(b.event_id) AS n_matched,
+        |  CAST(COUNT(*) FILTER (b.event_id IS NULL) AS BIGINT)
+        |    AS n_orphans
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON v.user_id = b.user_id
+        |  AND epoch_us(b.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(b.ts) <= epoch_us(v.ts) + 86400000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "q97_ingest_xml" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,

@@ -188,6 +188,46 @@ class FrontierSpec extends AnyFunSuite {
       s"weak skipping: clustered=$clustered flat=$flat")
   }
 
+  // ---- q105 foreachBatch fan-out ----------------------------------------
+
+  test("foreachBatch multi-sink: batches land once and totals match") {
+    val out = SparkEntry.queries("q105_foreach_batch")(spark, sf)
+    out.cache()
+    try {
+      // the query itself cross-checks landing vs snapshot per row
+      assert(out.where(!col("sinks_agree")).count() == 0,
+        "landing zone and incremental snapshot disagree")
+      val expected = Tables.events(spark, sf)
+        .groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, "incremental totals drifted from batch agg")
+    } finally out.unpersist()
+  }
+
+  test("multi-batch stream really ran more than one batch") {
+    val dir = operators.FrontierQueries.eventsSplitFixture(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 4, s"split fixture has only $files files")
+  }
+
+  // ---- q106 stream-stream left outer join --------------------------------
+
+  test("stream outer join emits both matches and watermark-closed orphans") {
+    val out = SparkEntry.queries("q106_stream_outer_join")(spark, sf)
+    out.cache()
+    try {
+      val agg = out.agg(sum("n_rows"), sum("n_matched"), sum("n_orphans"))
+        .collect()(0)
+      val (rows, matched, orphans) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      assert(rows == matched + orphans, "rows != matched + orphans")
+      assert(orphans > 0, "no null-extended rows — watermark never closed")
+      assert(matched > 0, "no matched pairs")
+    } finally out.unpersist()
+  }
+
   // ---- q101 gap-fill ----------------------------------------------------
 
   test("gap-fill emits a complete calendar and zero rows for gaps") {
