@@ -25,7 +25,8 @@ object SparkEntry {
       operators.StreamCatalogQueries.oracleSql),
     (operators.SystemQueries.queries, operators.SystemQueries.oracleSql),
     (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql),
-    (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql)
+    (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql),
+    (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,428 @@
+package graft.operators
+
+import graft.{Det, Scratch, Tables => T}
+import graft.curation.Sampling
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 scale surface: the remaining operations a 100 TB training-data
+  * pipeline leans on that are not yet on the registry — RAG chunking,
+  * sweep-line concurrency, corpus n-gram statistics, integer-exact outlier
+  * screening, size-proportional sampling, single-scan data profiling,
+  * unrolled iterative PageRank, small-file compaction, interval-union
+  * coverage, and minority-class upsampling.
+  *
+  * Everything is declarative column algebra or plain Spark SQL (Catalyst
+  * plans the shuffles; no driver loops, no UDFs), and every query keeps its
+  * arithmetic in BIGINT / DECIMAL so the DuckDB oracle hash-matches exactly.
+  */
+object ScaleQueries {
+
+  private val ChunkLen = 500L
+  private val ChunkStride = 400L
+  private val SessionUs = 1800000000L // 30 minutes in microseconds
+
+  /** Events projected to (user_id, event_id, event_type, t micros). */
+  private def eventTimes(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RAG document chunking: fixed-size overlapping character windows
+    // (len 500, stride 400) via sequence()+explode — one generated row
+    // per chunk, no UDF, no driver involvement. At 100 TB this is a
+    // narrow map stage: chunk starts derive from n_chars alone, and the
+    // substring is computed where the text already lives. The aggregate
+    // proves chunk accounting (count, covered chars, per-doc max).
+    "q107_doc_chunks" -> ((s, d) => {
+      val chunks = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .withColumn("start", explode(sequence(
+          lit(0L), greatest(col("n_chars") - 1, lit(0L)), lit(ChunkStride))))
+        .withColumn("chunk_len",
+          length(col("text").substr((col("start") + 1).cast("int"),
+            lit(ChunkLen.toInt))))
+      val perDoc = chunks.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nc"), sum(col("chunk_len")).as("chars"))
+      perDoc.groupBy(col("lang"))
+        .agg(sum(col("nc")).as("n_chunks"),
+          sum(col("chars")).as("sum_chunk_chars"),
+          max(col("nc")).as("max_chunks_per_doc"))
+        .orderBy(col("lang"))
+    }),
+
+    // Sweep-line peak concurrency: each event opens a 30-minute
+    // interval; peak overlap per event_type is the max of the running
+    // sum of +1/-1 boundary deltas. Boundaries collapse by (type, t)
+    // BEFORE the window pass, so the cumulative sum runs over a unique
+    // total order (deterministic) and the windowed data is already the
+    // reduced boundary set, not the raw 100 TB of events.
+    "q108_concurrency" -> ((s, d) => {
+      val e = eventTimes(s, d)
+      val deltas = e.select(col("event_type"), col("t"), lit(1L).as("delta"))
+        .unionAll(e.select(col("event_type"),
+          (col("t") + SessionUs).as("t"), lit(-1L).as("delta")))
+      val net = deltas.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      net.withColumn("cur", sum(col("net")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("cur")).as("peak"), count(lit(1)).as("n_points"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Corpus bigram statistics: tokenize (lowercase, [a-z]+ runs),
+    // form adjacent pairs with transform(sequence(...)) — pure array
+    // algebra inside codegen — and count globally. The groupBy shuffles
+    // only (bigram, partial count): map-side partial aggregation has
+    // already collapsed each partition's duplicates, which is what
+    // makes corpus-wide n-gram LM stats feasible at 100 TB.
+    "q109_ngram_stats" -> ((s, d) => {
+      val words = filter(
+        split(lower(col("text")), "[^a-z]+"), w => w =!= lit(""))
+      T.documents(s, d)
+        .select(words.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    }),
+
+    // Mean-multiple outlier screen, integer-exact: flag rows whose
+    // value exceeds 3x the per-type mean WITHOUT dividing — compare
+    // vi * n > 3 * sum(vi) in micro-units (BIGINT), so the decision is
+    // bit-identical in any engine (float means are not). Per-type stats
+    // are a tiny aggregate broadcast back onto the scan: two passes
+    // over the fact table, zero wide shuffles.
+    "q110_outlier_screen" -> ((s, d) => {
+      val vi = col("value").cast(DecimalType(20, 6))
+        .*(lit(1000000L)).cast("long")
+      val e = T.events(s, d).select(col("event_type"), vi.as("vi"))
+      val stats = e.groupBy(col("event_type"))
+        .agg(sum(col("vi")).as("sv"), count(lit(1)).as("n"))
+      val heavy = col("vi") * col("n") > col("sv") * 3
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(heavy, 1L).otherwise(0L)).as("n_heavy"),
+          max(when(heavy, col("vi"))).as("max_heavy_vi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Size-proportional (token-budget) sampling: keep a document with
+    // probability n_chars / max(n_chars), decided by the same
+    // deterministic md5 bucket the curation sampler uses — integer
+    // cross-multiplication (bucket * max < 65536 * n_chars), no floats,
+    // no RNG. Long documents are preferentially retained, the exact
+    // semantic of sampling toward a token budget. The corpus max is a
+    // one-row aggregate broadcast into the scan filter.
+    "q111_weighted_sample" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val m = docs.agg(max(col("n_chars")).as("m"))
+      docs.crossJoin(broadcast(m))
+        .where(Sampling.bucket(col("doc_id")) * col("m") <
+          lit(65536L) * col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Single-scan data profiling: null counts, exact distinct counts,
+    // and min/max for four orders columns in ONE aggregate (Catalyst
+    // plans the multi-distinct via a single Expand — one pass over the
+    // table, not one scan per column), then stack() pivots the 1-row
+    // result into the per-column profile shape.
+    "q112_profile" -> ((s, d) => {
+      val o = T.orders(s, d)
+        .withColumn("o_orderday", to_date(col("o_orderdate")))
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderday")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+            .mkString(", ") +
+          ") as (col_name, n_nulls, n_distinct, min_val, max_val)"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Iterative PageRank, loop-unrolled and integer-exact: a synthetic
+    // ownership DAG over customer keys (k -> k div 2, k -> k div 3),
+    // three damped iterations with all arithmetic in BIGINT floor
+    // division so every engine agrees bit-for-bit. Each iteration is
+    // one shuffle on the destination key with partial aggregation of
+    // contributions; a production loop (see dedup/Clusters) would
+    // checkpoint between iterations to cut the lineage.
+    "q113_pagerank" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("q113_customer")
+      def iter(prev: String, out: String): String =
+        s"""i$out AS (
+           |  SELECT e.dst AS node, SUM(r.r div d.outdeg) AS m
+           |  FROM edges e JOIN deg d ON e.src = d.src
+           |  JOIN $prev r ON e.src = r.node
+           |  GROUP BY e.dst),
+           |$out AS (
+           |  SELECT n.node, 150000 + (85 * COALESCE(i.m, 0)) div 100 AS r
+           |  FROM nodes n LEFT JOIN i$out i ON n.node = i.node)""".stripMargin
+      s.sql(
+        s"""WITH nodes AS (SELECT c_custkey AS node FROM q113_customer),
+           |edges AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT node AS src, node div 2 AS dst FROM nodes
+           |    WHERE node div 2 >= 1
+           |    UNION ALL
+           |    SELECT node AS src, node div 3 AS dst FROM nodes
+           |    WHERE node div 3 >= 1)),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+           |ORDER BY r DESC, node LIMIT 10""".stripMargin)
+    }),
+
+    // Small-file compaction: rewrite the documents table with a
+    // per-file record cap (maxRecordsPerFile — the knob that bounds
+    // file sizes on a real landing zone), read it back, and prove the
+    // rewrite is lossless (row count + exact char sum) and produced
+    // exactly ceil(n / cap) files. Single-writer here so the file
+    // count is analytic; at scale the same cap applies per task and
+    // bounds every output file identically.
+    "q114_compaction" -> ((s, d) => {
+      val out = s"${Scratch.root}/graft_compact/${java.util.UUID.randomUUID}"
+      T.documents(s, d).coalesce(1)
+        .write.option("maxRecordsPerFile", 100)
+        .mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("n_chars"), input_file_name().as("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Interval-union coverage (uptime semantics): merge each user's
+    // overlapping 30-minute activity intervals into islands, then
+    // report islands, covered microseconds, and events per user. The
+    // running max-end uses a ROWS frame over the unique (t, event_id)
+    // order; all arithmetic is integer microseconds. One shuffle on
+    // user_id serves every window pass and the final aggregate.
+    "q115_interval_cover" -> ((s, d) => {
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val e = eventTimes(s, d)
+        .withColumn("e", col("t") + SessionUs)
+      val marked = e
+        .withColumn("pmax", max(col("e")).over(
+          byU.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pmax").isNull || col("t") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(
+          byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(min(col("t")).as("t0"), max(col("e")).as("t1"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("t1") - col("t0")).as("covered_us"),
+          sum(col("n_ev")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Minority-class upsampling (dataset rebalancing): replicate each
+    // language's documents toward the majority count with an integer
+    // boost factor (capped at 4), materialized by explode(sequence) —
+    // the standard replay trick that upsamples WITHOUT shuffling: the
+    // replication happens in the map stage where the row lives. Factors
+    // are a handful of rows, broadcast onto the scan.
+    "q116_minority_boost" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_orig"))
+      val target = counts.agg(max(col("n_orig")).as("tgt"))
+      val factors = counts.crossJoin(broadcast(target))
+        .withColumn("factor", least(
+          expr("(tgt + n_orig - 1) div n_orig"), lit(4L)))
+        .select(col("lang"), col("factor"))
+      docs.join(broadcast(factors), Seq("lang"))
+        .withColumn("rep", explode(sequence(lit(1L), col("factor"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("factor")).as("factor"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q107_doc_chunks" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, lang,
+        |    length(substr(text, CAST(gs.s AS INTEGER) + 1, 500))
+        |      AS chunk_len
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(generate_series(0, greatest(n_chars - 1, 0), 400))
+        |      AS s) gs
+        |), per_doc AS (
+        |  SELECT doc_id, lang, COUNT(*) AS nc, SUM(chunk_len) AS chars
+        |  FROM chunks GROUP BY doc_id, lang)
+        |SELECT lang, CAST(SUM(nc) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(chars) AS BIGINT) AS sum_chunk_chars,
+        |  CAST(MAX(nc) AS BIGINT) AS max_chunks_per_doc
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q108_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events
+        |), net AS (
+        |  SELECT event_type, t, SUM(delta) AS net FROM pts
+        |  GROUP BY event_type, t)
+        |SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak,
+        |  COUNT(*) AS n_points
+        |FROM (SELECT event_type,
+        |        SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS cur
+        |      FROM net)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q109_ngram_stats" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '') AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q110_outlier_screen" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM events
+        |), stats AS (
+        |  SELECT event_type, SUM(vi) AS sv, COUNT(*) AS n
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN e.vi * s.n > 3 * s.sv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_heavy,
+        |  MAX(CASE WHEN e.vi * s.n > 3 * s.sv THEN e.vi END)
+        |    AS max_heavy_vi
+        |FROM e JOIN stats s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q111_weighted_sample" ->
+      """WITH m AS (SELECT MAX(n_chars) AS m FROM documents),
+        |b AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS INTEGER) % 65536 AS bk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b, m WHERE bk * m.m < 65536 * n_chars
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q112_profile" -> {
+      def row(c: String, ex: String) =
+        s"""SELECT COUNT(*) AS n_rows, '$c' AS col_name,
+           |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($ex) AS VARCHAR) AS min_val,
+           |  CAST(MAX($ex) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      Seq(row("o_custkey", "o_custkey"),
+        row("o_orderstatus", "o_orderstatus"),
+        row("o_orderpriority", "o_orderpriority"),
+        row("o_orderday", "CAST(o_orderdate AS DATE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q113_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""i$out AS (
+           |  SELECT e.dst AS node, SUM(r.r // d.outdeg) AS m
+           |  FROM edges e JOIN deg d ON e.src = d.src
+           |  JOIN $prev r ON e.src = r.node
+           |  GROUP BY e.dst),
+           |$out AS (
+           |  SELECT n.node, 150000 + (85 * COALESCE(i.m, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN i$out i ON n.node = i.node)""".stripMargin
+      s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT node AS src, node // 2 AS dst FROM nodes
+         |    WHERE node // 2 >= 1
+         |    UNION ALL
+         |    SELECT node AS src, node // 3 AS dst FROM nodes
+         |    WHERE node // 3 >= 1)),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY r DESC, node LIMIT 10""".stripMargin
+    },
+
+    "q114_compaction" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+
+    "q115_interval_cover" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events
+        |), marked AS (
+        |  SELECT *,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e
+        |), islands AS (
+        |  SELECT user_id, island, MIN(t) AS t0, MAX(e) AS t1,
+        |    COUNT(*) AS n_ev
+        |  FROM (SELECT *,
+        |          SUM(CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |            AS island
+        |        FROM marked)
+        |  GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(t1 - t0) AS BIGINT) AS covered_us,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q116_minority_boost" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_orig, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM documents GROUP BY lang
+        |), t AS (SELECT MAX(n_orig) AS tgt FROM c)
+        |SELECT lang,
+        |  CAST(n_orig * LEAST((tgt + n_orig - 1) // n_orig, 4) AS BIGINT)
+        |    AS n_after,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(LEAST((tgt + n_orig - 1) // n_orig, 4) AS BIGINT) AS factor
+        |FROM c, t ORDER BY lang""".stripMargin
+  )
+}

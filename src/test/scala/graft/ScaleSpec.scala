@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-surface operators: RAG chunking, sweep-line concurrency, n-gram
+  * stats, integer-exact outlier screen, size-proportional sampling,
+  * single-scan profiling, unrolled PageRank, compaction, interval cover,
+  * and minority upsampling. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.toString
+  }
+
+  // ---- q107 doc chunks ---------------------------------------------------
+
+  test("chunk count equals the analytic stride formula per corpus") {
+    val got = SparkEntry.queries("q107_doc_chunks")(spark, sf)
+      .agg(sum(col("n_chunks"))).collect()(0).getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .select((floor(greatest(col("n_chars") - 1, lit(0L)) / 400) + 1)
+        .cast("long").as("nc"))
+      .agg(sum(col("nc"))).collect()(0).getLong(0)
+    assert(got == expected, s"chunks $got != analytic $expected")
+  }
+
+  // ---- q108 sweep-line concurrency ---------------------------------------
+
+  test("sweep-line peak equals the naive per-event overlap count") {
+    val peaks = SparkEntry.queries("q108_concurrency")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+    val a = e.toDF("et", "ta")
+    val naive = a.join(e.toDF("et", "tb"), Seq("et"))
+      .where(col("tb") <= col("ta") &&
+        col("ta") < col("tb") + lit(1800000000L))
+      .groupBy(col("et"), col("ta")).agg(count(lit(1)).as("c"))
+      .groupBy(col("et")).agg(max(col("c")).as("peak"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(peaks == naive, s"sweep $peaks != naive $naive")
+  }
+
+  // ---- q109 n-gram stats --------------------------------------------------
+
+  test("bigram top-20 is sorted, positive, and well-formed") {
+    val rows = SparkEntry.queries("q109_ngram_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.sliding(2).forall {
+      case Array((_, a), (_, b)) => a >= b
+      case _ => true
+    }, "counts not descending")
+    assert(rows.forall { case (bg, n) =>
+      n > 0 && bg.matches("[a-z]+ [a-z]+") })
+  }
+
+  // ---- q110 outlier screen ------------------------------------------------
+
+  test("integer mean-multiple screen flags exactly the planted outlier") {
+    import spark.implicits._
+    // values 1,1,1,100: mean=25.75 → only 100 > 3*mean (77.25)
+    val dir = s"${Scratch.root}/scale_outlier_${java.util.UUID.randomUUID}"
+    Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0))
+      .toDF("event_type", "value").write.parquet(dir)
+    val vi = col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      .*(lit(1000000L)).cast("long")
+    val e = spark.read.parquet(dir).select(col("event_type"), vi.as("vi"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(sum(col("vi")).as("sv"), count(lit(1)).as("n"))
+    val heavy = col("vi") * col("n") > col("sv") * 3
+    val out = e.join(broadcast(stats), Seq("event_type"))
+      .agg(sum(when(heavy, 1L).otherwise(0L)),
+        max(when(heavy, col("vi")))).collect()(0)
+    assert(out.getLong(0) == 1L, "expected exactly one heavy row")
+    assert(out.getLong(1) == 100000000L, "heavy row should be the 100.0")
+  }
+
+  // ---- q111 weighted sample -----------------------------------------------
+
+  test("size-proportional sample is biased toward long documents") {
+    val docs = Tables.documents(spark, sf)
+    val corpusMean = docs.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val kept = SparkEntry.queries("q111_weighted_sample")(spark, sf)
+      .agg(sum(col("sum_chars")).cast("double") / sum(col("n")))
+      .collect()(0).getDouble(0)
+    assert(kept > corpusMean,
+      s"sampled mean $kept should exceed corpus mean $corpusMean")
+  }
+
+  // ---- q112 single-scan profile -------------------------------------------
+
+  test("profile runs as ONE scan of orders with an Expand") {
+    val df = SparkEntry.queries("q112_profile")(spark, sf)
+    val plan = executed(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans in:\n$plan")
+    assert(plan.contains("Expand"), s"no Expand (multi-distinct) in:\n$plan")
+  }
+
+  test("profile distinct counts are exact") {
+    val got = SparkEntry.queries("q112_profile")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    val o = Tables.orders(spark, sf)
+    assert(got("o_custkey") == o.select("o_custkey").distinct().count())
+    assert(got("o_orderstatus") ==
+      o.select("o_orderstatus").distinct().count())
+  }
+
+  // ---- q113 pagerank ------------------------------------------------------
+
+  test("integer pagerank is deterministic and mass flows to the root") {
+    val run1 = SparkEntry.queries("q113_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val run2 = SparkEntry.queries("q113_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(run1.sameElements(run2), "pagerank not deterministic")
+    // every rank has the teleport floor; the root (node 1) collects the
+    // most mass in a k -> k div 2 / k div 3 DAG
+    assert(run1.forall(_._2 >= 150000L))
+    assert(run1.head._1 == 1L, s"root not top-ranked: ${run1.head}")
+  }
+
+  // ---- q115 interval cover ------------------------------------------------
+
+  test("interval cover respects island bounds") {
+    val out = SparkEntry.queries("q115_interval_cover")(spark, sf)
+    out.cache()
+    try {
+      val bad = out.where(
+        col("covered_us") < col("n_islands") * lit(1800000000L) ||
+        col("covered_us") > col("n_events") * lit(1800000000L) ||
+        col("n_islands") > col("n_events"))
+      assert(bad.count() == 0, "island invariants violated")
+    } finally out.unpersist()
+  }
+
+  test("interval cover merges a planted overlap chain into one island") {
+    import spark.implicits._
+    // three intervals each 30 min, starting 10 min apart → one island
+    // covering 50 min; a fourth 2 h later → its own island
+    val us = 60000000L // one minute
+    val rows = Seq((1L, 1L, 0L), (1L, 2L, 10 * us), (1L, 3L, 20 * us),
+      (1L, 4L, 180 * us))
+    val dir = s"${Scratch.root}/scale_cover_${java.util.UUID.randomUUID}"
+    rows.toDF("user_id", "event_id", "t")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t")).as("ts"))
+      .write.parquet(dir)
+    val byU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val e = spark.read.parquet(dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("e", col("t") + lit(1800000000L))
+    val marked = e
+      .withColumn("pmax", max(col("e")).over(byU.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pmax").isNull ||
+        col("t") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byU.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val islands = marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("t")).as("t0"), max(col("e")).as("t1"))
+      .collect().map(r => (r.getLong(3) - r.getLong(2)) / us).sorted
+    assert(islands.toSeq == Seq(30L, 50L), s"got ${islands.toSeq}")
+  }
+
+  // ---- q116 minority boost ------------------------------------------------
+
+  test("minority boost replicates exactly n_orig * factor rows") {
+    val out = SparkEntry.queries("q116_minority_boost")(spark, sf)
+    out.cache()
+    try {
+      val counts = Tables.documents(spark, sf).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_orig"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = out.collect()
+      rows.foreach { r =>
+        val (lang, nAfter, factor) =
+          (r.getString(0), r.getLong(1), r.getLong(3))
+        assert(factor >= 1 && factor <= 4, s"$lang factor $factor")
+        assert(nAfter == counts(lang) * factor,
+          s"$lang: $nAfter != ${counts(lang)} * $factor")
+      }
+      // the majority language is never boosted
+      val majority = counts.maxBy(_._2)._1
+      assert(rows.find(_.getString(0) == majority).get.getLong(3) == 1L)
+    } finally out.unpersist()
+  }
+}
