@@ -26,7 +26,8 @@ object SparkEntry {
     (operators.SystemQueries.queries, operators.SystemQueries.oracleSql),
     (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql),
     (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql),
-    (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql)
+    (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql),
+    (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,347 @@
+package graft.operators
+
+import graft.{Scratch, Tables => T}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental / operational surface: the operators that turn the batch
+  * engine into a continuously-operated pipeline — dedup of a NEW batch
+  * against a PERSISTED index (never re-scanning history), schema-evolution
+  * reads, corrupt-record quarantine, vocabulary coverage, rank-exact
+  * quantile boundaries, batch session windows, and null-safe joins.
+  *
+  * The incremental-dedup index is the centerpiece: at 100 TB you cannot
+  * re-self-join the corpus per crawl batch; you keep the banded signature
+  * table (and the shingle store for verification) on disk, compute
+  * signatures for the new batch only, and join batch bands against the
+  * index — O(batch) work per increment, not O(corpus).
+  */
+object IncrementalQueries {
+
+  /** History-side MinHash band index + shingle store, built ONCE per sf and
+    * persisted (the incremental-dedup contract: index build is amortized,
+    * per-batch work never touches history text again). History = doc_id
+    * with a nonzero last digit; the held-out tenth is the "new batch". */
+  private[graft] def dedupIndexFixture(s: SparkSession, d: String): String = {
+    val out = Scratch.fixtureDir(d, "dedup_index")
+    if (!new java.io.File(s"$out/bands/_SUCCESS").exists()) {
+      val history = T.documents(s, d).where(col("doc_id") % 10 =!= 0)
+      val sh = Dedup.shingles(history).localCheckpoint()
+      val bands = Dedup.minhashSignatures(sh)
+        .select(col("id"), explode(expr(
+          "transform(sequence(0, 15), b -> named_struct(" +
+            "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
+          .as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      bands.write.mode("overwrite").parquet(s"$out/bands")
+      sh.write.mode("overwrite").parquet(s"$out/shingles")
+    }
+    out
+  }
+
+  /** Orders split across two parquet writes with different schemas — the
+    * second adds o_orderpriority (schema evolution on a landing zone). */
+  private[graft] def evolutionFixture(s: SparkSession, d: String): String = {
+    val out = Scratch.fixtureDir(d, "orders_evolved")
+    if (!new java.io.File(s"$out/v2/_SUCCESS").exists()) {
+      val o = T.orders(s, d)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+    }
+    out
+  }
+
+  /** JSON-lines landing file where every doc_id divisible by 7 is a
+    * truncated (malformed) record — the corrupt-quarantine fixture. */
+  private[graft] def corruptFixture(s: SparkSession, d: String): String = {
+    val out = Scratch.fixtureDir(d, "docs_jsonl_corrupt")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.documents(s, d)
+        .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"n_chars\":")))
+          .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Incremental near-dup dedup: the new batch (doc_id % 10 == 0) is
+    // checked against the persisted history band index. Per-batch cost:
+    // shingle+sign the batch, one equi-join on (band, bh) against the
+    // index, exact Jaccard verify on candidate pairs only — history text
+    // is never re-read. Same verify threshold as the batch pipeline
+    // (q30), so the oracle is the exhaustive cross-split pairwise scan.
+    "q117_incremental_dedup" -> ((s, d) => {
+      val idx = dedupIndexFixture(s, d)
+      val histBands = s.read.parquet(s"$idx/bands")
+      val histSh = s.read.parquet(s"$idx/shingles")
+      val batch = T.documents(s, d).where(col("doc_id") % 10 === 0)
+      val batchSh = Dedup.shingles(batch).localCheckpoint()
+      val batchBands = Dedup.minhashSignatures(batchSh)
+        .select(col("id"), explode(expr(
+          "transform(sequence(0, 15), b -> named_struct(" +
+            "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
+          .as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val pairs = histBands.toDF("id_a", "band", "bh")
+        .join(batchBands.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+        .select(col("id_a"), col("id_b")).distinct()
+      Dedup.jaccardVerify(pairs, histSh.unionByName(batchSh))
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          col("common"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Vocabulary coverage / OOV rate: top-10 corpus words (deterministic
+    // tie-break) become the vocabulary; per-language token and
+    // out-of-vocabulary counts follow from a broadcast anti-join. The
+    // vocab is tiny by construction, so OOV marking costs one broadcast
+    // lookup per token — no corpus-sized shuffle.
+    "q118_vocab_coverage" -> ((s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), " ")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(10)
+        .select(col("word"))
+      val oov = toks.join(broadcast(vocab), Seq("word"), "left_anti")
+      toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+        .join(oov.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_oov"),
+            countDistinct(col("word")).as("n_oov_distinct")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("n_oov_distinct"), lit(0L)).as("n_oov_distinct"),
+          (coalesce(col("n_oov"), lit(0L)).cast("double") /
+            col("n_tokens")).as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Rank-exact quartile boundaries (percentile_disc semantics): the
+    // value at rank ceil(q·n) in value order — an equi-depth histogram
+    // whose boundaries are REAL data values, so the result is exact in
+    // any engine (interpolated percentiles are float-order-sensitive;
+    // rank selection is not). One shuffle on event_type serves both
+    // window passes and the final aggregate. The multipliers are binary
+    // fractions (1/4, 1/2, 3/4), so ceil(n·q) is float-exact too.
+    "q119_equidepth" -> ((s, d) => {
+      val byV = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy(col("event_type"))
+      T.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25), col("value")))
+            .as("q25"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+            .as("q50"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("value")))
+            .as("q75"),
+          max(col("n")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Schema-evolution read: two generations of a landing zone (v2 added
+    // o_orderpriority) read as ONE table via mergeSchema; missing columns
+    // surface as NULL. The aggregate proves both generations land and
+    // the evolved column is null exactly for v1 rows.
+    "q120_schema_evolution" -> ((s, d) => {
+      val dir = evolutionFixture(s, d)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(col("o_orderpriority").isNotNull.as("has_priority"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("has_priority"))
+    }),
+
+    // Batch session windows via the native session_window operator
+    // (30-minute gap): Spark merges events whose [t, t+gap) windows
+    // overlap — one shuffle on the grouping key, sessions formed by the
+    // merging aggregate, no window-function sort pass. Span = last-first
+    // per session (window.end minus the trailing gap).
+    "q121_session_window" -> ((s, d) => {
+      val sessions = T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start")) -
+            lit(1800000000L)).as("span_us"))
+      sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_events"),
+          sum(col("span_us")).as("sum_span_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Corrupt-record quarantine: PERMISSIVE JSON parse of a landing file
+    // where some records are truncated mid-object; malformed rows land in
+    // _corrupt with all data columns NULL, well-formed rows parse
+    // normally. The pipeline counts both and checks the good-side sum —
+    // the ingest contract that keeps one bad crawl record from failing a
+    // 100 TB load.
+    "q122_corrupt_records" -> ((s, d) => {
+      val dir = corruptFixture(s, d)
+      s.read
+        .schema("doc_id LONG, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNull, col("n_chars"))).as("good_chars"))
+    }),
+
+    // Null-safe join (<=>): NULL keys match NULL keys — the semantic SQL
+    // expresses as IS NOT DISTINCT FROM. Both sides are pre-aggregated to
+    // one row per key before the join, so the null bucket (a classic skew
+    // key under plain equality rewrites) is a single row on each side.
+    "q123_nullsafe_join" -> ((s, d) => {
+      val a = T.events(s, d)
+        .select(when(col("user_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+      val b = T.customer(s, d)
+        .select(when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+      a.join(b, a("k") <=> b("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(a("k").isNull, 1L).otherwise(0L)).as("n_null_pairs"),
+          sum(col("n_a") * col("n_b")).as("sum_products"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q117_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |WHERE len(a.s) > 0 AND len(b.s) > 0
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q118_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(trim(lower(text)), ' ')) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+        |    ORDER BY n DESC, word LIMIT 10)
+        |), oov AS (
+        |  SELECT lang, word FROM toks
+        |  WHERE word NOT IN (SELECT word FROM vocab)
+        |), tot AS (
+        |  SELECT lang, COUNT(*) AS n_tokens FROM toks GROUP BY lang
+        |), o AS (
+        |  SELECT lang, COUNT(*) AS n_oov,
+        |    COUNT(DISTINCT word) AS n_oov_distinct
+        |  FROM oov GROUP BY lang)
+        |SELECT t.lang, t.n_tokens,
+        |  COALESCE(o.n_oov, 0) AS n_oov,
+        |  COALESCE(o.n_oov_distinct, 0) AS n_oov_distinct,
+        |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        |FROM tot t LEFT JOIN o ON t.lang = o.lang
+        |ORDER BY t.lang""".stripMargin,
+
+    "q119_equidepth" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN value END) AS q25,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS q50,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q75,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q120_schema_evolution" -> {
+      val s = graft.Det.sqlSum("o_totalprice")
+      s"""SELECT (o_orderkey % 2 = 1) AS has_priority, COUNT(*) AS n,
+         |  $s AS sum_price
+         |FROM orders GROUP BY has_priority ORDER BY has_priority""".stripMargin
+    },
+
+    "q121_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, t,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    MAX(t) - MIN(t) AS span_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_events,
+        |  CAST(SUM(span_us) AS BIGINT) AS sum_span_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q122_corrupt_records" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+        |    AS good_chars
+        |FROM documents""".stripMargin,
+
+    "q123_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+        |    COUNT(*) AS n_a
+        |  FROM events GROUP BY k
+        |), b AS (
+        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END
+        |      AS k,
+        |    COUNT(*) AS n_b
+        |  FROM customer GROUP BY k)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_pairs,
+        |  CAST(SUM(n_a * n_b) AS BIGINT) AS sum_products
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin
+  )
+}

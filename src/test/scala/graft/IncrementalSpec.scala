@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental/operational surface: index-vs-batch dedup, vocabulary
+  * coverage, rank-exact quantiles, schema evolution, batch session
+  * windows, corrupt-record quarantine, null-safe joins. */
+class IncrementalSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  // ---- q117 incremental dedup --------------------------------------------
+
+  test("incremental dedup equals the batch pipeline on cross-split pairs") {
+    val incremental = SparkEntry.queries("q117_incremental_dedup")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val batch = dedup.Dedup
+      .minhashNearDups(Tables.documents(spark, sf), threshold = 0.8)
+      .where((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental == batch,
+      s"incremental $incremental != batch $batch")
+  }
+
+  test("incremental dedup never recomputes history signatures") {
+    // the fixture is built once; a second invocation must reuse it
+    val dir = operators.IncrementalQueries.dedupIndexFixture(spark, sf)
+    val before = new java.io.File(s"$dir/bands").lastModified()
+    operators.IncrementalQueries.dedupIndexFixture(spark, sf)
+    assert(new java.io.File(s"$dir/bands").lastModified() == before,
+      "index fixture rebuilt on second call")
+  }
+
+  // ---- q118 vocab coverage -----------------------------------------------
+
+  test("vocab coverage accounts for every token exactly once") {
+    val out = SparkEntry.queries("q118_vocab_coverage")(spark, sf)
+    out.cache()
+    try {
+      val total = out.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      val direct = Tables.documents(spark, sf)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .count()
+      assert(total == direct, s"token accounting: $total != $direct")
+      val bad = out.where(col("n_oov") > col("n_tokens") ||
+        col("oov_rate") < 0 || col("oov_rate") >= 1)
+      assert(bad.count() == 0, "oov invariants violated")
+      // with a 10-word vocab over a 31-word vocabulary corpus, some
+      // language must have OOV tokens
+      assert(out.agg(sum(col("n_oov"))).collect()(0).getLong(0) > 0,
+        "degenerate test: no OOV tokens anywhere")
+    } finally out.unpersist()
+  }
+
+  // ---- q119 rank-exact quartiles -----------------------------------------
+
+  test("equi-depth boundaries are the exact rank-selected values") {
+    val got = SparkEntry.queries("q119_equidepth")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val (et, values) = {
+      val rows = Tables.events(spark, sf)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val byType = rows.groupBy(_._1)
+      val t = byType.keys.head
+      (t, byType(t).sortBy(x => (x._2, x._3)).map(_._2))
+    }
+    val expected = values(math.ceil(values.length * 0.5).toInt - 1)
+    assert(got(et) == expected, s"$et median ${got(et)} != $expected")
+  }
+
+  // ---- q120 schema evolution ---------------------------------------------
+
+  test("schema evolution: generations split on key parity") {
+    val got = SparkEntry.queries("q120_schema_evolution")(spark, sf)
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    assert(got(false) == o.where(col("o_orderkey") % 2 === 0).count())
+    assert(got(true) == o.where(col("o_orderkey") % 2 === 1).count())
+  }
+
+  // ---- q121 batch session windows ----------------------------------------
+
+  test("session_window equals independent gaps-and-islands sessionization") {
+    val got = SparkEntry.queries("q121_session_window")(spark, sf)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"))
+    val islands = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(byU) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("brk")) + 1).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == islands, "session_window disagrees with gaps-and-islands")
+  }
+
+  // ---- q122 corrupt records ----------------------------------------------
+
+  test("corrupt quarantine: malformed rows carry raw text, good rows parse") {
+    val dir = operators.IncrementalQueries.corruptFixture(spark, sf)
+    val parsed = spark.read
+      .schema("doc_id LONG, n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+    parsed.cache()
+    try {
+      val corrupt = parsed.where(col("_corrupt").isNotNull)
+      assert(corrupt.where(col("n_chars").isNotNull).count() == 0,
+        "corrupt rows must not surface parsed fields")
+      assert(corrupt.where(!col("_corrupt").startsWith("{\"doc_id\":"))
+        .count() == 0, "corrupt column must carry the raw line")
+      val expected = Tables.documents(spark, sf)
+        .where(col("doc_id") % 7 === 0).count()
+      assert(corrupt.count() == expected)
+    } finally parsed.unpersist()
+  }
+
+  // ---- q123 null-safe join -----------------------------------------------
+
+  test("null-safe join matches the null bucket exactly once") {
+    val r = SparkEntry.queries("q123_nullsafe_join")(spark, sf).collect()(0)
+    val (nPairs, nNull) = (r.getLong(0), r.getLong(1))
+    assert(nNull == 1L, s"expected one null<=>null row, got $nNull")
+    val plain = {
+      val e = Tables.events(spark, sf)
+        .where(col("user_id") % 5 =!= 0).select(col("user_id").as("k"))
+        .distinct()
+      val c = Tables.customer(spark, sf)
+        .where(col("c_custkey") % 5 =!= 0).select(col("c_custkey").as("k"))
+        .distinct()
+      e.join(c, "k").count()
+    }
+    assert(nPairs == plain + 1, s"$nPairs != $plain non-null + 1 null")
+  }
+}
