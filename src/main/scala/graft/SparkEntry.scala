@@ -27,7 +27,8 @@ object SparkEntry {
     (operators.ExtendedQueries.queries, operators.ExtendedQueries.oracleSql),
     (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql),
     (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql),
-    (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql)
+    (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql),
+    (operators.AnalyticsQueries.queries, operators.AnalyticsQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{Det, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log/product-analytics surface: the classic reporting operators a log
+  * engine's users run daily — CIDR-prefix IP enrichment, funnel analysis,
+  * retention cohorts, fixed-width histograms, behavioral transition
+  * matrices, and train/serve distribution drift.
+  *
+  * All arithmetic is integer/decimal-exact (or single IEEE ops that every
+  * engine computes identically), so each query gates against the DuckDB
+  * oracle bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  /** Events with epoch-micro timestamps (shared projection). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CIDR /24 IP enrichment: client IPs (synthesized from event ids —
+    // the parse/derive step is the point) joined to an ownership table
+    // keyed by /24 prefix. Containment-in-a-/24 becomes an EQUI-join on
+    // the (b, c) octet prefix — the scale form of IP enrichment: a
+    // prefix hash join, never a per-row range probe. The dotted string
+    // is built and re-parsed to exercise the parse path.
+    "q124_ip_enrich" -> ((s, d) => {
+      val e = T.events(s, d).select(col("event_id"))
+        .withColumn("ip", concat_ws(".", lit(10),
+          expr("event_id div 65536") % 256,
+          expr("event_id div 256") % 256,
+          col("event_id") % 256))
+      val parsed = e.select(col("ip"), split(col("ip"), "\\.").as("oct"))
+        .select(col("ip"),
+          element_at(col("oct"), 2).cast("long").as("b"),
+          element_at(col("oct"), 3).cast("long").as("c"))
+      val blocks = parsed.select(col("b"), col("c")).distinct()
+        .where((col("b") + col("c")) % 3 === 0)
+        .withColumn("owner_nation", (col("b") * 256 + col("c")) % 25)
+      parsed.join(broadcast(blocks), Seq("b", "c"))
+        .groupBy(col("owner_nation"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("ip")).as("n_ips"))
+        .orderBy(col("owner_nation"))
+    }),
+
+    // Funnel analysis (view -> click -> purchase, strictly ordered):
+    // each stage is min(t) AFTER the previous stage's time, computed as
+    // aggregate + re-join — three narrow shuffles on user_id (the same
+    // key every round, so exchanges line up), never a per-user sort of
+    // the corpus. Durations stay integer micros.
+    "q125_funnel" -> ((s, d) => {
+      val e = ev(s, d)
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .where(col("event_type") === "click" && col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"),
+          min(col("t1")).as("t1"))
+      val s3 = e.join(s2, "user_id")
+        .where(col("event_type") === "purchase" && col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"),
+          min(col("t1")).as("t1"))
+      s1.select(lit(1).as("stage"), col("user_id"),
+          lit(null).cast("long").as("dur_us"))
+        .unionByName(s2.select(lit(2).as("stage"), col("user_id"),
+          lit(null).cast("long").as("dur_us")))
+        .unionByName(s3.select(lit(3).as("stage"), col("user_id"),
+          (col("t3") - col("t1")).as("dur_us")))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("dur_us")).as("sum_dur_us"))
+        .orderBy(col("stage"))
+    }),
+
+    // Retention cohorts: users grouped by first-seen ISO week; for each
+    // (cohort_week, week_offset <= 4) the distinct users active that
+    // week. Cohorting is one min-aggregate; the activity matrix is a
+    // distinct over (user, week) BEFORE the cohort join, so the join
+    // input is already reduced.
+    "q126_retention" -> ((s, d) => {
+      val e = T.events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      val active = e.distinct()
+      val cohort = active.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      active.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .where(col("week_offset") <= 4)
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Fixed-width histogram: value bucketed into [0,10) deciles of width
+    // 10, clamped to [0, 9]. floor(value/10) is a single IEEE divide —
+    // bit-identical in any engine — and everything after is integer.
+    // Map-side partial aggregation collapses each partition to at most
+    // types x 10 rows before the shuffle.
+    "q127_histogram" -> ((s, d) => {
+      T.events(s, d)
+        .withColumn("bucket",
+          greatest(least(floor(col("value") / 10.0), lit(9.0)), lit(0.0))
+            .cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Behavioral transition matrix: per-user event_type bigrams in
+    // (t, event_id) order (a unique total order, so lag() is
+    // deterministic), counted globally — the input for a Markov model of
+    // user behavior. One shuffle on user_id for the lag, then a partial
+    // agg on the (from, to) pairs.
+    "q128_transitions" -> ((s, d) => {
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      ev(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(byU))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Distribution drift between the first and second half of the time
+    // range (integer midpoint split): per event_type, early/late counts,
+    // decimal-exact sums, and the mean shift (two IEEE divides and a
+    // subtract — deterministic). The drift screen a training pipeline
+    // runs before trusting a new data slice.
+    "q129_drift" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val e = T.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value").cast(dec).as("v"))
+      // integer midpoint: epoch micros are ~1.7e18, so the average MUST
+      // stay in 64-bit integer arithmetic (a double round-trip loses the
+      // low bits and can disagree with the oracle's floor division)
+      val mid = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      e.crossJoin(broadcast(mid))
+        .withColumn("early", col("t") < col("mid"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+          sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("early"), col("v"))).cast("double").as("sum_early"),
+          sum(when(!col("early"), col("v"))).cast("double").as("sum_late"))
+        .withColumn("mean_shift",
+          col("sum_late") / col("n_late") - col("sum_early") / col("n_early"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q124_ip_enrich" ->
+      """WITH e AS (
+        |  SELECT concat_ws('.', 10,
+        |    CAST(event_id // 65536 AS BIGINT) % 256,
+        |    CAST(event_id // 256 AS BIGINT) % 256,
+        |    event_id % 256) AS ip
+        |  FROM events
+        |), parsed AS (
+        |  SELECT ip,
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) AS b,
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) AS c
+        |  FROM e
+        |), blocks AS (
+        |  SELECT b, c, (b * 256 + c) % 25 AS owner_nation
+        |  FROM (SELECT DISTINCT b, c FROM parsed)
+        |  WHERE (b + c) % 3 = 0)
+        |SELECT k.owner_nation, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT p.ip) AS n_ips
+        |FROM parsed p JOIN blocks k ON p.b = k.b AND p.c = k.c
+        |GROUP BY k.owner_nation ORDER BY k.owner_nation""".stripMargin,
+
+    "q125_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |), s1 AS (
+        |  SELECT user_id, MIN(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.t) AS t2, MIN(s1.t1) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.t) AS t3, MIN(s2.t1) AS t1
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        |  GROUP BY e.user_id
+        |), stages AS (
+        |  SELECT 1 AS stage, user_id, CAST(NULL AS BIGINT) AS dur_us FROM s1
+        |  UNION ALL
+        |  SELECT 2, user_id, CAST(NULL AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT 3, user_id, t3 - t1 FROM s3)
+        |SELECT stage, COUNT(*) AS n_users,
+        |  CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
+        |FROM stages GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q126_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week
+        |  FROM active GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |WHERE datediff('day', c.cohort_week, a.week) // 7 <= 4
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    "q127_histogram" ->
+      """SELECT event_type,
+        |  CAST(GREATEST(LEAST(FLOOR(value / 10.0), 9.0), 0.0) AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q128_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events
+        |), lagged AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS from_type
+        |  FROM o)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM lagged WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q129_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(38,6)) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT CAST((MIN(t) + MAX(t)) // 2 AS BIGINT) AS mid FROM e)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_early,
+        |  CAST(SUM(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(SUM(CASE WHEN t < mid THEN v END) AS DOUBLE) AS sum_early,
+        |  CAST(SUM(CASE WHEN t >= mid THEN v END) AS DOUBLE) AS sum_late,
+        |  CAST(SUM(CASE WHEN t >= mid THEN v END) AS DOUBLE)
+        |      / SUM(CASE WHEN t >= mid THEN 1 ELSE 0 END)
+        |    - CAST(SUM(CASE WHEN t < mid THEN v END) AS DOUBLE)
+        |      / SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS mean_shift
+        |FROM e, m GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analytics surface: IP enrichment, funnels, retention, histograms,
+  * transitions, drift. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  test("funnel stages are monotonically shrinking and ordered") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q125_funnel")(spark, sf)
+      .select("stage", "n_users").as[(Int, Long)].collect().toMap
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3),
+      s"funnel not monotone: $rows")
+    assert(rows(3) > 0, "no user completed the funnel")
+  }
+
+  test("funnel ordering is strict: purchase before click does not count") {
+    import spark.implicits._
+    val us = 60000000L
+    // user 1 completes in order; user 2 purchases BEFORE clicking
+    val dir = s"${Scratch.root}/an_funnel_${java.util.UUID.randomUUID}"
+    Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", us), (1L, 3L, "purchase", 2 * us),
+      (2L, 4L, "view", 0L), (2L, 5L, "purchase", us), (2L, 6L, "click", 2 * us)
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("t")).as("ts"))
+      .write.parquet(dir)
+    val e = spark.read.parquet(dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .where(col("event_type") === "click" && col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .where(col("event_type") === "purchase" && col("t") > col("t2"))
+      .select("user_id").as[Long].collect().toSet
+    assert(s3 == Set(1L), s"strict ordering violated: $s3")
+  }
+
+  test("retention offset zero covers every cohort member") {
+    val out = SparkEntry.queries("q126_retention")(spark, sf)
+    out.cache()
+    try {
+      val atZero = out.where(col("week_offset") === 0)
+        .agg(sum(col("n_users"))).collect()(0).getLong(0)
+      val users = Tables.events(spark, sf)
+        .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      assert(atZero == users,
+        s"offset-0 retention $atZero != $users distinct users")
+    } finally out.unpersist()
+  }
+
+  test("histogram buckets partition every event exactly once") {
+    val out = SparkEntry.queries("q127_histogram")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out == Tables.events(spark, sf).count())
+  }
+
+  test("transition count equals sum of per-user (n_events - 1)") {
+    val got = SparkEntry.queries("q128_transitions")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg((count(lit(1)) - 1).as("m"))
+      .agg(sum(col("m"))).collect()(0).getLong(0)
+    assert(got == expected, s"transitions $got != $expected")
+  }
+
+  test("drift halves partition each event type") {
+    val out = SparkEntry.queries("q129_drift")(spark, sf)
+    out.cache()
+    try {
+      val byType = out.collect()
+        .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2))).toMap
+      val expected = Tables.events(spark, sf)
+        .groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == expected)
+      // both halves are populated (the time range is dense)
+      assert(out.where(col("n_early") === 0 || col("n_late") === 0)
+        .count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("ip enrichment joins only /24 blocks passing the ownership filter") {
+    val out = SparkEntry.queries("q124_ip_enrich")(spark, sf)
+    out.cache()
+    try {
+      assert(out.count() <= 25, "owner_nation space is mod 25")
+      val joined = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      val total = Tables.events(spark, sf).count()
+      assert(joined > 0 && joined < total,
+        s"block filter should keep a strict subset: $joined of $total")
+    } finally out.unpersist()
+  }
+}
