@@ -128,6 +128,27 @@ object Dedup {
     smallPairs.unionByName(starPairs).distinct()
   }
 
+  /** Candidate pairs from an INDEX-vs-BATCH bucket join (incremental
+    * dedup), with the same skew bound as [[cappedSelfJoinPairs]]: history
+    * buckets with ≤ cap members join normally; an oversized history
+    * bucket (a boilerplate cluster accumulated over many increments)
+    * pairs each batch member with the bucket's lowest history id only —
+    * per-bucket output is O(batch · cap + batch), never
+    * O(batch · |bucket|) against an unbounded cluster. */
+  private[graft] def cappedIndexJoinPairs(index: DataFrame, batch: DataFrame,
+      keys: Seq[String], cap: Int): DataFrame = {
+    val stats = index.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+    val withN = index.join(stats, keys)
+    val small = withN.where(col("__n") <= cap)
+      .select((keys.map(col) :+ col("id").as("id_a")): _*)
+    val reps = withN.where(col("__n") > cap)
+      .select((keys.map(col) :+ col("__rep").as("id_a")): _*).distinct()
+    small.unionByName(reps)
+      .join(batch.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** LSH candidate pairs (id_a < id_b) from banded minhash signatures,
     * skew-bounded by [[cappedSelfJoinPairs]]. */
   def lshCandidates(sig: DataFrame,

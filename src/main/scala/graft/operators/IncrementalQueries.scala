@@ -93,9 +93,8 @@ object IncrementalQueries {
             "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
           .as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val pairs = histBands.toDF("id_a", "band", "bh")
-        .join(batchBands.toDF("id_b", "band", "bh"), Seq("band", "bh"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val pairs = Dedup.cappedIndexJoinPairs(
+        histBands, batchBands, Seq("band", "bh"), Dedup.DefaultBucketCap)
       Dedup.jaccardVerify(pairs, histSh.unionByName(batchSh))
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),

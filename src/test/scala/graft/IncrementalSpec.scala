@@ -26,6 +26,24 @@ class IncrementalSpec extends AnyFunSuite {
       s"incremental $incremental != batch $batch")
   }
 
+  test("oversized history buckets star-substitute: output stays linear") {
+    import spark.implicits._
+    // one bucket with 600 history members (> cap 256) + one with 5
+    val index = ((0L until 600L).map(i => (1, 100L, i)) ++
+      (0L until 5L).map(i => (2, 200L, 1000L + i)))
+      .toDF("band", "bh", "id")
+    val batch = Seq((1, 100L, 9001L), (1, 100L, 9002L), (2, 200L, 9003L))
+      .toDF("band", "bh", "id")
+    val pairs = dedup.Dedup.cappedIndexJoinPairs(
+      index, batch, Seq("band", "bh"), 256)
+      .as[(Long, Long)].collect().toSet
+    // oversized bucket: each batch member pairs with rep id 0 only;
+    // small bucket: batch member pairs with all 5 history members
+    val expected = Set((0L, 9001L), (0L, 9002L)) ++
+      (0L until 5L).map(i => (1000L + i, 9003L)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("incremental dedup never recomputes history signatures") {
     // the fixture is built once; a second invocation must reuse it
     val dir = operators.IncrementalQueries.dedupIndexFixture(spark, sf)
