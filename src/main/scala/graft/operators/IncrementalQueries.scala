@@ -73,6 +73,42 @@ object IncrementalQueries {
     out
   }
 
+  /** One idempotent upsert step of the streaming JDBC sink (q130): merge
+    * the batch's partial aggregate into the `totals` table unless the
+    * stored batch-id high water mark shows the batch was already applied
+    * (checkpoint replay). The totals table is bounded by the grouping
+    * cardinality, so the read-merge is driver-side by design — the JDBC
+    * overwrite would otherwise drop the table out from under its own
+    * lazy read. */
+  private[graft] def jdbcUpsert(batch: DataFrame, id: Long, url: String,
+      props: java.util.Properties): Unit = {
+    val dec = org.apache.spark.sql.types.DecimalType(31, 6) // Derby max p=31
+    val ss = batch.sparkSession
+    val cur = batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+      .withColumn("bid", lit(id))
+    val prev =
+      try Some(graft.sinks.JdbcSink.read(ss, url, "totals", props).collect())
+      catch { case _: Throwable => None }
+    val alreadyApplied = prev.exists(_.exists(_.getLong(3) >= id))
+    if (!alreadyApplied) {
+      val merged = prev match {
+        case Some(rows) if rows.nonEmpty =>
+          ss.createDataFrame(
+            ss.sparkContext.parallelize(rows.toSeq), rows.head.schema)
+            .unionByName(cur)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("sv")).cast(dec).as("sv"),
+              max(col("bid")).as("bid"))
+        case _ => cur
+      }
+      graft.sinks.JdbcSink.write(
+        merged.withColumn("sv", col("sv").cast(dec)),
+        url, "totals", props,
+        instanceMemoryMb = 8000, engine = "postgres", overwrite = true)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Incremental near-dup dedup: the new batch (doc_id % 10 == 0) is
@@ -209,6 +245,42 @@ object IncrementalQueries {
           sum(when(col("_corrupt").isNull, col("n_chars"))).as("good_chars"))
     }),
 
+    // Streaming upsert into the JDBC sink — the reference's production
+    // loop (continuous collection into RDS) as a Structured Streaming
+    // foreachBatch: each micro-batch's partial aggregate merges into a
+    // totals table in the database, guarded by a stored batch-id high
+    // water mark so a REPLAYED batch (checkpoint recovery) is skipped
+    // instead of double-counted — the standard idempotent-sink pattern.
+    // The table is bounded by the grouping cardinality (a handful of
+    // rows), so the read-merge step is driver-side by design; the heavy
+    // lifting (the per-batch aggregate) stays distributed, and the
+    // writer count obeys the connection-capacity model via JdbcSink.
+    "q130_stream_jdbc_upsert" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = FrontierQueries.eventsSplitFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("event_type"), col("value"))
+      val dbId = java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:graft$dbId;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          s"${Scratch.root}/graft_jdbc_upsert/$dbId/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          jdbcUpsert(batch, id, url, props)
+        }
+        .start()
+      q.awaitTermination()
+      graft.sinks.JdbcSink.read(s, url, "totals", props)
+        .select(col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Null-safe join (<=>): NULL keys match NULL keys — the semantic SQL
     // expresses as IS NOT DISTINCT FROM. Both sides are pre-aggregated to
     // one row per key before the join, so the null bucket (a classic skew
@@ -326,6 +398,12 @@ object IncrementalQueries {
         |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
         |    AS good_chars
         |FROM documents""".stripMargin,
+
+    "q130_stream_jdbc_upsert" -> {
+      val s = graft.Det.sqlSum("value")
+      s"""SELECT event_type, COUNT(*) AS n, $s AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q123_nullsafe_join" ->
       """WITH a AS (

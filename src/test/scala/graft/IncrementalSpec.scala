@@ -142,6 +142,34 @@ class IncrementalSpec extends AnyFunSuite {
     } finally parsed.unpersist()
   }
 
+  // ---- q130 streaming JDBC upsert ----------------------------------------
+
+  test("jdbc upsert skips a replayed batch (idempotent high water mark)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftidem${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val batch = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    operators.IncrementalQueries.jdbcUpsert(batch, 0L, url, props)
+    val once = graft.sinks.JdbcSink.read(spark, url, "totals", props)
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    // replaying the SAME batch id must change nothing
+    operators.IncrementalQueries.jdbcUpsert(batch, 0L, url, props)
+    val twice = graft.sinks.JdbcSink.read(spark, url, "totals", props)
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(once == twice, "replayed batch was double-applied")
+    // a NEW batch id merges additively
+    operators.IncrementalQueries.jdbcUpsert(
+      Seq(("a", 10.0)).toDF("event_type", "value"), 1L, url, props)
+    // filter AFTER collect: Derby stores StringType as CLOB, which
+    // rejects pushed-down equality predicates
+    val after = graft.sinks.JdbcSink.read(spark, url, "totals", props)
+      .collect().find(_.getString(0) == "a").get
+    assert(after.getLong(1) == 3L, "count should accumulate")
+    assert(after.getDecimal(2).doubleValue() == 13.0, "sum should accumulate")
+  }
+
   // ---- q123 null-safe join -----------------------------------------------
 
   test("null-safe join matches the null bucket exactly once") {
