@@ -130,6 +130,92 @@ object AnalyticsQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // Deterministic mode per group: the most frequent event_type per
+    // user, ties broken by lexicographic order — min_by over a
+    // (-count, type) struct, which partial-aggregates (each partition
+    // reduces to one candidate per user before the shuffle) where the
+    // row_number-window form would sort every (user, type) row.
+    "q131_mode_per_group" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"),
+            struct((-col("n")).as("neg"), col("event_type"))).as("top_type"),
+          max(col("n")).as("max_n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Ordered event-sequence construction (behavioral-model input): per
+    // user, the full event_type sequence in (t, event_id) order as an
+    // array — sort_array over collected (t, id, type) structs, so the
+    // order is part of the data, not an accident of partitioning. The
+    // output keeps the length and the first five steps.
+    "q132_event_sequences" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("event_id"), col("event_type")))).as("s"))
+        .select(col("user_id"), size(col("s")).as("n_events"),
+          transform(slice(col("s"), 1, 5), x => x.getField("event_type"))
+            .as("head5"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Surrogate keys: a stable 16-hex-digit dimension key from the
+    // natural key via md5 — reproducible across engines and re-runs
+    // (monotonically_increasing_id is neither). The query builds the
+    // dim, re-joins it to the facts by natural key, and audits for
+    // collisions (distinct surrogate count must equal dim cardinality).
+    "q133_surrogate_keys" -> ((s, d) => {
+      val nat = concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+      val dim = T.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .withColumn("sk", substring(md5(nat), 1, 16))
+      val joined = T.orders(s, d).join(broadcast(dim),
+        Seq("o_orderstatus", "o_orderpriority"))
+      joined.groupBy(col("sk"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          countDistinct(col("sk")).as("n_distinct"),
+          sum(col("n")).as("n_rows"))
+        .withColumn("collision_free", col("n_keys") === col("n_distinct"))
+    }),
+
+    // Dataset diff (snapshot reconciliation): old vs new snapshot keyed
+    // by o_orderkey, rows compared by an md5 over engine-stable fields
+    // (money routed through integer cents — double-to-string formatting
+    // is NOT engine-stable). One full-outer join on the key partitions
+    // the union into added / removed / changed / unchanged — the audit
+    // that runs after every backfill or migration.
+    "q134_dataset_diff" -> ((s, d) => {
+      val cents = org.apache.spark.sql.types.DecimalType(30, 2)
+      def withHash(df: DataFrame): DataFrame = df.withColumn("h",
+        md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("cents"))))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        (col("o_totalprice").cast(cents) * 100).cast("long").as("cents"))
+      val old = withHash(base).select(col("o_orderkey"), col("h").as("h_old"))
+      val newer = withHash(
+        base.where(col("o_orderkey") % 97 =!= 0)
+          .withColumn("cents", col("cents") + 100)
+          .withColumn("cents", when(col("o_orderkey") % 13 === 0,
+            col("cents")).otherwise(col("cents") - 100))
+          .unionByName(base.where(col("o_orderkey") % 101 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)))
+        .select(col("o_orderkey"), col("h").as("h_new"))
+      old.join(newer, Seq("o_orderkey"), "full_outer")
+        .agg(
+          sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
+            col("h_old") =!= col("h_new"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+    }),
+
     // Distribution drift between the first and second half of the time
     // range (integer midpoint split): per event_type, early/late counts,
     // decimal-exact sums, and the mean shift (two IEEE divides and a
@@ -245,6 +331,54 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q131_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rn
+        |  FROM c
+        |), m AS (SELECT user_id, MAX(n) AS max_n FROM c GROUP BY user_id)
+        |SELECT r.user_id, r.event_type AS top_type,
+        |  CAST(m.max_n AS BIGINT) AS max_n
+        |FROM r JOIN m ON r.user_id = m.user_id
+        |WHERE rn = 1 ORDER BY r.user_id""".stripMargin,
+
+    "q132_event_sequences" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  (list(event_type ORDER BY epoch_us(ts), event_id))[1:5] AS head5
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q133_surrogate_keys" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |), d2 AS (
+        |  SELECT *, substr(md5(concat_ws('|', o_orderstatus,
+        |    o_orderpriority)), 1, 16) AS sk
+        |  FROM dim
+        |), j AS (
+        |  SELECT d2.sk FROM orders o JOIN d2
+        |    ON o.o_orderstatus = d2.o_orderstatus
+        |   AND o.o_orderpriority = d2.o_orderpriority
+        |), g AS (SELECT sk, COUNT(*) AS n FROM j GROUP BY sk)
+        |SELECT COUNT(*) AS n_keys, COUNT(DISTINCT sk) AS n_distinct,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  COUNT(*) = COUNT(DISTINCT sk) AS collision_free
+        |FROM g""".stripMargin,
+
+    "q134_dataset_diff" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 AND o_orderkey % 13 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 AND o_orderkey % 13 <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM orders""".stripMargin,
 
     "q129_drift" ->
       """WITH e AS (

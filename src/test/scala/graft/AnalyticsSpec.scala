@@ -87,6 +87,44 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("mode per group breaks ties lexicographically") {
+    import spark.implicits._
+    // user 1: a x2, b x2 (tie -> 'a'); user 2: b x2, a x1
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "b"), (2L, "b"), (2L, "a")).toDF("user_id", "event_type")
+    val got = df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"),
+        struct((-col("n")).as("neg"), col("event_type"))).as("top"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("event sequences are in strict (t, event_id) order") {
+    val row = SparkEntry.queries("q132_event_sequences")(spark, sf)
+      .orderBy(col("user_id")).limit(1).collect()(0)
+    val head5 = row.getSeq[String](2)
+    val expected = Tables.events(spark, sf)
+      .where(col("user_id") === row.getLong(0))
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(0)))
+      .sortBy(x => (x._1, x._2)).take(5).map(_._3).toSeq
+    assert(head5 == expected, s"$head5 != $expected")
+  }
+
+  test("dataset diff of identical snapshots is all-unchanged") {
+    val base = Tables.orders(spark, sf).select(col("o_orderkey"),
+      md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))).as("h"))
+    val r = base.toDF("o_orderkey", "h_old")
+      .join(base.toDF("o_orderkey", "h_new"), Seq("o_orderkey"), "full_outer")
+      .agg(sum(when(col("h_old").isNull || col("h_new").isNull ||
+        col("h_old") =!= col("h_new"), 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+    assert(r == 0L, "identity diff must report zero differences")
+  }
+
   test("ip enrichment joins only /24 blocks passing the ownership filter") {
     val out = SparkEntry.queries("q124_ip_enrich")(spark, sf)
     out.cache()
