@@ -243,6 +243,92 @@ object ScaleQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Shingle-containment detection (asymmetric near-dup): finds pairs
+    // where one document CONTAINS the other (crawl boilerplate wrapping
+    // a page) — containment |A∩B|/|A| ≥ 0.9 in either direction, a
+    // relation plain Jaccard misses when sizes differ. Candidates come
+    // from the inverted shingle index (equi-join on shingle hash), with
+    // a document-frequency cap on the join key: a shingle occurring in
+    // more than dfCap docs is a stopword-shingle whose postings list
+    // would blow up the self-join quadratically — production drops
+    // them (they carry no discriminative signal); the cap here is
+    // sized above the corpus max so the oracle stays exhaustive.
+    "q135_containment" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shingles(T.documents(s, d))
+        .localCheckpoint()
+      val dfCap = 100000
+      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap).select(col("sh"))
+      val filtered = sh.join(keep, "sh")
+      val common = filtered.toDF("sh", "id_a")
+        .join(filtered.toDF("sh", "id_b"), "sh")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"))
+      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      common
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .withColumn("cont_a",
+          col("common").cast("double") / col("sz_a"))
+        .withColumn("cont_b",
+          col("common").cast("double") / col("sz_b"))
+        .where(col("cont_a") >= 0.9 || col("cont_b") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("cont_a"), col("cont_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Log-free TF-IDF: rank terms by tf · N / df (the log only squashes
+    // the ordering at equal tf, and ln() is NOT bit-stable across math
+    // libraries — the rational score is, because it is one IEEE divide
+    // of exact integers). Each doc's top term is a min_by over a
+    // (-score, word) struct (partial aggregation, no per-doc sort);
+    // the result counts docs per winning term.
+    "q136_top_terms" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val n = docs.count() // bounded action: one scalar for the formula
+      val tf = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df, "word")
+        .withColumn("score",
+          (col("tf") * lit(n)).cast("double") / col("df"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("word"),
+          struct((-col("score")).as("neg"), col("word"))).as("top_word"))
+        .groupBy(col("top_word"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("top_word"))
+        .limit(20)
+    }),
+
+    // Deterministic contrastive negative sampling: k pseudo-random
+    // negatives per document from a hash ring — neg_j(id) = (id + j·step)
+    // mod M — joined back against the corpus so only real ids survive.
+    // No RNG, no cartesian: the candidate set is generated in the map
+    // stage and resolved by ONE equi-join, which is what negative
+    // sampling has to look like at 100 TB (a per-row random sample of
+    // another table is otherwise a shuffle-everything operation).
+    "q137_negative_pairs" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val m = docs.agg((max(col("doc_id")) + 1).as("m"))
+      val cands = docs.crossJoin(broadcast(m))
+        .withColumn("j", explode(sequence(lit(1L), lit(3L))))
+        .withColumn("neg_id",
+          (col("doc_id") + col("j") * (expr("m div 4") + 1)) % col("m"))
+        .where(col("neg_id") =!= col("doc_id"))
+      cands.join(docs.select(col("doc_id").as("neg_id")), "neg_id")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_id"), col("neg_id"))
+            .as("n_distinct_pairs"),
+          sum(when(col("neg_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_self_pairs"))
+    }),
+
     // Minority-class upsampling (dataset rebalancing): replicate each
     // language's documents toward the majority count with an integer
     // boost factor (capped at 4), materialized by explode(sequence) —
@@ -412,6 +498,64 @@ object ScaleQueries {
         |  CAST(SUM(t1 - t0) AS BIGINT) AS covered_us,
         |  CAST(SUM(n_ev) AS BIGINT) AS n_events
         |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q135_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+        |    AS cont_a,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+        |    AS cont_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(a.s) > 0 AND len(b.s) > 0
+        |  AND (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+        |         >= 0.9
+        |    OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+        |         >= 0.9)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q136_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' '))
+        |      AS word
+        |    FROM documents) GROUP BY doc_id, word
+        |), df AS (
+        |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, CAST(t.tf * n.n AS DOUBLE) / d.df
+        |    AS score
+        |  FROM tf t JOIN df d ON t.word = d.word, n),
+        |top AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, word) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT word AS top_word, COUNT(*) AS n_docs
+        |FROM top GROUP BY word
+        |ORDER BY n_docs DESC, top_word LIMIT 20""".stripMargin,
+
+    "q137_negative_pairs" ->
+      """WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        |cands AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id + j.j * (m.m // 4 + 1)) % m.m AS neg_id
+        |  FROM documents d, m,
+        |    (SELECT unnest(generate_series(1, 3)) AS j) j
+        |  WHERE (d.doc_id + j.j * (m.m // 4 + 1)) % m.m <> d.doc_id)
+        |SELECT COUNT(DISTINCT c.doc_id) AS n_docs,
+        |  COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT (c.doc_id, c.neg_id)) AS n_distinct_pairs,
+        |  CAST(SUM(CASE WHEN c.neg_id = c.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_self_pairs
+        |FROM cands c JOIN documents e ON c.neg_id = e.doc_id""".stripMargin,
 
     "q116_minority_boost" ->
       """WITH c AS (

@@ -176,6 +176,69 @@ class ScaleSpec extends AnyFunSuite {
     assert(islands.toSeq == Seq(30L, 50L), s"got ${islands.toSeq}")
   }
 
+  // ---- q135 containment ---------------------------------------------------
+
+  test("containment finds a wrapped document that Jaccard misses") {
+    import spark.implicits._
+    // B wraps A in boilerplate: every shingle of A appears in B, but the
+    // pair's Jaccard is far below a near-dup threshold
+    val core = (1 to 10).map(i => s"w$i").mkString(" ")
+    val wrap = (1 to 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, s"$wrap $core $wrap"))
+      .toDF("doc_id", "text")
+    val sh = dedup.Dedup.shingles(docs).localCheckpoint()
+    val pairs = sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s"), "s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val r = pairs
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(
+        (col("common").cast("double") / col("sz_a")).as("cont_a"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0, "A's shingles must all appear in B")
+    assert(r.getDouble(1) < 0.5, "Jaccard should NOT flag the wrap pair")
+  }
+
+  // ---- q136 top terms -----------------------------------------------------
+
+  test("rational tf-idf prefers the rare discriminative term") {
+    import spark.implicits._
+    // 'rare' appears once in one doc; 'common' in every doc
+    val docs = Seq((1L, "common common rare"), (2L, "common common common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val top = tf.join(df, "word")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("word"),
+        struct((-col("score")).as("neg"), col("word"))).as("top_word"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare", s"doc 1 top term: ${top(1L)}")
+    assert(top(2L) == "common")
+  }
+
+  // ---- q137 negative pairs ------------------------------------------------
+
+  test("negative sampling yields k negatives per doc, none reflexive") {
+    val r = SparkEntry.queries("q137_negative_pairs")(spark, sf).collect()(0)
+    val (nDocs, nPairs, nDistinct, nSelf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nSelf == 0L, "self-pairs must be excluded")
+    assert(nPairs == nDistinct, "hash-ring negatives must not repeat")
+    assert(nPairs <= 3 * nDocs, "at most k=3 negatives per doc")
+    assert(nPairs > 0)
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
