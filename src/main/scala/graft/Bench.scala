@@ -68,6 +68,9 @@ object Bench {
       operators.FrontierQueries.zorderFixture(spark, sfDir)
       operators.FrontierQueries.eventsSplitFixture(spark, sfDir)
       operators.FrontierQueries.outerFlushFixture(spark, sfDir)
+      operators.IncrementalQueries.dedupIndexFixture(spark, sfDir)
+      operators.IncrementalQueries.evolutionFixture(spark, sfDir)
+      operators.IncrementalQueries.corruptFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -162,9 +162,14 @@ object Dedup {
     cappedSelfJoinPairs(banded, Seq("band", "bh"), bucketCap)
   }
 
-  /** Exact Jaccard for given candidate pairs, via the shingle sets. */
-  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+  /** Exact Jaccard for given candidate pairs, via the shingle sets.
+    * `precomputedSizes` (id, sz) skips the corpus-wide size aggregate —
+    * the incremental path persists history sizes with its index so each
+    * increment aggregates only the batch. */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame,
+      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
     val shA = sh.select(col("id").as("id_a"), col("sh"))
     val shB = sh.select(col("id").as("id_b"), col("sh"))
     val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "sh"))

@@ -26,7 +26,7 @@ object IncrementalQueries {
     * with a nonzero last digit; the held-out tenth is the "new batch". */
   private[graft] def dedupIndexFixture(s: SparkSession, d: String): String = {
     val out = Scratch.fixtureDir(d, "dedup_index")
-    if (!new java.io.File(s"$out/bands/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$out/sizes/_SUCCESS").exists()) {
       val history = T.documents(s, d).where(col("doc_id") % 10 =!= 0)
       val sh = Dedup.shingles(history).localCheckpoint()
       val bands = Dedup.minhashSignatures(sh)
@@ -37,6 +37,10 @@ object IncrementalQueries {
         .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       bands.write.mode("overwrite").parquet(s"$out/bands")
       sh.write.mode("overwrite").parquet(s"$out/shingles")
+      // shingle-set sizes persisted alongside: the per-increment verify
+      // must never re-aggregate the history shingle store
+      sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        .write.mode("overwrite").parquet(s"$out/sizes")
     }
     out
   }
@@ -131,7 +135,10 @@ object IncrementalQueries {
         .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       val pairs = Dedup.cappedIndexJoinPairs(
         histBands, batchBands, Seq("band", "bh"), Dedup.DefaultBucketCap)
-      Dedup.jaccardVerify(pairs, histSh.unionByName(batchSh))
+      val sizes = s.read.parquet(s"$idx/sizes").unionByName(
+        batchSh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+      Dedup.jaccardVerify(pairs, histSh.unionByName(batchSh),
+          precomputedSizes = Some(sizes))
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
           col("common"), col("jaccard"))
