@@ -216,6 +216,69 @@ object AnalyticsQueries {
             .as("n_unchanged"))
     }),
 
+    // LOCF imputation (last observation carried forward): forward-fill
+    // nulled readings per user with last(_, ignoreNulls) over the unique
+    // (t, event_id) order — the standard time-series gap repair, one
+    // shuffle on the entity key. Nulls are planted deterministically
+    // (event_id % 5) so the oracle can replay the fill exactly; sums
+    // stay decimal-exact.
+    "q138_locf" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("v", when(col("event_id") % 5 === 0,
+          lit(null).cast(dec)).otherwise(col("value").cast(dec)))
+        .withColumn("f", last(col("v"), ignoreNulls = true).over(byU))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulled"),
+          sum(when(col("f").isNull, 1L).otherwise(0L)).as("n_still_null"),
+          sum(col("f")).cast("double").as("sum_filled"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Grouped top-k over time buckets (weekly leaderboard): per ISO
+    // week, the three most active users — count-reduce FIRST, then a
+    // window over the already-aggregated (week, user) rows, so the sort
+    // never sees raw events. Deterministic tie-break on user_id.
+    "q139_weekly_top" -> ((s, d) => {
+      val weekly = T.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      weekly
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("week"))
+            .orderBy(col("n").desc, col("user_id"))))
+        .where(col("rank") <= 3)
+        .orderBy(col("week"), col("rank"))
+    }),
+
+    // Schema-aligned multi-source union: two feeds with different
+    // columns land in one activity table via unionByName with missing
+    // columns null-padded — the everyday heterogeneous-landing-zone
+    // merge. The aggregate proves both feeds land and the padding is
+    // null exactly where the source lacks the column.
+    "q140_union_align" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val a = T.events(s, d).select(col("event_id").as("id"),
+        lit("event").as("kind"), col("value").cast(dec).as("amount"))
+      val b = T.orders(s, d).select(col("o_orderkey").as("id"),
+        lit("order").as("kind"), col("o_totalprice").cast(dec).as("amount"),
+        col("o_orderpriority").as("priority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("priority").isNull, 1L).otherwise(0L))
+            .as("n_null_priority"),
+          sum(col("amount")).cast("double").as("sum_amount"))
+        .orderBy(col("kind"))
+    }),
+
     // Distribution drift between the first and second half of the time
     // range (integer midpoint split): per event_type, early/late counts,
     // decimal-exact sums, and the mean shift (two IEEE divides and a
@@ -331,6 +394,52 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q138_locf" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL
+        |      ELSE CAST(value AS DECIMAL(38,6)) END AS v
+        |  FROM events
+        |), filled AS (
+        |  SELECT user_id, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS f
+        |  FROM src)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulled,
+        |  CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_still_null,
+        |  CAST(SUM(f) AS DOUBLE) AS sum_filled
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q139_weekly_top" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY week, user_id)
+        |SELECT week, user_id, n, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY week
+        |    ORDER BY n DESC, user_id) AS rank
+        |  FROM weekly)
+        |WHERE rank <= 3 ORDER BY week, rank""".stripMargin,
+
+    "q140_union_align" ->
+      """WITH u AS (
+        |  SELECT event_id AS id, 'event' AS kind,
+        |    CAST(value AS DECIMAL(38,6)) AS amount,
+        |    CAST(NULL AS VARCHAR) AS priority
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_orderkey, 'order', CAST(o_totalprice AS DECIMAL(38,6)),
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT kind, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_priority,
+        |  CAST(SUM(amount) AS DOUBLE) AS sum_amount
+        |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q131_mode_per_group" ->
       """WITH c AS (

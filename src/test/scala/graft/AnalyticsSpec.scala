@@ -125,6 +125,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == 0L, "identity diff must report zero differences")
   }
 
+  test("LOCF forward-fills exactly from the last non-null observation") {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val byU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val filled = Seq((1L, 1L, Some(1.0)), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Some(4.0)), (1L, 5L, None))
+      .toDF("u", "t", "v")
+      .withColumn("f", last(col("v").cast(dec), ignoreNulls = true).over(byU))
+      .orderBy(col("t"))
+      .select(col("f").cast("double")).as[Double].collect().toSeq
+    assert(filled == Seq(1.0, 1.0, 1.0, 4.0, 4.0), s"got $filled")
+  }
+
+  test("weekly leaderboard keeps at most three ranked users per week") {
+    val out = SparkEntry.queries("q139_weekly_top")(spark, sf)
+    out.cache()
+    try {
+      val bad = out.groupBy(col("week")).agg(count(lit(1)).as("c"),
+          max(col("rank")).as("mr"))
+        .where(col("c") > 3 || col("mr") > 3 || col("c") =!= col("mr"))
+      assert(bad.count() == 0, "week with bad rank structure")
+    } finally out.unpersist()
+  }
+
+  test("union alignment null-pads exactly the source lacking the column") {
+    val rows = SparkEntry.queries("q140_union_align")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows("event")._1 == rows("event")._2,
+      "every event row must have null priority")
+    assert(rows("order")._2 == 0L, "no order row may lose its priority")
+  }
+
   test("ip enrichment joins only /24 blocks passing the ownership filter") {
     val out = SparkEntry.queries("q124_ip_enrich")(spark, sf)
     out.cache()
