@@ -216,6 +216,77 @@ object AnalyticsQueries {
             .as("n_unchanged"))
     }),
 
+    // Triangle counting on the ownership graph (k—k div 2, k—k div 3
+    // undirected): orient every edge low-id -> high-id, join oriented
+    // edge lists on the middle vertex, close with a third join — each
+    // triangle counted exactly once. At 100 TB the orientation key is
+    // (degree, id) instead of id so high-degree hubs sit on the few-
+    // out-edges side (the classic bound that keeps the wedge join
+    // near-linear); id-orientation here keeps the oracle trivially
+    // identical.
+    "q141_triangles" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("q141_customer")
+      s.sql(
+        """WITH raw AS (
+          |  SELECT c_custkey AS k, c_custkey div 2 AS p FROM q141_customer
+          |  WHERE c_custkey div 2 >= 1
+          |  UNION ALL
+          |  SELECT c_custkey, c_custkey div 3 FROM q141_customer
+          |  WHERE c_custkey div 3 >= 1),
+          |e AS (
+          |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
+          |  FROM raw WHERE k <> p),
+          |wedge AS (
+          |  SELECT e1.a, e1.b, e2.b AS c
+          |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
+          |SELECT COUNT(*) AS n_triangles,
+          |  COALESCE(MIN(w.a), -1) AS min_vertex
+          |FROM wedge w JOIN e e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin)
+    }),
+
+    // Market concentration (HHI) of per-user activity within each event
+    // type: Σ n_u² stays integer, the final share normalization is ONE
+    // IEEE divide by N² — so the concentration index gates exactly.
+    // Two partial-aggregated passes, no window.
+    "q142_hhi" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_u"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_u") * col("n_u")).as("sum_sq"),
+          sum(col("n_u")).as("n"))
+        .select(col("event_type"), col("sum_sq"),
+          (col("sum_sq").cast("double") / (col("n") * col("n")))
+            .as("hhi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CDC apply (MERGE semantics in batch): a change log of
+    // deletes / updates / inserts applied to a snapshot with ONE
+    // full-outer join on the key — deletes drop, updates replace,
+    // inserts append, untouched rows pass through. The change log is
+    // derived deterministically (delete %97, update %13, insert %101
+    // under shifted keys) so the oracle can compute the final state
+    // analytically. Money stays integer cents.
+    "q143_cdc_apply" -> ((s, d) => {
+      val cents = org.apache.spark.sql.types.DecimalType(30, 2)
+      val snap = T.orders(s, d).select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(cents) * 100).cast("long").as("c"))
+      val changes = snap.where(col("k") % 97 === 0)
+          .select(col("k"), lit("D").as("op"),
+            lit(null).cast("long").as("new_c"))
+        .unionByName(snap.where(col("k") % 97 =!= 0 && col("k") % 13 === 0)
+          .select(col("k"), lit("U").as("op"),
+            (col("c") + 100).as("new_c")))
+        .unionByName(snap.where(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+            col("c").as("new_c")))
+      snap.join(changes, Seq("k"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("new_c"), col("c")).as("c"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
+    }),
+
     // LOCF imputation (last observation carried forward): forward-fill
     // nulled readings per user with last(_, ignoreNulls) over the unique
     // (t, event_id) order — the standard time-series gap repair, one
@@ -394,6 +465,45 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q141_triangles" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS k, c_custkey // 2 AS p FROM customer
+        |  WHERE c_custkey // 2 >= 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey // 3 FROM customer
+        |  WHERE c_custkey // 3 >= 1),
+        |e AS (
+        |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
+        |  FROM raw WHERE k <> p),
+        |wedge AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
+        |SELECT COUNT(*) AS n_triangles,
+        |  CAST(COALESCE(MIN(w.a), -1) AS BIGINT) AS min_vertex
+        |FROM wedge w JOIN e e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin,
+
+    "q142_hhi" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n_u
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, CAST(SUM(n_u * n_u) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(n_u * n_u) AS DOUBLE) / (SUM(n_u) * SUM(n_u)) AS hhi
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q143_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM snap WHERE k % 97 <> 0) +
+        |       (SELECT COUNT(*) FROM snap WHERE k % 101 = 0) AS BIGINT)
+        |    AS n_rows,
+        |  CAST((SELECT SUM(CASE WHEN k % 13 = 0 THEN c + 100 ELSE c END)
+        |          FROM snap WHERE k % 97 <> 0) +
+        |       (SELECT SUM(c) FROM snap WHERE k % 101 = 0) AS BIGINT)
+        |    AS sum_cents""".stripMargin,
 
     "q138_locf" ->
       """WITH src AS (

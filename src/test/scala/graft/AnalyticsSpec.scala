@@ -125,6 +125,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == 0L, "identity diff must report zero differences")
   }
 
+  test("triangle count matches brute force on the derived graph") {
+    import spark.implicits._
+    val keys = Tables.customer(spark, sf).select(col("c_custkey"))
+      .as[Long].collect()
+    val edges = keys.flatMap(k => Seq(k -> (k / 2), k -> (k / 3)))
+      .filter { case (k, p) => p >= 1 && k != p }
+      .map { case (k, p) => (math.min(k, p), math.max(k, p)) }.toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val brute = (for {
+      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    val got = SparkEntry.queries("q141_triangles")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(got == brute, s"triangles $got != brute $brute")
+    assert(got > 0, "degenerate test: graph has no triangles")
+  }
+
+  test("HHI stays within its analytic bounds") {
+    val bad = SparkEntry.queries("q142_hhi")(spark, sf)
+      .where(col("hhi") <= 0.0 || col("hhi") > 1.0)
+    assert(bad.count() == 0, "HHI out of (0, 1]")
+  }
+
+  test("CDC apply preserves the delete/update/insert row accounting") {
+    val r = SparkEntry.queries("q143_cdc_apply")(spark, sf).collect()(0)
+    val o = Tables.orders(spark, sf)
+    val kept = o.where(col("o_orderkey") % 97 =!= 0).count()
+    val ins = o.where(col("o_orderkey") % 101 === 0).count()
+    assert(r.getLong(0) == kept + ins,
+      s"${r.getLong(0)} != $kept kept + $ins inserted")
+  }
+
   test("LOCF forward-fills exactly from the last non-null observation") {
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
