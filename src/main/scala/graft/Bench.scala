@@ -71,6 +71,7 @@ object Bench {
       operators.IncrementalQueries.dedupIndexFixture(spark, sfDir)
       operators.IncrementalQueries.evolutionFixture(spark, sfDir)
       operators.IncrementalQueries.corruptFixture(spark, sfDir)
+      operators.ScaleQueries.ppmFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

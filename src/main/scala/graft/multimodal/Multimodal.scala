@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * the Spark-native layout for 100 TB multimodal corpora (content stays
   * columnar/compressed in parquet; metadata prunes without touching bytes).
   *
-  * The decode step itself is a STUB: real image/audio codecs are not in this
-  * container, so [[FakeCodec]] is a deterministic stand-in with the same
-  * signature a JNI/FFI decoder would have (bytes → dimensions/format). The
-  * Spark-side plumbing — schema, executor-side batch iteration via
-  * mapPartitions, partition sizing — is real and tested; swapping in a true
-  * codec changes only [[FakeCodec.decode]].
+  * Decode comes in two tiers. [[PpmCodec]] is a REAL codec: binary PPM (P6)
+  * parses with pure JVM byte handling, so that format's decode, feature
+  * extraction, and resize run for real on the executors (q144). Formats
+  * needing native libraries not present in this container (JPEG, audio,
+  * video) keep [[FakeCodec]], a deterministic stand-in with the same
+  * signature a JNI/FFI decoder would have; the Spark-side plumbing —
+  * schema, executor-side batch iteration via mapPartitions, partition
+  * sizing — is identical and swapping in the true codec changes only the
+  * decode body.
   */
 object Multimodal {
 
@@ -38,6 +41,104 @@ object Multimodal {
       }
       (width, height, format)
     }
+  }
+
+  /** REAL codec for binary PPM (P6) images — pure byte-level parsing, no
+    * native libs, so the decode path stops being a stub for this format:
+    * the bytes on disk are an actual image encoding and the executor
+    * decodes them for real. P6 layout: ASCII header `P6 <w> <h> <maxval>`
+    * (whitespace-separated, `#` comments allowed) followed by one
+    * whitespace byte and `w*h*3` raw RGB bytes. */
+  object PpmCodec {
+
+    def encode(w: Int, h: Int,
+        pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = header.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pix(x, y)
+          out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** (width, height, rgb bytes). Throws on malformed input — corrupt
+      * media routes through the quarantine pattern (q122), not here. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var p = 0
+      def skipWs(): Unit = {
+        var in = true
+        while (in && p < bytes.length) {
+          val c = bytes(p).toChar
+          if (c == '#') while (p < bytes.length && bytes(p) != '\n') p += 1
+          else if (c.isWhitespace) p += 1
+          else in = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        while (p < bytes.length && bytes(p).toChar.isDigit) {
+          v = v * 10 + (bytes(p) - '0'); p += 1
+        }
+        v
+      }
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "not a P6 PPM")
+      p = 2
+      val w = int(); val h = int(); val maxVal = int()
+      require(maxVal == 255, s"unsupported maxval $maxVal")
+      p += 1 // single whitespace after maxval
+      val px = java.util.Arrays.copyOfRange(bytes, p, p + w * h * 3)
+      (w, h, px)
+    }
+  }
+
+  final case class PpmStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, thumb_sum: Long)
+
+  /** Executor-side REAL decode of PPM content + feature extraction (per-
+    * channel sums) + 8x8 nearest-neighbor thumbnail checksum — the full
+    * decode → feature → resize chain, batch-iterated per partition with
+    * no shuffle. */
+  def decodePpm(df: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[PpmStats] = Encoders.product[PpmStats]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, px) = PpmCodec.decode(r.content)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            sr += px(i) & 0xff; sg += px(i + 1) & 0xff
+            sb += px(i + 2) & 0xff
+            i += 3
+          }
+          // 8x8 nearest-neighbor resize, checksummed over all channels
+          var ts = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val sx = xx * w / 8; val sy = yy * h / 8
+              val o = (sy * w + sx) * 3
+              ts += (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+              xx += 1
+            }
+            yy += 1
+          }
+          PpmStats(r.doc_id, w, h, sr, sg, sb, ts)
+        }
+      }.toDF()
   }
 
   /** Pack a text corpus into the multimodal layout (binary content +

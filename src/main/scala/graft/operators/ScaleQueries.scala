@@ -29,7 +29,51 @@ object ScaleQueries {
     T.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("t"))
 
+  /** Real P6 PPM images, one per document, generated from a deterministic
+    * pixel schedule so the oracle can recompute every decoded statistic
+    * analytically. Written once per sf. */
+  private[graft] def ppmFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_ppm")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 17).toInt
+            val h = (16 + id % 13).toInt
+            val bytes = graft.multimodal.Multimodal.PpmCodec.encode(w, h,
+              (x, y) => (((x * 31 + y * 17 + id) % 256).toInt,
+                ((x * 7 + y * 3) % 256).toInt,
+                ((x + y + id) % 256).toInt))
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // REAL image decode: the PPM corpus is decoded byte-for-byte on the
+    // executors (PpmCodec — an actual P6 parser, not the FakeCodec
+    // stub), features (per-channel sums) and an 8x8 nearest-neighbor
+    // thumbnail checksum extracted in the same partition pass, no
+    // shuffle until the final tiny aggregate. The oracle recomputes
+    // every statistic from the pixel schedule — so a single decoded
+    // byte out of place fails the gate.
+    "q144_ppm_decode" -> ((s, d) => {
+      val media = s.read.parquet(ppmFixture(s, d))
+      graft.multimodal.Multimodal.decodePpm(media)
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width").cast("long") * col("height")).as("n_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"),
+          sum(col("thumb_sum")).as("thumb_sum"))
+    }),
 
     // RAG document chunking: fixed-size overlapping character windows
     // (len 500, stride 400) via sequence()+explode — one generated row
@@ -355,6 +399,34 @@ object ScaleQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q144_ppm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |  FROM documents),
+        |full_px AS (
+        |  SELECT doc_id,
+        |    ((x*31 + y*17 + doc_id) % 256) AS r,
+        |    ((x*7 + y*3) % 256) AS g,
+        |    ((x + y + doc_id) % 256) AS b
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+        |thumb AS (
+        |  SELECT doc_id,
+        |    (((i*w//8)*31 + (j*h//8)*17 + doc_id) % 256)
+        |    + (((i*w//8)*7 + (j*h//8)*3) % 256)
+        |    + (((i*w//8) + (j*h//8) + doc_id) % 256) AS v
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i_,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j_)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_images,
+        |  (SELECT CAST(SUM(w*h) AS BIGINT) FROM d) AS n_pixels,
+        |  (SELECT CAST(SUM(r) AS BIGINT) FROM full_px) AS sum_r,
+        |  (SELECT CAST(SUM(g) AS BIGINT) FROM full_px) AS sum_g,
+        |  (SELECT CAST(SUM(b) AS BIGINT) FROM full_px) AS sum_b,
+        |  (SELECT CAST(SUM(v) AS BIGINT) FROM thumb) AS thumb_sum"""
+        .stripMargin,
 
     "q107_doc_chunks" ->
       """WITH chunks AS (

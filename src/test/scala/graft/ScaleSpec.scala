@@ -239,6 +239,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(nPairs > 0)
   }
 
+  // ---- q144 PPM codec -----------------------------------------------------
+
+  test("PPM codec round-trips pixels exactly, including comment headers") {
+    import graft.multimodal.Multimodal.PpmCodec
+    val bytes = PpmCodec.encode(3, 2, (x, y) => (x * 10, y * 20, x + y))
+    val (w, h, px) = PpmCodec.decode(bytes)
+    assert((w, h) == ((3, 2)))
+    assert(px.toSeq == Seq[Byte](0, 0, 0, 10, 0, 1, 20, 0, 2,
+      0, 20, 1, 10, 20, 2, 20, 20, 3))
+    // header comments must be skipped
+    val commented = ("P6\n# a comment line\n3 2\n255\n").getBytes("US-ASCII") ++
+      px
+    val (w2, h2, px2) = PpmCodec.decode(commented)
+    assert((w2, h2) == ((3, 2)) && px2.toSeq == px.toSeq)
+  }
+
+  test("decodePpm computes channel sums the slow way agrees with") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val img = Multimodal.PpmCodec.encode(5, 4,
+      (x, y) => ((x * y) % 256, (x + 200) % 256, 255 - x))
+    val df = Seq((7L, img)).toDF("doc_id", "content")
+    val r = Multimodal.decodePpm(df).collect()(0)
+    val expected = for { y <- 0 until 4; x <- 0 until 5 }
+      yield ((x * y) % 256, (x + 200) % 256, 255 - x)
+    assert(r.getLong(3) == expected.map(_._1).sum.toLong)
+    assert(r.getLong(4) == expected.map(_._2).sum.toLong)
+    assert(r.getLong(5) == expected.map(_._3).sum.toLong)
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
