@@ -72,6 +72,7 @@ object Bench {
       operators.IncrementalQueries.evolutionFixture(spark, sfDir)
       operators.IncrementalQueries.corruptFixture(spark, sfDir)
       operators.ScaleQueries.ppmFixture(spark, sfDir)
+      operators.ScaleQueries.wavFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

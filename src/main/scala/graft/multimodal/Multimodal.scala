@@ -102,6 +102,89 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for WAV / PCM16 mono audio — RIFF container parsing in
+    * pure JVM bytes (chunk walk to `fmt ` and `data`), so audio decode
+    * also runs for real. Little-endian 16-bit samples. */
+  object WavCodec {
+
+    def encode(samples: Array[Short], sampleRate: Int = 16000)
+        : Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** (sampleRate, samples). Walks RIFF chunks; requires PCM16 mono. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF file")
+      bb.getInt // riff size
+      require(tag() == "WAVE", "not a WAVE file")
+      var rate = 0
+      var samples: Array[Short] = null
+      while (samples == null && bb.remaining() >= 8) {
+        val t = tag(); val len = bb.getInt
+        t match {
+          case "fmt " =>
+            val fmt = bb.getShort; val ch = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort
+            val bits = bb.getShort
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"unsupported wav: fmt=$fmt ch=$ch bits=$bits")
+            if (len > 16) bb.position(bb.position() + len - 16)
+          case "data" =>
+            samples = new Array[Short](len / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          case _ => bb.position(bb.position() + len) // skip foreign chunk
+        }
+      }
+      require(samples != null, "no data chunk")
+      (rate, samples)
+    }
+  }
+
+  final case class WavStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+      sum_abs: Long, peak: Long, sum_sq: Long, downsample_sum: Long)
+
+  /** Executor-side REAL WAV decode + signal features: abs-sum, peak,
+    * energy (integer sum of squares), and a decimate-by-4 checksum —
+    * the audio analog of [[decodePpm]], one partition pass, no shuffle. */
+  def decodeWav(df: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[WavStats] = Encoders.product[WavStats]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (rate, s) = WavCodec.decode(r.content)
+          var sa = 0L; var pk = 0L; var sq = 0L; var ds = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            sa += a; if (a > pk) pk = a; sq += v * v
+            if (i % 4 == 0) ds += v
+            i += 1
+          }
+          WavStats(r.doc_id, rate, s.length.toLong, sa, pk, sq, ds)
+        }
+      }.toDF()
+  }
+
   final case class PpmStats(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, thumb_sum: Long)
 

@@ -55,7 +55,46 @@ object ScaleQueries {
     out
   }
 
+  /** Real PCM16 WAV clips, one per document, samples from a deterministic
+    * schedule (the audio analog of [[ppmFixture]]). */
+  private[graft] def wavFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_wav")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (1000 + id % 501).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((i.toLong * 37 + id * 11) % 4096) - 2048).toShort)
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.WavCodec.encode(samples))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // REAL audio decode: PCM16 WAV clips parsed by the RIFF chunk walk
+    // on the executors, signal features (abs-sum, peak, integer energy,
+    // decimate-by-4 checksum) extracted in the same pass. Oracle
+    // recomputes everything from the sample schedule — a single decoded
+    // sample out of place fails the gate.
+    "q145_wav_decode" -> ((s, d) => {
+      val media = s.read.parquet(wavFixture(s, d))
+      graft.multimodal.Multimodal.decodeWav(media)
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("sum_abs")).as("sum_abs"),
+          max(col("peak")).as("peak"),
+          sum(col("sum_sq")).as("sum_sq"),
+          sum(col("downsample_sum")).as("downsample_sum"))
+    }),
 
     // REAL image decode: the PPM corpus is decoded byte-for-byte on the
     // executors (PpmCodec — an actual P6 parser, not the FakeCodec
@@ -399,6 +438,22 @@ object ScaleQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q145_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1000 + doc_id % 501 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, ((i * 37 + doc_id * 11) % 4096) - 2048 AS v, i
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+        |    i_)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_clips,
+        |  (SELECT CAST(SUM(n) AS BIGINT) FROM d) AS n_samples,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
+        |    AS downsample_sum
+        |FROM s""".stripMargin,
 
     "q144_ppm_decode" ->
       """WITH d AS (

@@ -269,6 +269,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getLong(5) == expected.map(_._3).sum.toLong)
   }
 
+  // ---- q145 WAV codec -----------------------------------------------------
+
+  test("WAV codec round-trips samples exactly and skips foreign chunks") {
+    import graft.multimodal.Multimodal.WavCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val (rate, back) = WavCodec.decode(WavCodec.encode(samples, 8000))
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // inject a LIST chunk between fmt and data — the walk must skip it
+    val bytes = WavCodec.encode(samples, 8000)
+    val withList = {
+      val head = bytes.slice(0, 36) // RIFF..fmt chunk end
+      val tail = bytes.slice(36, bytes.length) // data chunk
+      val extra = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      head ++ extra ++ tail
+    }
+    val (_, back2) = WavCodec.decode(withList)
+    assert(back2.toSeq == samples.toSeq, "foreign chunk broke the walk")
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
