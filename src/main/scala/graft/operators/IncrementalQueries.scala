@@ -282,10 +282,18 @@ object IncrementalQueries {
         }
         .start()
       q.awaitTermination()
-      graft.sinks.JdbcSink.read(s, url, "totals", props)
+      val out = graft.sinks.JdbcSink.read(s, url, "totals", props)
         .select(col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
         .orderBy(col("event_type"))
+      // materialize the (grouping-cardinality-bounded) result, then DROP
+      // the per-invocation in-memory Derby DB — repeated invocations in
+      // one JVM (the bench) would otherwise accumulate heap
+      val rows = out.collect()
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:memory:graft$dbId;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq), out.schema)
     }),
 
     // Null-safe join (<=>): NULL keys match NULL keys — the semantic SQL
