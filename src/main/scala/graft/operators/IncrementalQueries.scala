@@ -197,6 +197,74 @@ object IncrementalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Winsorization (outlier clipping before training): per-type p10/p90
+    // cutoffs selected by RANK (real data values — exact in any engine),
+    // broadcast back onto the scan, rows clamped into [p10, p90]. The
+    // clamped sum routes through decimal so it gates bit-for-bit; clip
+    // counts are integers. ceil(n*0.1) is the same IEEE multiply in
+    // every engine, so even the non-binary fraction is safe.
+    "q146_winsorize" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val byV = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy(col("event_type"))
+      val e = T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val cuts = e
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.1), col("value")))
+            .as("p10"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("value")))
+            .as("p90"))
+      e.join(broadcast(cuts), "event_type")
+        .withColumn("clamped",
+          least(greatest(col("value"), col("p10")), col("p90")))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < col("p10"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("value") > col("p90"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          sum(col("clamped").cast(dec)).cast("double").as("sum_clamped"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Robust scaling (median/IQR feature normalization): cutoffs by rank
+    // selection, per-row scale (v - med) / iqr — every per-row IEEE op
+    // is bit-deterministic; only SUMS of doubles are order-sensitive, so
+    // the aggregate outputs are order-free (counts, min, max).
+    "q147_robust_scale" -> ((s, d) => {
+      val byV = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy(col("event_type"))
+      val e = T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val cuts = e
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25), col("value")))
+            .as("q1"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+            .as("med"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("value")))
+            .as("q3"))
+      e.join(broadcast(cuts), "event_type")
+        .withColumn("scaled",
+          (col("value") - col("med")) / (col("q3") - col("q1")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("scaled")) > 2.0, 1L).otherwise(0L))
+            .as("n_outliers"),
+          min(col("scaled")).as("min_scaled"),
+          max(col("scaled")).as("max_scaled"))
+        .orderBy(col("event_type"))
+    }),
+
     // Schema-evolution read: two generations of a landing zone (v2 added
     // o_orderpriority) read as ONE table via mergeSchema; missing columns
     // surface as NULL. The aggregate proves both generations land and
@@ -374,6 +442,49 @@ object IncrementalQueries {
         |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q75,
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q146_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), cuts AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.1) THEN value END) AS p10,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(SUM(CASE WHEN e.value < c.p10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN e.value > c.p90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(SUM(CAST(LEAST(GREATEST(e.value, c.p10), c.p90)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_clamped
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q147_robust_scale" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), cuts AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.25) THEN value END) AS q1,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q3
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs((e.value - c.med) / (c.q3 - c.q1)) > 2.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MIN((e.value - c.med) / (c.q3 - c.q1)) AS min_scaled,
+        |  MAX((e.value - c.med) / (c.q3 - c.q1)) AS max_scaled
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q120_schema_evolution" -> {
       val s = graft.Det.sqlSum("o_totalprice")

@@ -170,6 +170,31 @@ class IncrementalSpec extends AnyFunSuite {
     assert(after.getDecimal(2).doubleValue() == 13.0, "sum should accumulate")
   }
 
+  // ---- q146/q147 winsorize + robust scale ---------------------------------
+
+  test("winsorize clips roughly the expected tail mass and nothing else") {
+    val out = SparkEntry.queries("q146_winsorize")(spark, sf)
+    out.cache()
+    try {
+      val counts = Tables.events(spark, sf)
+        .groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.collect().foreach { r =>
+        val n = counts(r.getString(0))
+        // rank cutoffs: <= 10% below p10, <= 10% above p90
+        assert(r.getLong(1) <= n / 10 + 1, s"low clip ${r.getLong(1)} of $n")
+        assert(r.getLong(2) <= n / 10 + 1, s"high clip ${r.getLong(2)} of $n")
+      }
+    } finally out.unpersist()
+  }
+
+  test("robust scaling centers the median at zero") {
+    // the median row itself scales to exactly 0, so min <= 0 <= max
+    val bad = SparkEntry.queries("q147_robust_scale")(spark, sf)
+      .where(col("min_scaled") > 0.0 || col("max_scaled") < 0.0)
+    assert(bad.count() == 0)
+  }
+
   // ---- q123 null-safe join -----------------------------------------------
 
   test("null-safe join matches the null bucket exactly once") {
