@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+
+/** Codegen'd media metadata peek.
+  *
+  * Pruning a multimodal corpus by image dimensions must NOT decode pixels:
+  * at 100 TB the difference between "parse 15 header bytes" and "copy
+  * w·h·3 pixel bytes per row" is the scan budget. [[PpmDim]] reads the
+  * P6 header (magic, whitespace, `#` comments, two ASCII ints) inside
+  * whole-stage codegen — a tight byte loop with no allocation — so a
+  * dimension filter over binary content stays a codegen'd scan predicate,
+  * same tier as [[DotProductF]].
+  */
+case class PpmDim(child: Expression, idx: Int) extends UnaryExpression {
+
+  require(idx == 1 || idx == 2, s"idx must be 1 (width) or 2 (height)")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"ppm_dim expects binary, got $t")
+    }
+
+  /** -1 when the bytes are not a parseable P6 header — malformed media
+    * routes to quarantine (q122 pattern) by filtering on the sentinel,
+    * not by throwing mid-scan. */
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var res = -1
+    if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+      var p = 2; var cur = 0; var in = false; var seen = 0
+      while (res == -1 && p < b.length) {
+        val c = (b(p) & 0xff).toChar
+        if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+        else if (c >= '0' && c <= '9') { cur = cur * 10 + (c - '0'); in = true }
+        else if (in) {
+          seen += 1
+          if (seen == idx) res = cur
+          cur = 0; in = false
+        }
+        p += 1
+      }
+      if (res == -1 && in && seen + 1 == idx) res = cur
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, b => {
+      val p = ctx.freshName("p")
+      val cur = ctx.freshName("cur")
+      val in = ctx.freshName("in")
+      val seen = ctx.freshName("seen")
+      val res = ctx.freshName("res")
+      val c = ctx.freshName("c")
+      s"""
+         |int $res = -1;
+         |if ($b.length >= 2 && $b[0] == (byte) 'P' && $b[1] == (byte) '6') {
+         |  int $p = 2; int $cur = 0; boolean $in = false; int $seen = 0;
+         |  while ($res == -1 && $p < $b.length) {
+         |    char $c = (char) ($b[$p] & 0xff);
+         |    if ($c == '#') {
+         |      while ($p < $b.length && $b[$p] != (byte) '\\n') $p++;
+         |    } else if ($c >= '0' && $c <= '9') {
+         |      $cur = $cur * 10 + ($c - '0'); $in = true;
+         |    } else if ($in) {
+         |      $seen++;
+         |      if ($seen == $idx) $res = $cur;
+         |      $cur = 0; $in = false;
+         |    }
+         |    $p++;
+         |  }
+         |  if ($res == -1 && $in && $seen + 1 == $idx) $res = $cur;
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmDim =
+    copy(child = newChild)
+}
+
+object MediaOps {
+  /** Header-peeked PPM width (-1 if not P6). */
+  def ppmWidth(content: Column): Column =
+    GraftSqlBridge.column(PpmDim(GraftSqlBridge.expression(content), 1))
+
+  /** Header-peeked PPM height (-1 if not P6). */
+  def ppmHeight(content: Column): Column =
+    GraftSqlBridge.column(PpmDim(GraftSqlBridge.expression(content), 2))
+}

@@ -113,7 +113,93 @@ object IncrementalQueries {
     }
   }
 
+  final case class GaugeState(n: Long, nNull: Long, bestT: Long,
+      bestId: Long, bestV: Option[Double])
+  final case class GaugeUpdate(user_id: Long, n_events: Long,
+      n_nulled: Long, best_t: Long, last_value: Option[Double])
+
+  /** Arrival-order-insensitive latest-gauge tracker (q148): per key,
+    * keep event count, null count, and the non-null reading with the
+    * highest (t, event_id) — a commutative fold, so out-of-order
+    * micro-batches converge to the same state a batch pass computes.
+    * transformWithState with one ValueState per key on RocksDB. */
+  final class GaugeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Option[Double]), GaugeUpdate] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[GaugeState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[GaugeState]("gauge",
+        org.apache.spark.sql.Encoders.product[GaugeState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Option[Double])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[GaugeUpdate] = {
+      var s = Option(st.get())
+        .getOrElse(GaugeState(0L, 0L, Long.MinValue, Long.MinValue, None))
+      rows.foreach { case (_, id, t, v) =>
+        val nn = s.nNull + (if (v.isEmpty) 1L else 0L)
+        val newer = t > s.bestT || (t == s.bestT && id > s.bestId)
+        s = v match {
+          case Some(_) if newer => GaugeState(s.n + 1, nn, t, id, v)
+          case _ => s.copy(n = s.n + 1, nNull = nn)
+        }
+      }
+      st.update(s)
+      Iterator.single(GaugeUpdate(key, s.n, s.nNull, s.bestT, s.bestV))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming latest-gauge materialization: the stateful tracker every
+    // metrics pipeline needs — per user, the newest non-null reading plus
+    // event/null accounting, maintained across micro-batches by a
+    // commutative transformWithState fold (ValueState on RocksDB), so
+    // file-arrival order cannot change the result. The oracle is the
+    // batch equivalent (arg_max over the same nulled readings).
+    "q148_stream_gauge" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = FrontierQueries.eventsSplitFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("user_id").cast("long").as("uid"),
+          col("event_id"), unix_micros(col("ts")).as("t"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .as[(Long, Long, Long, Option[Double])]
+      val updates = stream.groupByKey(_._1)
+        .transformWithState(new GaugeProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        .toDF("user_id", "n_events", "n_nulled", "best_t", "last_value")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        graft.streaming.StreamingCollect.runBounded(s, updates,
+            "q148_stream_gauge_sink",
+            statePartitions = 2, outputMode = "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_nulled")).as("n_nulled"),
+            max_by(col("last_value"), col("best_t")).as("last_value"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
 
     // Incremental near-dup dedup: the new batch (doc_id % 10 == 0) is
     // checked against the persisted history band index. Per-batch cost:
@@ -442,6 +528,17 @@ object IncrementalQueries {
         |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q75,
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q148_stream_gauge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulled,
+        |  arg_max(v, t) FILTER (WHERE v IS NOT NULL) AS last_value
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q146_winsorize" ->
       """WITH r AS (

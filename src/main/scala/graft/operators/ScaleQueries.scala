@@ -96,6 +96,24 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Metadata peek WITHOUT decode: a codegen'd Catalyst expression
+    // (functions.MediaOps.PpmDim) parses only the PPM header bytes
+    // inside whole-stage codegen, so pruning the corpus by image
+    // dimensions never touches pixel data — at 100 TB the difference
+    // between reading 15 header bytes and copying w*h*3 per row IS the
+    // scan budget. Oracle recomputes from the generation schedule.
+    "q149_ppm_peek" -> ((s, d) => {
+      val media = s.read.parquet(ppmFixture(s, d))
+      media.select(
+          graft.functions.MediaOps.ppmWidth(col("content")).as("w"),
+          graft.functions.MediaOps.ppmHeight(col("content")).as("h"))
+        .where(col("w") >= 24)
+        .agg(count(lit(1)).as("n_large"),
+          sum(col("w").cast("long")).as("sum_w"),
+          sum(col("h").cast("long")).as("sum_h"),
+          min(col("w")).as("min_w"))
+    }),
+
     // REAL image decode: the PPM corpus is decoded byte-for-byte on the
     // executors (PpmCodec — an actual P6 parser, not the FakeCodec
     // stub), features (per-channel sums) and an 8x8 nearest-neighbor
@@ -454,6 +472,13 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q149_ppm_peek" ->
+      """SELECT COUNT(*) AS n_large,
+        |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
+        |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
+        |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
+        |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
 
     "q144_ppm_decode" ->
       """WITH d AS (

@@ -289,6 +289,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(back2.toSeq == samples.toSeq, "foreign chunk broke the walk")
   }
 
+  // ---- q149 PPM header peek (codegen Expression) --------------------------
+
+  test("PpmDim peeks dimensions in codegen and interpreted modes alike") {
+    import spark.implicits._
+    import graft.functions.MediaOps
+    import graft.multimodal.Multimodal.PpmCodec
+    val img = PpmCodec.encode(123, 45, (_, _) => (1, 2, 3))
+    val rows = Seq((1L, img), (2L, "not an image".getBytes("US-ASCII")),
+      (3L, ("P6\n# c\n7 9\n255\n" + "x" * 189).getBytes("US-ASCII")))
+      .toDF("id", "content")
+    val got = rows.select(col("id"),
+        MediaOps.ppmWidth(col("content")).as("w"),
+        MediaOps.ppmHeight(col("content")).as("h"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 123, 45), (2L, -1, -1), (3L, 7, 9)), s"$got")
+    // interpreted path must agree with codegen
+    val e = graft.functions.PpmDim(
+      org.apache.spark.sql.catalyst.expressions.Literal(img), 1)
+    assert(e.eval(null) == 123)
+  }
+
+  test("dimension pruning stays inside whole-stage codegen, no decode") {
+    val dir = operators.ScaleQueries.ppmFixture(spark, sf)
+    val df = spark.read.parquet(dir).select(
+      graft.functions.MediaOps.ppmWidth(col("content")).as("w"))
+      .where(col("w") >= 24)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen span;
+    // the filter evaluating ppmdim must carry one
+    assert("""\*\(\d+\) Filter .*ppmdim""".r.findFirstIn(plan).isDefined,
+      s"ppmdim filter not codegen'd in:\n$plan")
+    assert(!plan.contains("mapPartitions"),
+      "peek must not fall back to a decode pass")
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
