@@ -62,6 +62,30 @@ object IncrementalQueries {
     out
   }
 
+  /** Events file, then a SECOND file (strictly later mtime, so the file
+    * source schedules it second) whose rows sit 10 days behind — the
+    * late-data fixture for q151. */
+  private[graft] def lateFixture(s: SparkSession, d: String): String = {
+    val out = Scratch.fixtureDir(d, "events_late")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val ev = T.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      // the file source schedules oldest-mtime first (latestFirst=false):
+      // push the on-time file well into the past so the late file is
+      // unambiguously the SECOND batch
+      val now = System.currentTimeMillis()
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.setLastModified(now - 3600000L))
+      ev.where(col("event_id") < 50)
+        .select((col("event_id") + 20000000L).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) - 864000000000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(out)
+    }
+    out
+  }
+
   /** JSON-lines landing file where every doc_id divisible by 7 is a
     * truncated (malformed) record — the corrupt-quarantine fixture. */
   private[graft] def corruptFixture(s: SparkSession, d: String): String = {
@@ -281,6 +305,57 @@ object IncrementalQueries {
             .as("q75"),
           max(col("n")).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // Late-data ROUTING with an explicit high-water mark: Spark's own
+    // watermark is a state-eviction bound, NOT a routing contract —
+    // observed on this Spark: a row 10 days behind the watermark is
+    // aggregated into fresh state (and in append mode re-emitted), not
+    // dropped. A production pipeline therefore routes late rows
+    // explicitly: each micro-batch compares event times against the
+    // running high-water mark minus the allowed lateness and lands
+    // on-time rows in the main zone, late rows in a quarantine zone
+    // (the dead-letter pattern, same shape as q122's corrupt routing).
+    // The mark is one long carried across batches — O(1) driver state.
+    "q151_late_routing" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = lateFixture(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val base = s"${Scratch.root}/graft_late_route/" +
+        java.util.UUID.randomUUID
+      val lateness = 3600000000L // 1 hour in micros
+      @volatile var highWater = Long.MinValue
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            val cutoff =
+              if (highWater == Long.MinValue) Long.MinValue
+              else highWater - lateness
+            val t = unix_micros(col("ts"))
+            batch.where(t >= cutoff)
+              .write.mode("append").parquet(s"$base/main")
+            batch.where(t < cutoff)
+              .write.mode("append").parquet(s"$base/late")
+            val mx = batch.agg(max(t)).collect()(0) // bounded: one scalar
+            if (!mx.isNullAt(0))
+              highWater = math.max(highWater, mx.getLong(0))
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val main = s.read.parquet(s"$base/main")
+      val late =
+        try s.read.parquet(s"$base/late")
+        catch { case _: Throwable => main.limit(0) }
+      main.agg(count(lit(1)).as("n_on_time")).crossJoin(
+        late.agg(count(lit(1)).as("n_late"),
+          sum(col("value").cast(dec)).cast("double").as("late_sum")))
     }),
 
     // Winsorization (outlier clipping before training): per-type p10/p90
@@ -528,6 +603,13 @@ object IncrementalQueries {
         |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q75,
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q151_late_routing" -> {
+      val s = graft.Det.sqlSum("value")
+      s"""SELECT (SELECT COUNT(*) FROM events) AS n_on_time,
+         |  COUNT(*) AS n_late, $s AS late_sum
+         |FROM events WHERE event_id < 50""".stripMargin
+    },
 
     "q148_stream_gauge" ->
       """WITH e AS (

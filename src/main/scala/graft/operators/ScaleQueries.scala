@@ -96,6 +96,36 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Token-balanced training shards via a SCALABLE global prefix sum:
+    // a naive cumulative sum is a single-partition window (one task owns
+    // the whole corpus); the two-pass form — per-partition subtotals,
+    // tiny broadcast of partition offsets, per-partition running sum —
+    // computes the identical cumsum with every partition working in
+    // parallel. Shard id = floor(prefix / target): each shard closes as
+    // its token budget fills, the standard packing for training shards.
+    "q150_token_shards" -> ((s, d) => {
+      val target = 20000L
+      val parts = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val offsets = parts.groupBy(col("pid"))
+        .agg(sum(col("n_chars")).as("psum"))
+        .withColumn("offset",
+          coalesce(sum(col("psum")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      val byDoc = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("cum", col("offset") + sum(col("n_chars")).over(byDoc))
+        .withColumn("shard", expr(s"(cum - n_chars) div $target"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard"))
+    }),
+
     // Metadata peek WITHOUT decode: a codegen'd Catalyst expression
     // (functions.MediaOps.PpmDim) parses only the PPM header bytes
     // inside whole-stage codegen, so pruning the corpus by image
@@ -472,6 +502,16 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q150_token_shards" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM documents)
+        |SELECT (cum - n_chars) // 20000 AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q149_ppm_peek" ->
       """SELECT COUNT(*) AS n_large,

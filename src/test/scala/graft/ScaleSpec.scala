@@ -289,6 +289,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(back2.toSeq == samples.toSeq, "foreign chunk broke the walk")
   }
 
+  // ---- q150 token shards --------------------------------------------------
+
+  test("two-pass prefix sum equals the single-window cumsum exactly") {
+    val got = SparkEntry.queries("q150_token_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("shard", expr("(cum - n_chars) div 20000"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive, s"two-pass $got != naive $naive")
+  }
+
+  test("shards are contiguous and respect the budget up to one document") {
+    val rows = SparkEntry.queries("q150_token_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong).toSeq,
+      "shard ids must be contiguous from 0")
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(col("n_chars"))).collect()(0).getLong(0)
+    rows.foreach { case (id, chars) =>
+      assert(chars <= 20000 + maxDoc, s"shard $id over budget: $chars")
+    }
+  }
+
   // ---- q149 PPM header peek (codegen Expression) --------------------------
 
   test("PpmDim peeks dimensions in codegen and interpreted modes alike") {
