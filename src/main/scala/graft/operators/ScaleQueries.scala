@@ -96,6 +96,53 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Join-skew pre-flight: the diagnosis a salted join (SkewJoin /
+    // AQE skew handling) needs BEFORE it runs — per-key share of the
+    // join input, hot keys flagged by integer cross-multiplication
+    // (20·n_k > n ⇔ share > 5%), no division anywhere. One partial-
+    // aggregated pass; the key histogram is the only shuffled data.
+    // A planted routing key gives one genuinely hot key (~50% share).
+    "q152_skew_diagnose" -> ((s, d) => {
+      val k = when(col("event_id") % 4 < 2, lit(-1L))
+        .otherwise(col("user_id"))
+      val counts = T.events(s, d).select(k.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val total = counts.agg(sum(col("n_k")).as("n"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("hot", col("n_k") * 20 > col("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("hot"), 1L).otherwise(0L)).as("n_hot"),
+          max(when(col("hot"), col("n_k"))).as("hottest_n"),
+          min(when(col("hot"), col("k"))).as("hottest_k"))
+    }),
+
+    // Bloom-filter quality audit: membership over the even customer
+    // keys, probed with the DISJOINT odd keys. The zero-false-negative
+    // guarantee is exact (every member passes); the false-positive rate
+    // on non-members must stay within 2x the configured fpp — emitted
+    // as deterministic booleans (the bloom bit pattern is a pure
+    // function of the inserted key set), the same one-sided bound gate
+    // as the count-min sketch (q95).
+    "q153_bloom_fpp" -> ((s, d) => {
+      import graft.functions.BloomPrune
+      val members = T.customer(s, d).where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      val nonMembers = T.customer(s, d).where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"))
+      val bloom = BloomPrune.buildLong(members, "c_custkey",
+        expectedItems = 10000L, fpp = 0.03)
+      val pass = BloomPrune.mightContainLong(bloom, col("c_custkey"))
+      val m = members.agg(count(lit(1)).as("n_members"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_members_pass"))
+      val f = nonMembers.agg(count(lit(1)).as("n_probes"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_fp"))
+      m.crossJoin(f)
+        .select(col("n_members"),
+          (col("n_members_pass") === col("n_members"))
+            .as("members_all_pass"),
+          (col("n_fp") * 100 <= col("n_probes") * 6).as("fp_bound_ok"))
+    }),
+
     // Token-balanced training shards via a SCALABLE global prefix sum:
     // a naive cumulative sum is a single-partition window (one task owns
     // the whole corpus); the two-pass form — per-partition subtotals,
@@ -502,6 +549,24 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q152_skew_diagnose" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN event_id % 4 < 2 THEN -1 ELSE user_id END AS k,
+        |    COUNT(*) AS n_k
+        |  FROM events GROUP BY k
+        |), t AS (SELECT SUM(n_k) AS n FROM c)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN n_k * 20 > n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hot,
+        |  MAX(CASE WHEN n_k * 20 > n THEN n_k END) AS hottest_n,
+        |  MIN(CASE WHEN n_k * 20 > n THEN k END) AS hottest_k
+        |FROM c, t""".stripMargin,
+
+    "q153_bloom_fpp" ->
+      """SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0)
+        |    AS n_members,
+        |  TRUE AS members_all_pass, TRUE AS fp_bound_ok""".stripMargin,
 
     "q150_token_shards" ->
       """WITH c AS (
