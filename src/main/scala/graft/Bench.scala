@@ -73,6 +73,8 @@ object Bench {
       operators.IncrementalQueries.corruptFixture(spark, sfDir)
       operators.ScaleQueries.ppmFixture(spark, sfDir)
       operators.ScaleQueries.wavFixture(spark, sfDir)
+      operators.ScaleQueries.mixedZoneFixture(spark, sfDir)
+      operators.IncrementalQueries.lateFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -55,6 +55,49 @@ object ScaleQueries {
     out
   }
 
+  /** Mixed-format landing zone: lineitem routed disjointly into gzip CSV
+    * (k%3=0, plus the k%3=2 overflow above the zip cap), JSON lines
+    * (k%3=1), and single-entry ZIP archives (k%3=2 below the cap — the
+    * zip build collects, so it stays bounded). The three slices are
+    * disjoint and complete, so their union must equal the source table. */
+  private[graft] def mixedZoneFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "mixed_zone")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val zipCap = 30000L
+      val li = T.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"))
+      val k = col("l_orderkey")
+      li.where(k % 3 === 0 || (k % 3 === 2 && k >= zipCap))
+        .select(concat_ws(",", col("l_orderkey"),
+          format_string("%.6f", col("l_quantity")),
+          col("l_returnflag")).as("value"))
+        .write.option("compression", "gzip").mode("overwrite")
+        .text(s"$out/csv")
+      li.where(k % 3 === 1)
+        .select(to_json(struct(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"))).as("value"))
+        .write.mode("overwrite").text(s"$out/json")
+      val zipRows = li.where(k % 3 === 2 && k < zipCap)
+        .orderBy(col("l_orderkey"))
+        .select(concat_ws(",", col("l_orderkey"),
+          format_string("%.6f", col("l_quantity")),
+          col("l_returnflag")).as("v"))
+        .collect().map(_.getString(0))
+      new java.io.File(s"$out/zip").mkdirs()
+      import java.util.zip.{ZipEntry, ZipOutputStream}
+      zipRows.grouped(5000).zipWithIndex.foreach { case (chunk, i) =>
+        val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(s"$out/zip/part$i.zip")))
+        zos.putNextEntry(new ZipEntry(s"part$i.csv"))
+        zos.write((chunk.mkString("\n") + "\n").getBytes("UTF-8"))
+        zos.closeEntry()
+        zos.close()
+      }
+      new java.io.File(s"$out/_SUCCESS").createNewFile()
+    }
+    out
+  }
+
   /** Real PCM16 WAV clips, one per document, samples from a deterministic
     * schedule (the audio analog of [[ppmFixture]]). */
   private[graft] def wavFixture(s: SparkSession, d: String): String = {
@@ -94,6 +137,30 @@ object ScaleQueries {
           max(col("peak")).as("peak"),
           sum(col("sum_sq")).as("sum_sq"),
           sum(col("downsample_sum")).as("downsample_sum"))
+    }),
+
+    // Mixed-format landing zone, ONE ingest pass: the reference's full
+    // format matrix (gzip CSV, JSON lines, single-entry ZIP) lands in
+    // one union — each source parses with its native distributed reader
+    // and the three partitions of the corpus reunite losslessly (the
+    // oracle is the aggregate over the ORIGINAL table, so a row lost or
+    // mangled by any format path fails the gate).
+    "q154_mixed_ingest" -> ((s, d) => {
+      val dir = mixedZoneFixture(s, d)
+      val schemaDDL = "l_orderkey LONG, l_quantity DOUBLE, l_returnflag STRING"
+      val csvSide = s.read.schema(schemaDDL).csv(s"$dir/csv")
+      val jsonSide = s.read.schema(schemaDDL).json(s"$dir/json")
+      val zipSide = graft.sources.IngestReader.zipLines(s, s"$dir/zip")
+        .select(split(col("line"), ",").as("f"))
+        .select(col("f").getItem(0).cast("long").as("l_orderkey"),
+          col("f").getItem(1).cast("double").as("l_quantity"),
+          col("f").getItem(2).as("l_returnflag"))
+      csvSide.unionByName(jsonSide).unionByName(zipSide)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // Join-skew pre-flight: the diagnosis a salted join (SkewJoin /
@@ -549,6 +616,14 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q154_mixed_ingest" -> {
+      val q = Det.sqlSum("l_quantity")
+      s"""SELECT l_returnflag, COUNT(*) AS n, $q AS sum_qty,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "q152_skew_diagnose" ->
       """WITH c AS (
