@@ -31,7 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 152 queries in one JVM at local[32]: 8g left the old-gen near-full
+  // for the tail of the bench (allocation-heavy queries randomly paid
+  // 5-6x in GC — q99 went 8s -> 55s in one run). The host has 128 GiB;
+  // give the single local-mode JVM a real executor's share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Dozens of whole-stage-codegen classes across the query registry can
   // fill the default 240m code cache mid-run, silently disabling the JIT
   // (10-50x slowdown for everything after).
