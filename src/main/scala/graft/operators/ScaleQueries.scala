@@ -139,6 +139,34 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Nested-document round trip: order-line documents ASSEMBLED
+    // (collect_list of structs → to_json) and then DEEP-FLATTENED
+    // (from_json with a declared schema → explode) — the two directions
+    // of the nested/relational boundary every document pipeline crosses,
+    // all in column algebra. The oracle aggregates the original flat
+    // table, so the nested round trip must be lossless: a dropped line,
+    // a mangled number, or a mis-parsed array fails the hash.
+    "q155_nested_json" -> ((s, d) => {
+      val docs = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty")))).as("lines"))
+        .select(to_json(struct(col("l_orderkey").as("order"),
+          col("lines"))).as("doc"))
+      docs
+        .select(from_json(col("doc"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "order BIGINT, lines ARRAY<STRUCT<ln: INT, qty: DOUBLE>>"))
+          .as("o"))
+        .select(col("o.order").as("order"),
+          explode(col("o.lines")).as("line"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("order")).as("n_orders"),
+          Det.dsum(col("line.qty")).as("sum_qty"),
+          sum(col("line.ln").cast("long")).as("sum_ln"))
+    }),
+
     // Mixed-format landing zone, ONE ingest pass: the reference's full
     // format matrix (gzip CSV, JSON lines, single-entry ZIP) lands in
     // one union — each source parses with its native distributed reader
@@ -616,6 +644,15 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q155_nested_json" -> {
+      val q = Det.sqlSum("l_quantity")
+      s"""SELECT COUNT(*) AS n_lines,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders,
+         |  $q AS sum_qty,
+         |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+         |FROM lineitem""".stripMargin
+    },
 
     "q154_mixed_ingest" -> {
       val q = Det.sqlSum("l_quantity")

@@ -149,4 +149,34 @@ class ExplainSpec extends AnyFunSuite {
     }
     assert(scans.size == 1, s"corpus scanned ${scans.size}x:\n$sp")
   }
+
+  // ---- round-3 additions ---------------------------------------------------
+
+  test("q110 outlier screen broadcasts the per-type stats, never shuffles") {
+    val p = plan("q110_outlier_screen")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join sort-merged:\n$p")
+  }
+
+  test("q118 OOV marking is a broadcast anti-join against the tiny vocab") {
+    val p = plan("q118_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"vocab anti-join not broadcast in:\n$p")
+  }
+
+  test("q126 retention reduces the activity matrix before the cohort join") {
+    val p = plan("q126_retention")
+    // the distinct (user, week) aggregate must sit below the join — a
+    // plan joining raw events would shuffle the corpus twice
+    val aggIdx = p.indexOf("partial_")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+      p.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0,
+      s"expected both agg and join in:\n$p")
+  }
+
+  test("q146 winsorize broadcasts rank cutoffs back onto the scan") {
+    val p = plan("q146_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$p")
+  }
 }
