@@ -287,6 +287,36 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Time-weighted average (TWAP): each reading holds until the next
+    // one, so its weight is the gap to the successor (lead over the
+    // unique (t, event_id) order; the final open reading contributes
+    // nothing). value x duration products and their sums stay in
+    // decimal — exact in any engine — and only the final normalization
+    // divides. The metering/billing primitive plain AVG gets wrong
+    // whenever readings are unevenly spaced.
+    "q156_twap" -> ((s, d) => {
+      // (20,6): wide enough for the readings, and the value x micros
+      // product stays inside DuckDB's 38-digit decimal cap
+      val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value").cast(dec).as("v"))
+        // whole-second weights: value x micros sums reach 20 significant
+        // digits, where DuckDB's two-step decimal->double cast can differ
+        // from a correctly-rounded cast by 1 ulp; second-granularity
+        // products stay under 2^53 and cast identically everywhere
+        .withColumn("dur_s",
+          expr("(lead(t, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY t, event_id) - t) div 1000000"))
+        .where(col("dur_s").isNotNull && col("dur_s") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_s")).as("covered_s"),
+          sum(col("v") * col("dur_s")).cast("double").as("weighted_sum"))
+        .withColumn("twap", col("weighted_sum") / col("covered_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // LOCF imputation (last observation carried forward): forward-fill
     // nulled readings per user with last(_, ignoreNulls) over the unique
     // (t, event_id) order — the standard time-series gap repair, one
@@ -465,6 +495,24 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q156_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(20,6)) AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, v,
+        |    (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+        |      // 1000000 AS dur_s
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dur_s) AS BIGINT) AS covered_s,
+        |  CAST(SUM(v * dur_s) AS DOUBLE) AS weighted_sum,
+        |  CAST(SUM(v * dur_s) AS DOUBLE) / CAST(SUM(dur_s) AS BIGINT)
+        |    AS twap
+        |FROM g WHERE dur_s IS NOT NULL AND dur_s > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q141_triangles" ->
       """WITH raw AS (
