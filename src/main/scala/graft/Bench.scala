@@ -74,6 +74,7 @@ object Bench {
       operators.ScaleQueries.ppmFixture(spark, sfDir)
       operators.ScaleQueries.wavFixture(spark, sfDir)
       operators.ScaleQueries.mixedZoneFixture(spark, sfDir)
+      operators.ScaleQueries.ivfAppendFixture(spark, sfDir)
       operators.IncrementalQueries.lateFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))

@@ -55,6 +55,26 @@ object ScaleQueries {
     out
   }
 
+  /** Incrementally-built IVF index: base index over history vectors
+    * (vec_id with a nonzero last digit), then the held-out tenth
+    * assigned to the SAME centroids and appended cell-partitioned —
+    * the index-maintenance contract mirroring [[dedupIndexFixture]]. */
+  private[graft] def ivfAppendFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "ivf_incr")
+    if (!new java.io.File(s"$out/_APPENDED").exists()) {
+      val emb = T.embeddings(s, d)
+      graft.similarity.Similarity.saveIvfIndex(
+        emb.where(col("vec_id") % 10 =!= 0), out)
+      val cents = graft.similarity.Similarity.loadIvfCentroids(s, out)
+      graft.similarity.Similarity
+        .ivfAssign(emb.where(col("vec_id") % 10 === 0), cents)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$out/assignments")
+      new java.io.File(s"$out/_APPENDED").createNewFile()
+    }
+    out
+  }
+
   /** Mixed-format landing zone: lineitem routed disjointly into gzip CSV
     * (k%3=0, plus the k%3=2 overflow above the zip cap), JSON lines
     * (k%3=1), and single-entry ZIP archives (k%3=2 below the cap — the
@@ -137,6 +157,23 @@ object ScaleQueries {
           max(col("peak")).as("peak"),
           sum(col("sum_sq")).as("sum_sq"),
           sum(col("downsample_sum")).as("downsample_sum"))
+    }),
+
+    // Incremental ANN indexing: the persisted IVF index built over the
+    // history vectors, then a NEW batch assigned to the EXISTING
+    // centroids and appended into the cell-partitioned layout — the
+    // index grows by O(batch) per increment (one assignment pass + a
+    // partitioned append), centroids and history rows untouched. A
+    // full-probe query over the appended index must equal brute force
+    // over the whole corpus — proof no vector was lost or mis-celled
+    // on the append path.
+    "q157_ivf_append" -> ((s, d) => {
+      val dir = ivfAppendFixture(s, d)
+      val emb = T.embeddings(s, d)
+      graft.similarity.Similarity.ivfTopKIndexed(
+          emb.where(col("vec_id") < 10), dir, k = 5, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Nested-document round trip: order-line documents ASSEMBLED
@@ -644,6 +681,17 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q157_ivf_append" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q155_nested_json" -> {
       val q = Det.sqlSum("l_quantity")
