@@ -159,6 +159,22 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Deterministic k-per-group sampling: exactly 3 "random" documents
+    // per language, chosen by md5 order — the reservoir-sampling
+    // semantic with none of the nondeterminism (any engine, any
+    // partitioning, any re-run picks the same rows). A count-reduced
+    // rank over (lang, md5) — the window sorts only (lang, hash) pairs.
+    "q158_group_sample" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      T.documents(s, d)
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .where(col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Incremental ANN indexing: the persisted IVF index built over the
     // history vectors, then a NEW batch assigned to the EXISTING
     // centroids and appended into the cell-partitioned layout — the
@@ -681,6 +697,14 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q158_group_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
 
     "q157_ivf_append" ->
       """SELECT query_id, rank, neighbor_id FROM (
