@@ -287,6 +287,29 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Deterministic pseudonymization with preserved joinability: both
+    // tables replace the entity key with md5(key) INDEPENDENTLY, and
+    // the pseudonym join must produce exactly the pairs the raw-key
+    // join does — the privacy-preserving-linkage contract (tables can
+    // be pseudonymized by different jobs, even different engines, and
+    // still link). Pure column algebra; the salt would be a config
+    // secret in production, constant here so the oracle can replay it.
+    "q159_pseudonymize" -> ((s, d) => {
+      def pseud(c: org.apache.spark.sql.Column) =
+        md5(concat(lit("salt|"), c.cast("string")))
+      val e = T.events(s, d)
+        .select(pseud(col("user_id")).as("pk"), col("user_id").as("raw"))
+      val c = T.customer(s, d).where(col("c_custkey") < 150)
+        .select(pseud(col("c_custkey")).as("pk"),
+          col("c_custkey").as("raw_c"))
+      val viaPseud = e.join(c, "pk")
+      viaPseud.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("raw") === col("raw_c"), 1L).otherwise(0L))
+          .as("n_raw_agree"),
+        countDistinct(col("pk")).as("n_entities"))
+        .withColumn("linkage_exact", col("n_pairs") === col("n_raw_agree"))
+    }),
+
     // Time-weighted average (TWAP): each reading holds until the next
     // one, so its weight is the gap to the successor (lead over the
     // unique (t, event_id) order; the final open reading contributes
@@ -495,6 +518,14 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q159_pseudonymize" ->
+      """SELECT COUNT(*) AS n_pairs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_raw_agree,
+        |  COUNT(DISTINCT e.user_id) AS n_entities,
+        |  TRUE AS linkage_exact
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey < 150""".stripMargin,
 
     "q156_twap" ->
       """WITH e AS (
