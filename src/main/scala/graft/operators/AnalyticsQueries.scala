@@ -287,6 +287,76 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Data-quality rule engine (the dbt-test / Deequ product shape):
+    // scalar rules compile to Column predicates and evaluate in ONE
+    // scan (a sum(when) per rule — no per-rule pass), referential
+    // integrity is a broadcast anti-join; the report is one row per
+    // rule with its violation count. At 100 TB the single-scan property
+    // is the whole point of a rule engine.
+    "q160_quality_rules" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      val scalarRules = Seq(
+        "quantity_in_range" -> !col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") <= 0),
+        "discount_in_range" -> !col("l_discount").between(0.0, 0.1),
+        "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+      val aggs = scalarRules.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(n) }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val scalarReport = one.select(expr(
+        s"stack(${scalarRules.length}, " + scalarRules.map { case (n, _) =>
+          s"'$n', $n" }.mkString(", ") + ") as (rule, violations)"))
+      val orphanOrders = T.orders(s, d)
+        .join(broadcast(T.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_customer_fk").as("rule"), col("violations"))
+      scalarReport.unionByName(orphanOrders)
+        .withColumn("passed", col("violations") === 0)
+        .orderBy(col("rule"))
+    }),
+
+    // Alerting-style breach-run detection: runs of >= 3 CONSECUTIVE
+    // above-threshold readings per user (the gaps-and-islands trick:
+    // island id = global row_number minus breach-only row_number, both
+    // over the unique (t, event_id) order). One shuffle on user_id
+    // serves both window passes and the run aggregate.
+    "q161_breach_runs" -> ((s, d) => {
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("rn", row_number().over(byU))
+        .where(col("value") > 75.0)
+        .withColumn("rnb", row_number().over(byU))
+        .withColumn("island", col("rn") - col("rnb"))
+      e.groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+        .where(col("run_len") >= 3)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_alerts"), max(col("run_len")).as("max_run"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Rollup cascade (aggregate navigator): monthly revenue computed
+    // FROM the daily pre-aggregate, never from raw rows — the
+    // warehouse pattern that makes coarse rollups O(|daily|). Decimal
+    // sums compose exactly (unlike floats), so the cascaded result
+    // must hash-match the direct monthly aggregate the oracle runs.
+    "q162_rollup_cascade" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val daily = T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("rev"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("month"))
+    }),
+
     // Deterministic pseudonymization with preserved joinability: both
     // tables replace the entity key with md5(key) INDEPENDENTLY, and
     // the pseudonym join must produce exactly the pairs the raw-key
@@ -518,6 +588,51 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q160_quality_rules" -> {
+      def rule(n: String, bad: String) =
+        s"""SELECT '$n' AS rule,
+           |  CAST(SUM(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violations
+           |FROM lineitem""".stripMargin
+      Seq(
+        rule("quantity_in_range", "NOT (l_quantity BETWEEN 1 AND 50)"),
+        rule("price_positive", "l_extendedprice <= 0"),
+        rule("discount_in_range", "NOT (l_discount BETWEEN 0.0 AND 0.1)"),
+        rule("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+        """SELECT 'orders_customer_fk' AS rule,
+          |  CAST((SELECT COUNT(*) FROM orders o
+          |        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |        WHERE c.c_custkey IS NULL) AS BIGINT) AS violations"""
+          .stripMargin)
+        .mkString("SELECT rule, violations, violations = 0 AS passed FROM (",
+          "\nUNION ALL\n", ") ORDER BY rule")
+    },
+
+    "q161_breach_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS rnb
+        |  FROM e WHERE value > 75.0
+        |), runs AS (
+        |  SELECT user_id, rn - rnb AS island, COUNT(*) AS run_len
+        |  FROM b GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_alerts,
+        |  CAST(MAX(run_len) AS BIGINT) AS max_run
+        |FROM runs WHERE run_len >= 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q162_rollup_cascade" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
 
     "q159_pseudonymize" ->
       """SELECT COUNT(*) AS n_pairs,
