@@ -194,6 +194,80 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows("order")._2 == 0L, "no order row may lose its priority")
   }
 
+  test("TWAP weights each reading by its holding time") {
+    import spark.implicits._
+    // 10 at t=0 held 30s, 40 at t=30 held 10s -> (10*30+40*10)/40 = 17.5
+    val us = 1000000L
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    val rows = Seq((1L, 1L, 0L, 10.0), (1L, 2L, 30 * us, 40.0),
+      (1L, 3L, 40 * us, 99.0)).toDF("user_id", "event_id", "t", "v")
+    val got = rows
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("v").cast(dec).as("v"))
+      .withColumn("dur_s",
+        expr("(lead(t, 1) OVER (PARTITION BY user_id " +
+          "ORDER BY t, event_id) - t) div 1000000"))
+      .where(col("dur_s").isNotNull && col("dur_s") > 0)
+      .groupBy(col("user_id"))
+      .agg((sum(col("v") * col("dur_s")).cast("double") /
+        sum(col("dur_s"))).as("twap"))
+      .collect()(0).getDouble(1)
+    assert(got == 17.5, s"TWAP $got != 17.5")
+  }
+
+  test("pseudonym join preserves every raw-key pair") {
+    val r = SparkEntry.queries("q159_pseudonymize")(spark, sf).collect()(0)
+    assert(r.getBoolean(3), "pseudonym join disagreed with the raw join")
+    assert(r.getLong(0) > 0, "degenerate: no joined pairs")
+  }
+
+  test("quality rules count a planted violation exactly once") {
+    import spark.implicits._
+    val df = Seq((10.0, 5.0, "A"), (60.0, -1.0, "A"), (3.0, 2.0, "X"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val badQty = sum(when(!col("l_quantity").between(1, 50), 1L)
+      .otherwise(0L))
+    val badPrice = sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+    val badFlag = sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+      .otherwise(0L))
+    val r = df.agg(badQty, badPrice, badFlag).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)))
+  }
+
+  test("breach runs: a broken streak does not alert") {
+    import spark.implicits._
+    // user 1: 4 consecutive breaches -> one alert of length 4;
+    // user 2: 2 breaches, dip, 2 breaches -> no alert (runs of 2)
+    val us = 1000000L
+    val rows = (1 to 4).map(i => (1L, i.toLong, i * us, 80.0)) ++
+      Seq((2L, 11L, us, 80.0), (2L, 12L, 2 * us, 80.0),
+        (2L, 13L, 3 * us, 10.0), (2L, 14L, 4 * us, 80.0),
+        (2L, 15L, 5 * us, 80.0))
+    val df = rows.toDF("user_id", "event_id", "t", "value")
+    val byU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val got = df.withColumn("rn", row_number().over(byU))
+      .where(col("value") > 75.0)
+      .withColumn("rnb", row_number().over(byU))
+      .withColumn("island", col("rn") - col("rnb"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .where(col("run_len") >= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 4L), s"got $got")
+  }
+
+  test("rollup cascade equals the direct monthly aggregate") {
+    val cascade = SparkEntry.queries("q162_rollup_cascade")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val direct = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(cascade == direct)
+  }
+
   test("ip enrichment joins only /24 blocks passing the ownership filter") {
     val out = SparkEntry.queries("q124_ip_enrich")(spark, sf)
     out.cache()
