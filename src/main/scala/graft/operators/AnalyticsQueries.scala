@@ -287,6 +287,39 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Hopping (sliding) window aggregation in batch: 1-hour windows
+    // every 15 minutes, so each event lands in exactly 4 windows —
+    // Spark's window() generates the covering set in the map stage
+    // (an Expand, no self-join), then a normal partial-aggregated
+    // groupBy. The oracle regenerates the same 4 hops per event with
+    // integer arithmetic.
+    "q163_hopping_window" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Rolling 7-day actives (WAU): the day x user activity matrix is
+    // reduced FIRST (distinct per day), then a short band join against
+    // the day spine counts distinct users per trailing week — the
+    // rolling-distinct metric that cannot be computed by a running sum
+    // (distinct does not decompose). The join input is |days| x
+    // |daily actives|, never raw events.
+    "q164_rolling_actives" -> ((s, d) => {
+      val du = T.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val spine = du.select(col("day")).distinct().toDF("d")
+      spine.join(du, datediff(col("d"), col("day")).between(0, 6))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"),
+          countDistinct(col("day")).as("n_days_seen"))
+        .orderBy(col("d"))
+    }),
+
     // Data-quality rule engine (the dbt-test / Deequ product shape):
     // scalar rules compile to Column predicates and evaluate in ONE
     // scan (a sum(when) per rule — no per-rule pass), referential
@@ -588,6 +621,27 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q163_hopping_window" ->
+      """WITH hops AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 900000000 - k.k) * 900000000 AS ws
+        |  FROM events,
+        |    (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT make_timestamp(ws) AS window_start, event_type,
+        |  COUNT(*) AS n
+        |FROM hops GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q164_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), spine AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT s.d, COUNT(DISTINCT a.user_id) AS wau,
+        |  COUNT(DISTINCT a.day) AS n_days_seen
+        |FROM spine s JOIN du a
+        |  ON datediff('day', a.day, s.d) BETWEEN 0 AND 6
+        |GROUP BY s.d ORDER BY s.d""".stripMargin,
 
     "q160_quality_rules" -> {
       def rule(n: String, bad: String) =
