@@ -159,6 +159,26 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Inverted-index build: per-term posting lists (sorted doc-id
+    // arrays) — the search-index construction step. The (word, doc)
+    // matrix is distinct-reduced before the group-by, postings
+    // materialize as sorted arrays capped at 20 entries (a real index
+    // shards long postings; the cap keeps the gate row bounded), and
+    // document frequency rides along. Arrays compare element-wise in
+    // the oracle, so ordering inside the posting list is part of the
+    // contract.
+    "q165_postings" -> ((s, d) => {
+      val t = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("word"))
+        .distinct()
+      t.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 20)
+            .as("postings"))
+        .orderBy(col("word"))
+    }),
+
     // Deterministic k-per-group sampling: exactly 3 "random" documents
     // per language, chosen by md5 order — the reservoir-sampling
     // semantic with none of the nondeterminism (any engine, any
@@ -697,6 +717,16 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q165_postings" ->
+      """WITH t AS (
+        |  SELECT DISTINCT word, doc_id FROM (
+        |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS word,
+        |      doc_id
+        |    FROM documents))
+        |SELECT word, COUNT(*) AS df,
+        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |FROM t GROUP BY word ORDER BY word""".stripMargin,
 
     "q158_group_sample" ->
       """SELECT lang, rn, doc_id FROM (
