@@ -287,6 +287,54 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Degree distribution of the ownership graph — the first diagnostic
+    // on any large graph (skew in the degree histogram predicts which
+    // joins need capping). Two partial-aggregated passes: per-node
+    // degree, then nodes per degree. Completes the graph family
+    // (components q65, triangles q141, PageRank q113).
+    "q166_degree_dist" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("q166_customer")
+      s.sql(
+        """WITH raw AS (
+          |  SELECT c_custkey AS k, c_custkey div 2 AS p FROM q166_customer
+          |  WHERE c_custkey div 2 >= 1
+          |  UNION ALL
+          |  SELECT c_custkey, c_custkey div 3 FROM q166_customer
+          |  WHERE c_custkey div 3 >= 1),
+          |e AS (
+          |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
+          |  FROM raw WHERE k <> p),
+          |deg AS (
+          |  SELECT node, COUNT(*) AS degree FROM (
+          |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+          |  GROUP BY node)
+          |SELECT degree, COUNT(*) AS n_nodes, MIN(node) AS min_node
+          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin)
+    }),
+
+    // Windowed co-occurrence mining (collaborative-filtering prep):
+    // users active in the same 6-hour bucket pair up via an equi-join
+    // on the bucket key, weights count shared buckets. The join input
+    // is the distinct (bucket, user) matrix, never raw events; at
+    // 100 TB a hot bucket needs the per-bucket bound the dedup
+    // candidate generators apply (Dedup.cappedSelfJoinPairs) — here
+    // the weighted counts require true all-pairs, so the production
+    // lever is bucket granularity.
+    "q167_cooccurrence" -> ((s, d) => {
+      val buckets = T.events(s, d)
+        .select(expr("unix_micros(ts) div 21600000000").as("bucket"),
+          col("user_id"))
+        .distinct()
+      buckets.toDF("bucket", "id_a")
+        .join(buckets.toDF("bucket", "id_b"), "bucket")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_buckets"))
+        .groupBy(col("shared_buckets"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("shared_buckets"))
+    }),
+
     // Hopping (sliding) window aggregation in batch: 1-hour windows
     // every 15 minutes, so each event lands in exactly 4 windows —
     // Spark's window() generates the covering set in the map stage
@@ -621,6 +669,37 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q166_degree_dist" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS k, c_custkey // 2 AS p FROM customer
+        |  WHERE c_custkey // 2 >= 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey // 3 FROM customer
+        |  WHERE c_custkey // 3 >= 1),
+        |e AS (
+        |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
+        |  FROM raw WHERE k <> p),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node)
+        |SELECT degree, COUNT(*) AS n_nodes, MIN(node) AS min_node
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q167_cooccurrence" ->
+      """WITH b AS (
+        |  SELECT DISTINCT epoch_us(ts) // 21600000000 AS bucket, user_id
+        |  FROM events
+        |), p AS (
+        |  SELECT a.user_id AS id_a, c.user_id AS id_b,
+        |    COUNT(*) AS shared_buckets
+        |  FROM b a JOIN b c
+        |    ON a.bucket = c.bucket AND a.user_id < c.user_id
+        |  GROUP BY id_a, id_b)
+        |SELECT shared_buckets, COUNT(*) AS n_pairs
+        |FROM p GROUP BY shared_buckets
+        |ORDER BY shared_buckets""".stripMargin,
 
     "q163_hopping_window" ->
       """WITH hops AS (
