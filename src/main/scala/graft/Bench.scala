@@ -99,13 +99,18 @@ object Bench {
     val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     println(s"""{"detail":$detail}""")
-    // Canonical line LAST and compact: short keys ("q01") + 2-decimal
-    // seconds keep the whole line well inside the driver's 2000-byte tail
-    // window (full names with 9-decimal doubles overflowed it in round 2).
+    // Canonical line LAST and compact: short keys ("q01"), ONE-decimal
+    // seconds, and the sf basename keep the whole line inside the
+    // driver's 2000-byte tail window even at 165+ queries (2-decimal
+    // values crossed the limit once q164+ landed; full names with
+    // 9-decimal doubles overflowed it back in round 2).
+    def fmt1(v: Double): String =
+      "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val sfName = new java.io.File(sfDir).getName
     val qs = results.map { case (k, v) =>
-      s"\"${k.takeWhile(_ != '_')}\":${fmt(v)}"
+      s"\"${k.takeWhile(_ != '_')}\":${fmt1(v)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     System.out.flush()
     spark.stop()
   }
