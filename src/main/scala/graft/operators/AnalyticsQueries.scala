@@ -287,6 +287,54 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Cohort LTV curve: cumulative revenue per cohort by cohort age —
+    // the product-analytics metric behind every retention chart. Events
+    // reduce to (cohort_week, week_offset, decimal revenue) FIRST; the
+    // cumulative sum then runs over that tiny matrix (cohorts x
+    // offsets), not raw events, and stays decimal so the cumsum is
+    // exact in any engine.
+    "q168_ltv" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val e = T.events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        col("value").cast(dec).as("v"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val matrix = e.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .where(col("week_offset") <= 4)
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(sum(col("v")).as("rev"))
+      matrix
+        .withColumn("cum_revenue",
+          sum(col("rev")).over(Window.partitionBy(col("cohort_week"))
+            .orderBy(col("week_offset"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("cohort_week"), col("week_offset"), col("cum_revenue"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Duplicate-cluster size histogram: the dedup REPORT — how many
+    // fingerprint groups exist at each size, i.e. the shape of the
+    // duplication in the corpus (a heavy tail here is what the LSH
+    // bucket caps defend against). Two partial-aggregated passes over
+    // the fingerprint groups.
+    "q169_dup_histogram" -> ((s, d) => {
+      // planted copies (one per doc_id < 20, two for doc_id < 5) give
+      // the histogram its tail — the corpus itself has no exact dups
+      val docs = T.documents(s, d)
+      val planted = docs.where(col("doc_id") < 20)
+        .unionByName(docs.where(col("doc_id") < 5))
+      docs.unionByName(planted)
+        .groupBy(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("sz"))
+    }),
+
     // Degree distribution of the ownership graph — the first diagnostic
     // on any large graph (skew in the degree histogram predicts which
     // joins need capping). Two partial-aggregated passes: per-node
@@ -669,6 +717,39 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q168_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(value AS DECIMAL(38,6)) AS v
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+        |), matrix AS (
+        |  SELECT c.cohort_week,
+        |    CAST(datediff('day', c.cohort_week, e.week) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    SUM(e.v) AS rev
+        |  FROM e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE datediff('day', c.cohort_week, e.week) // 7 <= 4
+        |  GROUP BY c.cohort_week, week_offset)
+        |SELECT cohort_week, week_offset,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        |FROM matrix ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q169_dup_histogram" ->
+      """WITH all_docs AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT text FROM documents WHERE doc_id < 5
+        |), g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fp,
+        |    COUNT(*) AS sz
+        |  FROM all_docs GROUP BY fp)
+        |SELECT sz, COUNT(*) AS n_groups
+        |FROM g GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q166_degree_dist" ->
       """WITH raw AS (
