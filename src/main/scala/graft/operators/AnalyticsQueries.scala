@@ -361,23 +361,42 @@ object AnalyticsQueries {
     }),
 
     // Windowed co-occurrence mining (collaborative-filtering prep):
-    // users active in the same 6-hour bucket pair up via an equi-join
-    // on the bucket key, weights count shared buckets. The join input
-    // is the distinct (bucket, user) matrix, never raw events; at
-    // 100 TB a hot bucket needs the per-bucket bound the dedup
-    // candidate generators apply (Dedup.cappedSelfJoinPairs) — here
-    // the weighted counts require true all-pairs, so the production
-    // lever is bucket granularity.
+    // weight user pairs by shared 6-hour activity buckets. Two exact
+    // duals exist — join on the bucket key (cost Σ per-bucket pairs;
+    // right when entities are many and buckets sparse) or intersect
+    // per-entity bucket BITMAPS over an entity-pair join (cost
+    // |entities|² × words; right when entities are few and the bucket
+    // domain is dense). This corpus is the dense case: the bucket-key
+    // join emits 24.5M rows where the bitmap form compares ~1.1M pairs
+    // of 2-word bitmaps through the codegen'd BitmapAndCount kernel
+    // (13.9s → see bench). A production operator picks the side from
+    // cardinality stats.
     "q167_cooccurrence" -> ((s, d) => {
-      val buckets = T.events(s, d)
+      val m = T.events(s, d)
         .select(expr("unix_micros(ts) div 21600000000").as("bucket"),
           col("user_id"))
         .distinct()
-      buckets.toDF("bucket", "id_a")
-        .join(buckets.toDF("bucket", "id_b"), "bucket")
-        .where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared_buckets"))
+      // dense bitmap domain: bucket ids rebased to [0, range) — the
+      // bounds are a one-row aggregate (bounded driver fetch)
+      val r = m.agg(min(col("bucket")), max(col("bucket"))).collect()(0)
+      val (bmin, bmax) = (r.getLong(0), r.getLong(1))
+      val nWords = ((bmax - bmin) / 64 + 1).toInt
+      val bitmaps = m
+        .select(col("user_id"), (col("bucket") - bmin).as("i"))
+        .groupBy(col("user_id"), expr("i div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(i % 64 as int)))").as("bits"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+          .as("mp"))
+        .select(col("user_id"), expr(
+          s"transform(sequence(0L, ${nWords - 1}L), " +
+            "w -> coalesce(element_at(mp, w), 0L))").as("bm"))
+      bitmaps.toDF("id_a", "ba")
+        .join(broadcast(bitmaps.toDF("id_b", "bb")),
+          col("id_a") < col("id_b"))
+        .select(graft.functions.BitmapOps
+          .bitmapAndCount(col("ba"), col("bb")).as("shared_buckets"))
+        .where(col("shared_buckets") > 0)
         .groupBy(col("shared_buckets"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("shared_buckets"))

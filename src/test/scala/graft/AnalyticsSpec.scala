@@ -194,6 +194,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows("order")._2 == 0L, "no order row may lose its priority")
   }
 
+  test("bitmap AND-count kernel agrees between codegen and interpreted") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0xFFL, 0x0FL), Seq(0x0FL, 0xFFL)), // 4 + 4 shared bits
+      (2L, Seq(0L, 0L), Seq(-1L, -1L)), // empty ∩ full = 0
+      (3L, Seq(-1L), Seq(-1L, -1L)) // length mismatch: min-length prefix
+    ).toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+        functions.BitmapOps.bitmapAndCount(col("a"), col("b")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 8, 2L -> 0, 3L -> 64), s"$got")
+    val e = functions.BitmapAndCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0xFFL, 0x0FL), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0x0FL, 0xFFL), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 8, "interpreted path disagrees")
+  }
+
   test("TWAP weights each reading by its holding time") {
     import spark.implicits._
     // 10 at t=0 held 30s, 40 at t=30 held 10s -> (10*30+40*10)/40 = 17.5
