@@ -179,6 +179,33 @@ object IncrementalQueries {
     }
   }
 
+  /** One bounded run of the q170 landing stream against a shared
+    * checkpoint. `failAfter = Some(n)` throws once batch id reaches n —
+    * the planned mid-run death whose committed prefix the next
+    * invocation must resume from. */
+  private[graft] def checkpointRecoveryRun(s: SparkSession, dir: String,
+      base: String, failAfter: Option[Int]): Unit = {
+    val schema = s.read.parquet(dir).schema
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (failAfter.exists(id >= _))
+          throw new RuntimeException("planned mid-run stop")
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$base/landing")
+      }
+      .start()
+    try q.awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming
+      .StreamingQueryException => () } // the planned stop
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming latest-gauge materialization: the stateful tracker every
@@ -304,6 +331,32 @@ object IncrementalQueries {
           max(when(col("rn") === ceil(col("n") * 0.75), col("value")))
             .as("q75"),
           max(col("n")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Checkpoint-recovery continuation: the stream STOPS after its
+    // first bounded run and STARTS AGAIN against the same checkpoint —
+    // the restarted query must resume from the recorded offsets,
+    // process only what the first run did not, and never re-land a
+    // batch (landing is partitioned by batch id with dynamic
+    // overwrite, so even a replayed batch would rewrite, not
+    // duplicate). This is the exactly-once restart semantic the
+    // reference's SQS redelivery only approximates. The oracle is the
+    // plain batch aggregate; the spec asserts the second run really
+    // processed a strict remainder.
+    "q170_checkpoint_recovery" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = FrontierQueries.eventsSplitFixture(s, d)
+      val base = s"${Scratch.root}/graft_ckpt_recover/" +
+        java.util.UUID.randomUUID
+      checkpointRecoveryRun(s, dir, base, failAfter = Some(2)) // dies mid-run
+      checkpointRecoveryRun(s, dir, base, failAfter = None) // resumes
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      s.read.parquet(s"$base/landing")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"),
+          countDistinct(col("batch_id")).as("n_batches"))
         .orderBy(col("event_type"))
     }),
 
@@ -603,6 +656,13 @@ object IncrementalQueries {
         |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q75,
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q170_checkpoint_recovery" -> {
+      val v = graft.Det.sqlSum("value")
+      s"""SELECT event_type, COUNT(*) AS n, $v AS sum_value,
+         |  CAST(4 AS BIGINT) AS n_batches
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q151_late_routing" -> {
       val s = graft.Det.sqlSum("value")

@@ -159,6 +159,26 @@ object ScaleQueries {
           sum(col("downsample_sum")).as("downsample_sum"))
     }),
 
+    // Order-invariant table digest: a corpus fingerprint from the SUM
+    // of per-row hashes (sum is commutative, so partitioning and row
+    // order cannot change it) — the O(1)-output primitive that lets
+    // two engines, two clusters, or two snapshots prove byte-equality
+    // without sorting or moving a table. Row hash = integer value of
+    // the first 12 md5 hex digits over engine-stable fields (keys +
+    // integer cents), summed exactly in decimal.
+    "q171_table_digest" -> ((s, d) => {
+      val cents = org.apache.spark.sql.types.DecimalType(30, 2)
+      val dig = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast(cents) * 100).cast("long"),
+        col("l_returnflag"))), 1, 12), 16, 10)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      T.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dig).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("digest"))
+    }),
+
     // Inverted-index build: per-term posting lists (sorted doc-id
     // arrays) — the search-index construction step. The (word, doc)
     // matrix is distinct-reduced before the group-by, postings
@@ -717,6 +737,15 @@ object ScaleQueries {
         |  CAST(SUM(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
         |    AS downsample_sum
         |FROM s""".stripMargin,
+
+    "q171_table_digest" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |    l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT),
+        |    l_returnflag)), 1, 12)) AS BIGINT)) AS DECIMAL(38,0))
+        |    AS digest
+        |FROM lineitem""".stripMargin,
 
     "q165_postings" ->
       """WITH t AS (

@@ -195,6 +195,36 @@ class IncrementalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  // ---- q170 checkpoint recovery ------------------------------------------
+
+  test("restart resumes from the checkpoint as a strict remainder") {
+    val dir = operators.FrontierQueries.eventsSplitFixture(
+      spark, TestSession.sfDir)
+    val base = s"${Scratch.root}/spec_ckpt_${java.util.UUID.randomUUID}"
+    operators.IncrementalQueries.checkpointRecoveryRun(
+      spark, dir, base, failAfter = Some(2))
+    def landedBatches: Set[String] =
+      Option(new java.io.File(s"$base/landing").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    val afterRun1 = landedBatches
+    assert(afterRun1 == Set("batch_id=0", "batch_id=1"),
+      s"run 1 should land exactly batches 0,1: $afterRun1")
+    val mtimes1 = new java.io.File(s"$base/landing").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    operators.IncrementalQueries.checkpointRecoveryRun(
+      spark, dir, base, failAfter = None)
+    val afterRun2 = landedBatches
+    assert(afterRun2 ==
+      Set("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"),
+      s"run 2 should add exactly batches 2,3: $afterRun2")
+    // run 1's partitions were not rewritten — restart did not redo work
+    afterRun1.foreach { p =>
+      assert(new java.io.File(s"$base/landing/$p").lastModified() ==
+        mtimes1(p), s"$p was rewritten on restart")
+    }
+  }
+
   // ---- q123 null-safe join -----------------------------------------------
 
   test("null-safe join matches the null bucket exactly once") {
