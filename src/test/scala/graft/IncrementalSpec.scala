@@ -225,6 +225,21 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- repeated-invocation battery (round-3 stateful queries) ------------
+
+  // The driver may invoke any registry query more than once per JVM;
+  // queries with side effects (scratch writes, Derby databases,
+  // streaming checkpoints) must produce identical results every time.
+  Seq("q114_compaction", "q130_stream_jdbc_upsert", "q151_late_routing",
+    "q170_checkpoint_recovery").foreach { name =>
+    test(s"$name is invocation-idempotent") {
+      def run(): Seq[String] =
+        SparkEntry.queries(name)(spark, TestSession.sfDir)
+          .collect().map(_.toString).sorted.toSeq
+      assert(run() == run(), s"$name drifted across invocations")
+    }
+  }
+
   // ---- q123 null-safe join -----------------------------------------------
 
   test("null-safe join matches the null bucket exactly once") {
