@@ -287,6 +287,52 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
     }),
 
+    // Longest consecutive-day streak per user (the engagement metric):
+    // distinct active days, then the classic date-islands trick — a run
+    // of consecutive days satisfies day - rank = constant — and the max
+    // run length per user. All date/integer arithmetic; one shuffle on
+    // user_id.
+    "q172_streaks" -> ((s, d) => {
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp",
+          date_sub(col("day"), row_number().over(byU)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Pareto / ABC curve: what share of revenue the top-k% of customers
+    // produce — rank customers by decimal-exact revenue (ties broken by
+    // key), cumulative decimal sums at each decile boundary, and ONE
+    // double division per emitted row (exact casts: the magnitudes sit
+    // far below 2^53). The window runs over the customer aggregate,
+    // never raw orders.
+    "q173_pareto" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val perCust = T.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+      val n = perCust.count() // bounded scalar for the decile ranks
+      perCust
+        .withColumn("rn", row_number().over(byRev))
+        .withColumn("cum", sum(col("rev")).over(
+          byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("rn").isin((1 to 10).map(k =>
+          math.ceil(n * k / 10.0).toLong): _*))
+        .crossJoin(broadcast(perCust.agg(sum(col("rev")).as("tot"))))
+        .select(col("rn").as("rank"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
     // Cohort LTV curve: cumulative revenue per cohort by cohort age —
     // the product-analytics metric behind every retention chart. Events
     // reduce to (cohort_week, week_offset, decimal revenue) FIRST; the
@@ -736,6 +782,42 @@ object AnalyticsQueries {
         |FROM lagged WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q172_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INTEGER) AS grp
+        |  FROM du
+        |), runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  COUNT(*) AS n_streaks, CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q173_pareto" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    AS rev
+        |  FROM orders GROUP BY o_custkey
+        |), nn AS (SELECT COUNT(*) AS n FROM pc),
+        |r AS (
+        |  SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+        |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pc
+        |), t AS (SELECT SUM(rev) AS tot FROM pc)
+        |SELECT rn AS rank,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM r, t
+        |WHERE rn IN (
+        |  SELECT CAST(CEIL(nn.n * ks.k / 10.0) AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS k) ks, nn)
+        |ORDER BY rank""".stripMargin,
 
     "q168_ltv" ->
       """WITH e AS (
