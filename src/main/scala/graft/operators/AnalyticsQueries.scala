@@ -150,14 +150,18 @@ object AnalyticsQueries {
     // user, the full event_type sequence in (t, event_id) order as an
     // array — sort_array over collected (t, id, type) structs, so the
     // order is part of the data, not an accident of partitioning. The
-    // output keeps the length and the first five steps.
+    // output keeps the length and the first five steps; the head
+    // crosses the gate comma-joined (element order still binds — a
+    // reordered sequence is a different string — but the column stays
+    // scalar; AnalyticsSpec pins the element-wise array semantics).
     "q132_event_sequences" -> ((s, d) => {
       ev(s, d)
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(
           struct(col("t"), col("event_id"), col("event_type")))).as("s"))
         .select(col("user_id"), size(col("s")).as("n_events"),
-          transform(slice(col("s"), 1, 5), x => x.getField("event_type"))
+          concat_ws(",",
+            transform(slice(col("s"), 1, 5), x => x.getField("event_type")))
             .as("head5"))
         .orderBy(col("user_id"))
     }),
@@ -311,22 +315,45 @@ object AnalyticsQueries {
     // produce — rank customers by decimal-exact revenue (ties broken by
     // key), cumulative decimal sums at each decile boundary, and ONE
     // double division per emitted row (exact casts: the magnitudes sit
-    // far below 2^53). The window runs over the customer aggregate,
-    // never raw orders.
+    // far below 2^53). The global rank/cumsum is the TWO-PASS form
+    // (the q150 machinery): range-partition the customer aggregate by
+    // the sort key, per-partition row_number/running-sum, broadcast the
+    // tiny per-partition (count, revenue) offsets — no task ever owns
+    // more than 1/nb of the customers, where a bare
+    // Window.orderBy would drag every customer through ONE task.
+    // The partitioned frame materializes once (localCheckpoint): it
+    // feeds three consumers, and spark_partition_id() must be read off
+    // a single physical layout — two evaluations of a range exchange
+    // sample boundaries independently.
     "q173_pareto" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-      val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val nb = 32
       val perCust = T.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
-      val n = perCust.count() // bounded scalar for the decile ranks
-      perCust
-        .withColumn("rn", row_number().over(byRev))
-        .withColumn("cum", sum(col("rev")).over(
-          byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val parts = perCust
+        .repartitionByRange(nb, col("rev").desc, col("o_custkey"))
+        .sortWithinPartitions(col("rev").desc, col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val prior = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1) // ≤ nb rows: bounded
+      val offsets = parts.groupBy(col("pid"))
+        .agg(count(lit(1)).as("pn"), sum(col("rev")).as("prev"))
+        .withColumn("rn_off", coalesce(sum(col("pn")).over(prior), lit(0L)))
+        .withColumn("cum_off",
+          coalesce(sum(col("prev")).over(prior), lit(0).cast(dec)))
+        .select(col("pid"), col("rn_off"), col("cum_off"))
+      val byKey = Window.partitionBy(col("pid"))
+        .orderBy(col("rev").desc, col("o_custkey"))
+      val n = parts.count() // bounded scalar for the decile ranks
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("rn_off") + row_number().over(byKey))
+        .withColumn("cum", col("cum_off") + sum(col("rev")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .where(col("rn").isin((1 to 10).map(k =>
           math.ceil(n * k / 10.0).toLong): _*))
-        .crossJoin(broadcast(perCust.agg(sum(col("rev")).as("tot"))))
+        .crossJoin(broadcast(parts.agg(sum(col("rev")).as("tot"))))
         .select(col("rn").as("rank"),
           (col("cum").cast("double") / col("tot").cast("double"))
             .as("cum_share"))
@@ -1076,7 +1103,9 @@ object AnalyticsQueries {
 
     "q132_event_sequences" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |  (list(event_type ORDER BY epoch_us(ts), event_id))[1:5] AS head5
+        |  array_to_string(
+        |    (list(event_type ORDER BY epoch_us(ts), event_id))[1:5], ',')
+        |    AS head5
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q133_surrogate_keys" ->

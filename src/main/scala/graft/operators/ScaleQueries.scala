@@ -165,7 +165,11 @@ object ScaleQueries {
     // two engines, two clusters, or two snapshots prove byte-equality
     // without sorting or moving a table. Row hash = integer value of
     // the first 12 md5 hex digits over engine-stable fields (keys +
-    // integer cents), summed exactly in decimal.
+    // integer cents), summed exactly in decimal. The digest leaves the
+    // query as a STRING: the ~63-bit value is exact in DECIMAL(38,0)
+    // but silently loses precision in any float64 canonicalization
+    // downstream — a digest that can be corrupted in transit defeats
+    // its purpose, so the wire type is text.
     "q171_table_digest" -> ((s, d) => {
       val cents = org.apache.spark.sql.types.DecimalType(30, 2)
       val dig = conv(substring(md5(concat_ws("|",
@@ -176,7 +180,7 @@ object ScaleQueries {
       T.lineitem(s, d)
         .agg(count(lit(1)).as("n_rows"),
           sum(dig).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("digest"))
+            .cast("string").as("digest"))
     }),
 
     // Inverted-index build: per-term posting lists (sorted doc-id
@@ -184,9 +188,11 @@ object ScaleQueries {
     // matrix is distinct-reduced before the group-by, postings
     // materialize as sorted arrays capped at 20 entries (a real index
     // shards long postings; the cap keeps the gate row bounded), and
-    // document frequency rides along. Arrays compare element-wise in
-    // the oracle, so ordering inside the posting list is part of the
-    // contract.
+    // document frequency rides along. The posting list crosses the
+    // gate as a comma-joined string — element ORDER is still part of
+    // the contract (a reordered list produces a different string), but
+    // scalar columns survive any downstream canonicalizer; ScaleSpec
+    // pins the element-wise array semantics.
     "q165_postings" -> ((s, d) => {
       val t = T.documents(s, d)
         .select(col("doc_id"),
@@ -194,8 +200,9 @@ object ScaleQueries {
         .distinct()
       t.groupBy(col("word"))
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 20)
-            .as("postings"))
+          concat_ws(",",
+            slice(sort_array(collect_list(col("doc_id"))), 1, 20)
+              .cast("array<string>")).as("postings"))
         .orderBy(col("word"))
     }),
 
@@ -333,17 +340,30 @@ object ScaleQueries {
 
     // Token-balanced training shards via a SCALABLE global prefix sum:
     // a naive cumulative sum is a single-partition window (one task owns
-    // the whole corpus); the two-pass form — per-partition subtotals,
-    // tiny broadcast of partition offsets, per-partition running sum —
-    // computes the identical cumsum with every partition working in
-    // parallel. Shard id = floor(prefix / target): each shard closes as
-    // its token budget fills, the standard packing for training shards.
+    // the whole corpus); the two-pass form — per-bucket subtotals, tiny
+    // broadcast of bucket offsets, per-bucket running sum — computes the
+    // identical cumsum with every bucket working in parallel. The bucket
+    // id is a PURE FUNCTION of doc_id (equal-width ranges over the
+    // [min, max] span fetched as two scalars) — NOT spark_partition_id():
+    // this subplan is referenced twice (offsets aggregate + main join),
+    // and two physical evaluations of a range exchange sample their
+    // boundaries independently, so a partition-id bucket only agrees
+    // between the two subtrees when exchange reuse happens to kick in.
+    // A value-derived bucket agrees by construction under any core
+    // count, AQE decision, or plan reuse. Shard id = floor(prefix /
+    // target): each shard closes as its token budget fills, the
+    // standard packing for training shards.
     "q150_token_shards" -> ((s, d) => {
       val target = 20000L
-      val parts = T.documents(s, d).select(col("doc_id"), col("n_chars"))
-        .repartitionByRange(8, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("pid", spark_partition_id())
+      val nb = 8
+      val docs = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val chunk = math.max(1L, (span + nb - 1) / nb)
+      val parts = docs
+        .withColumn("pid", expr(s"(doc_id - $lo) div $chunk"))
+        .repartition(nb, col("pid"))
       val offsets = parts.groupBy(col("pid"))
         .agg(sum(col("n_chars")).as("psum"))
         .withColumn("offset",
@@ -740,11 +760,11 @@ object ScaleQueries {
 
     "q171_table_digest" ->
       """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |  CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
         |    l_orderkey, l_linenumber,
         |    CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT),
         |    l_returnflag)), 1, 12)) AS BIGINT)) AS DECIMAL(38,0))
-        |    AS digest
+        |    AS VARCHAR) AS digest
         |FROM lineitem""".stripMargin,
 
     "q165_postings" ->
@@ -754,7 +774,8 @@ object ScaleQueries {
         |      doc_id
         |    FROM documents))
         |SELECT word, COUNT(*) AS df,
-        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+        |    AS postings
         |FROM t GROUP BY word ORDER BY word""".stripMargin,
 
     "q158_group_sample" ->

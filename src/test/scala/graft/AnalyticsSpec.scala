@@ -104,7 +104,9 @@ class AnalyticsSpec extends AnyFunSuite {
   test("event sequences are in strict (t, event_id) order") {
     val row = SparkEntry.queries("q132_event_sequences")(spark, sf)
       .orderBy(col("user_id")).limit(1).collect()(0)
-    val head5 = row.getSeq[String](2)
+    // head5 crosses the gate comma-joined; splitting it back pins the
+    // element-wise order semantics of the underlying array
+    val head5 = row.getString(2).split(",").toSeq
     val expected = Tables.events(spark, sf)
       .where(col("user_id") === row.getLong(0))
       .select(col("event_type"), unix_micros(col("ts")).as("t"),

@@ -179,4 +179,48 @@ class ExplainSpec extends AnyFunSuite {
     val p = plan("q146_winsorize")
     assert(p.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$p")
   }
+
+  // ---- round-4 additions ---------------------------------------------------
+
+  test("q150 bucket id is value-derived; exactly one range exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sp =
+      try SparkEntry.queries("q150_token_shards")(spark, TestSession.sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the bucket id must be a pure function of doc_id — a
+    // spark_partition_id() bucket only matches between the offsets
+    // aggregate and the main join when exchange reuse happens to kick in
+    assert(!sp.toString.toLowerCase.contains("spark_partition_id"),
+      s"q150 bucket derived from physical partition id:\n$sp")
+    // the only range exchange is the final orderBy(shard) — the two-pass
+    // cumsum itself never range-partitions (its buckets hash on pid)
+    val ranges = sp.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(ranges.size == 1,
+      s"expected exactly the final sort's range exchange, got " +
+        s"${ranges.size}:\n$sp")
+  }
+
+  test("q173 pareto rank/cumsum windows are partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val lp = SparkEntry.queries("q173_pareto")(spark, TestSession.sfDir)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: Window => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"no partitioned window — the per-bucket rank pass is gone:\n$lp")
+    // the only global windows run over the ≤32-row per-bucket offsets
+    // aggregate, never over the customer set
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+            _.toString.contains("pid")) => a
+      }.nonEmpty, s"global window not over the pid offsets aggregate:\n$w")
+    }
+  }
 }
