@@ -93,6 +93,67 @@ case class PpmDim(child: Expression, idx: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PNG dimension peek — same tier as [[PpmDim]], simpler layout: after the
+  * 8-byte signature the IHDR chunk is mandatory and first, so width and
+  * height sit at fixed offsets 16..19 and 20..23 as big-endian u32. Eight
+  * byte reads inside whole-stage codegen prune a PNG corpus by dimension
+  * without inflating a single scanline. */
+case class PngDim(child: Expression, idx: Int) extends UnaryExpression {
+
+  require(idx == 1 || idx == 2, s"idx must be 1 (width) or 2 (height)")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"png_dim expects binary, got $t")
+    }
+
+  /** -1 when the bytes are not a PNG with a leading IHDR — malformed media
+    * filters on the sentinel (q122 quarantine pattern), never throws
+    * mid-scan. */
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var res = -1
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val o = if (idx == 1) 16 else 20
+      res = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val off = if (idx == 1) 16 else 20
+    nullSafeCodeGen(ctx, ev, b => {
+      val res = ctx.freshName("res")
+      s"""
+         |int $res = -1;
+         |if ($b.length >= 24 &&
+         |    ($b[0] & 0xff) == 0x89 && $b[1] == (byte) 'P' &&
+         |    $b[2] == (byte) 'N' && $b[3] == (byte) 'G' &&
+         |    $b[12] == (byte) 'I' && $b[13] == (byte) 'H' &&
+         |    $b[14] == (byte) 'D' && $b[15] == (byte) 'R') {
+         |  $res = (($b[$off] & 0xff) << 24) | (($b[$off + 1] & 0xff) << 16) |
+         |    (($b[$off + 2] & 0xff) << 8) | ($b[$off + 3] & 0xff);
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PngDim =
+    copy(child = newChild)
+}
+
 object MediaOps {
   /** Header-peeked PPM width (-1 if not P6). */
   def ppmWidth(content: Column): Column =
@@ -101,4 +162,12 @@ object MediaOps {
   /** Header-peeked PPM height (-1 if not P6). */
   def ppmHeight(content: Column): Column =
     GraftSqlBridge.column(PpmDim(GraftSqlBridge.expression(content), 2))
+
+  /** Header-peeked PNG width (-1 if not PNG/IHDR). */
+  def pngWidth(content: Column): Column =
+    GraftSqlBridge.column(PngDim(GraftSqlBridge.expression(content), 1))
+
+  /** Header-peeked PNG height (-1 if not PNG/IHDR). */
+  def pngHeight(content: Column): Column =
+    GraftSqlBridge.column(PngDim(GraftSqlBridge.expression(content), 2))
 }

@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * the Spark-native layout for 100 TB multimodal corpora (content stays
   * columnar/compressed in parquet; metadata prunes without touching bytes).
   *
-  * Decode comes in two tiers. [[PpmCodec]] is a REAL codec: binary PPM (P6)
-  * parses with pure JVM byte handling, so that format's decode, feature
-  * extraction, and resize run for real on the executors (q144). Formats
-  * needing native libraries not present in this container (JPEG, audio,
-  * video) keep [[FakeCodec]], a deterministic stand-in with the same
-  * signature a JNI/FFI decoder would have; the Spark-side plumbing —
-  * schema, executor-side batch iteration via mapPartitions, partition
-  * sizing — is identical and swapping in the true codec changes only the
-  * decode body.
+  * Decode comes in two tiers. [[PpmCodec]] (binary PPM / P6, pure byte
+  * parsing, q144), [[PngCodec]] (PNG via `javax.imageio` — the mainstream
+  * crawl-corpus format, pure JDK, q174) and [[WavCodec]] (PCM16 WAV,
+  * q145) are REAL codecs: decode, feature extraction, and resize run for
+  * real on the executors. Formats needing native libraries not present in
+  * this container (video frame extraction, exotic raster formats) keep
+  * [[FakeCodec]], a deterministic stand-in with the same signature a
+  * JNI/FFI decoder would have; the Spark-side plumbing — schema,
+  * executor-side batch iteration via mapPartitions, partition sizing — is
+  * identical and swapping in the true codec changes only the decode body.
   */
 object Multimodal {
 
@@ -98,6 +99,63 @@ object Multimodal {
       require(maxVal == 255, s"unsupported maxval $maxVal")
       p += 1 // single whitespace after maxval
       val px = java.util.Arrays.copyOfRange(bytes, p, p + w * h * 3)
+      (w, h, px)
+    }
+  }
+
+  /** REAL codec for PNG via `javax.imageio` (pure JDK, public API) — the
+    * format an actual crawl corpus arrives in. PNG is lossless, so a
+    * planted pixel schedule survives the encode→decode round trip exactly,
+    * which is what lets the oracle gate recompute every decoded statistic
+    * analytically (JPEG decodes through the very same `ImageIO.read` call,
+    * but its lossy output can't be value-gated). */
+  object PngCodec {
+
+    // ImageIO defaults to a disk-backed stream cache; executors decode
+    // thousands of small images, so keep the cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def encode(w: Int, h: Int,
+        pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pix(x, y)
+          img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** (width, height, rgb bytes row-major). Throws on undecodable input —
+      * corrupt media routes through the quarantine pattern (q122), not
+      * here. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          px(i) = ((rgb >> 16) & 0xff).toByte
+          px(i + 1) = ((rgb >> 8) & 0xff).toByte
+          px(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
       (w, h, px)
     }
   }
@@ -188,17 +246,18 @@ object Multimodal {
   final case class PpmStats(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, thumb_sum: Long)
 
-  /** Executor-side REAL decode of PPM content + feature extraction (per-
-    * channel sums) + 8x8 nearest-neighbor thumbnail checksum — the full
-    * decode → feature → resize chain, batch-iterated per partition with
-    * no shuffle. */
-  def decodePpm(df: DataFrame): DataFrame = {
+  /** Executor-side REAL decode + feature extraction (per-channel sums) +
+    * 8x8 nearest-neighbor thumbnail checksum — the full decode → feature →
+    * resize chain, batch-iterated per partition with no shuffle. Generic
+    * over the raster codec: the same pass serves PPM and PNG. */
+  private def decodeRgbStats(df: DataFrame,
+      dec: Array[Byte] => (Int, Int, Array[Byte])): DataFrame = {
     implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
     implicit val outEnc: Encoder[PpmStats] = Encoders.product[PpmStats]
     df.select(col("doc_id"), col("content")).as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
-          val (w, h, px) = PpmCodec.decode(r.content)
+          val (w, h, px) = dec(r.content)
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0
           while (i < px.length) {
@@ -223,6 +282,12 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  def decodePpm(df: DataFrame): DataFrame =
+    decodeRgbStats(df, PpmCodec.decode)
+
+  def decodePng(df: DataFrame): DataFrame =
+    decodeRgbStats(df, PngCodec.decode)
 
   /** Pack a text corpus into the multimodal layout (binary content +
     * metadata): the shape an image/audio corpus lands in. */

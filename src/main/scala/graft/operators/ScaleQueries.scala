@@ -55,6 +55,32 @@ object ScaleQueries {
     out
   }
 
+  /** Real PNG images (javax.imageio) from the SAME deterministic pixel
+    * schedule as [[ppmFixture]] — PNG is lossless, so the analytic oracle
+    * transfers verbatim to the mainstream format. */
+  private[graft] def pngFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_png")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 17).toInt
+            val h = (16 + id % 13).toInt
+            val bytes = graft.multimodal.Multimodal.PngCodec.encode(w, h,
+              (x, y) => (((x * 31 + y * 17 + id) % 256).toInt,
+                ((x * 7 + y * 3) % 256).toInt,
+                ((x + y + id) % 256).toInt))
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Incrementally-built IVF index: base index over history vectors
     * (vec_id with a nonzero last digit), then the held-out tenth
     * assigned to the SAME centroids and appended cell-partitioned —
@@ -415,6 +441,40 @@ object ScaleQueries {
           sum(col("sum_g")).as("sum_g"),
           sum(col("sum_b")).as("sum_b"),
           sum(col("thumb_sum")).as("thumb_sum"))
+    }),
+
+    // REAL mainstream-format image decode: the PNG corpus (encoded by
+    // javax.imageio, the format an actual crawl arrives in) is decoded
+    // on the executors through the same ImageIO stack, features and the
+    // 8x8 thumbnail checksum extracted in the q144 partition pass. PNG
+    // is lossless, so the analytic pixel-schedule oracle gates every
+    // decoded byte — this closes the FakeCodec stub for images: PPM
+    // proved the byte-level path, PNG proves the production format.
+    "q174_png_decode" -> ((s, d) => {
+      val media = s.read.parquet(pngFixture(s, d))
+      graft.multimodal.Multimodal.decodePng(media)
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width").cast("long") * col("height")).as("n_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"),
+          sum(col("thumb_sum")).as("thumb_sum"))
+    }),
+
+    // PNG metadata peek WITHOUT decode (q149 for the mainstream format):
+    // IHDR is mandatory and first, so width/height are eight fixed-offset
+    // byte reads inside whole-stage codegen (functions.MediaOps.PngDim) —
+    // dimension pruning never inflates a scanline.
+    "q175_png_peek" -> ((s, d) => {
+      val media = s.read.parquet(pngFixture(s, d))
+      media.select(
+          graft.functions.MediaOps.pngWidth(col("content")).as("w"),
+          graft.functions.MediaOps.pngHeight(col("content")).as("h"))
+        .where(col("w") >= 24)
+        .agg(count(lit(1)).as("n_large"),
+          sum(col("w").cast("long")).as("sum_w"),
+          sum(col("h").cast("long")).as("sum_h"),
+          min(col("w")).as("min_w"))
     }),
 
     // RAG document chunking: fixed-size overlapping character windows
@@ -843,6 +903,44 @@ object ScaleQueries {
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q149_ppm_peek" ->
+      """SELECT COUNT(*) AS n_large,
+        |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
+        |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
+        |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
+        |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // Same analytic pixel-schedule oracle as q144: the PNG fixture plants
+    // the identical schedule and PNG is lossless, so the expected sums
+    // are format-independent.
+    "q174_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |  FROM documents),
+        |full_px AS (
+        |  SELECT doc_id,
+        |    ((x*31 + y*17 + doc_id) % 256) AS r,
+        |    ((x*7 + y*3) % 256) AS g,
+        |    ((x + y + doc_id) % 256) AS b
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+        |thumb AS (
+        |  SELECT doc_id,
+        |    (((i*w//8)*31 + (j*h//8)*17 + doc_id) % 256)
+        |    + (((i*w//8)*7 + (j*h//8)*3) % 256)
+        |    + (((i*w//8) + (j*h//8) + doc_id) % 256) AS v
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i_,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j_)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_images,
+        |  (SELECT CAST(SUM(w*h) AS BIGINT) FROM d) AS n_pixels,
+        |  (SELECT CAST(SUM(r) AS BIGINT) FROM full_px) AS sum_r,
+        |  (SELECT CAST(SUM(g) AS BIGINT) FROM full_px) AS sum_g,
+        |  (SELECT CAST(SUM(b) AS BIGINT) FROM full_px) AS sum_b,
+        |  (SELECT CAST(SUM(v) AS BIGINT) FROM thumb) AS thumb_sum"""
+        .stripMargin,
+
+    "q175_png_peek" ->
       """SELECT COUNT(*) AS n_large,
         |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,

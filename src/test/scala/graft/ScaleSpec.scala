@@ -356,6 +356,41 @@ class ScaleSpec extends AnyFunSuite {
       "peek must not fall back to a decode pass")
   }
 
+  // ---- q174/q175 PNG codec (javax.imageio) --------------------------------
+
+  test("PNG round-trips the planted pixel schedule byte-for-byte") {
+    import graft.multimodal.Multimodal.PngCodec
+    val (w, h) = (20, 14)
+    val pix = (x: Int, y: Int) =>
+      ((x * 31 + y * 17 + 5) % 256, (x * 7 + y * 3) % 256, (x + y + 5) % 256)
+    val (gw, gh, px) = PngCodec.decode(PngCodec.encode(w, h, pix))
+    assert((gw, gh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      val o = (y * w + x) * 3
+      assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == (r, g, b),
+        s"pixel ($x,$y) corrupted")
+    }
+  }
+
+  test("PngDim peeks IHDR dimensions in codegen and interpreted modes") {
+    import spark.implicits._
+    import graft.functions.MediaOps
+    import graft.multimodal.Multimodal.PngCodec
+    val img = PngCodec.encode(123, 45, (_, _) => (1, 2, 3))
+    val rows = Seq((1L, img), (2L, "not an image".getBytes("US-ASCII")))
+      .toDF("id", "content")
+    val got = rows.select(col("id"),
+        MediaOps.pngWidth(col("content")).as("w"),
+        MediaOps.pngHeight(col("content")).as("h"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 123, 45), (2L, -1, -1)), s"$got")
+    // interpreted path must agree with codegen
+    val e = graft.functions.PngDim(
+      org.apache.spark.sql.catalyst.expressions.Literal(img), 1)
+    assert(e.eval(null) == 123)
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
