@@ -67,7 +67,11 @@ object IncrementalQueries {
     * late-data fixture for q151. */
   private[graft] def lateFixture(s: SparkSession, d: String): String = {
     val out = Scratch.fixtureDir(d, "events_late")
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    // guard on a marker created AFTER the append: the base write's own
+    // _SUCCESS lands before the late file exists, so a crash between the
+    // two writes would leave a half-built fixture that passes a _SUCCESS
+    // guard forever (q151 silently seeing zero late rows)
+    if (!new java.io.File(s"$out/_APPENDED").exists()) {
       val ev = T.events(s, d).select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"), col("value"))
       ev.coalesce(1).write.mode("overwrite").parquet(out)
@@ -82,6 +86,7 @@ object IncrementalQueries {
           timestamp_micros(unix_micros(col("ts")) - 864000000000L).as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("append").parquet(out)
+      new java.io.File(s"$out/_APPENDED").createNewFile()
     }
     out
   }

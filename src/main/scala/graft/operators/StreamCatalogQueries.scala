@@ -22,7 +22,49 @@ object StreamCatalogQueries {
   final case class UserUpdate(user_id: Long, n_events: Long,
       n_purchases: Long, min_event_id: Long, max_event_id: Long)
 
+  /** Manifest files naming the CSV fixture's objects, three objects per
+    * manifest — the shape an S3-notification forwarder (or S3 Inventory)
+    * leaves in the manifest prefix. Covers every fixture file, so the
+    * collected result equals full-lineitem ingest for the oracle. */
+  private[graft] def manifestFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "lineitem_manifests")
+    if (!new java.io.File(s"$out/_DONE").exists()) {
+      val dataDir = ReferenceQueries.csvFixture(s, d)
+      val files = Option(new java.io.File(dataDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".csv.gz"))
+        .map(_.getAbsolutePath).sorted
+      new java.io.File(out).mkdirs()
+      files.grouped(3).zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"$out/manifest-$i%03d.txt"),
+          chunk.mkString("", "\n", "\n"))
+      }
+      new java.io.File(s"$out/_DONE").createNewFile()
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Notification-fed continuous collection: the stream tails the
+    // MANIFEST prefix (what the reference's S3→SQS notifications carry,
+    // collection.js:548-580) and each micro-batch reads exactly the
+    // named objects — per-trigger listing cost is the manifest prefix,
+    // never the data lake. One manifest per micro-batch here, so the
+    // bounded run replays the exact incremental schedule; the collected
+    // parquet must equal full-lineitem batch ingest.
+    "q177_manifest_collect" -> ((s, d) => {
+      val mdir = manifestFixture(s, d)
+      val spec = StreamingCollect.StreamSpec(
+        schema = ReferenceQueries.lineitemSchema, inputDir = mdir)
+      val out = new java.io.File(StreamingCollect.fastTmpRoot,
+        s"graft_manifest_out-${java.util.UUID.randomUUID}").getAbsolutePath
+      StreamingCollect.runManifestBounded(s, spec, mdir, out)
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // Watermarked event-time windowed aggregation over the events stream.
     "q37_stream_window" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -226,6 +268,12 @@ object StreamCatalogQueries {
          |ORDER BY window_start, event_type""".stripMargin,
 
     "q38_stream_collect" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // manifest-driven collection must land exactly full-lineitem ingest
+    "q177_manifest_collect" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

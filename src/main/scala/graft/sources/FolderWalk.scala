@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   */
 object FolderWalk {
 
+  /** Sibling prefixes list concurrently within a BFS level, like the
+    * reference's bounded-parallel walk (controller.js:243-259) — against
+    * object-store RTTs a serial driver loop makes the walk's wall clock
+    * levels × |frontier| × RTT instead of levels × RTT. */
+  private val MaxListThreads = 16
+
   /** BFS to `depth`: returns leaf directory paths. depth=0 → the roots
     * themselves (multi-root `;`-separated inputs in the reference map to the
     * Seq here). Directories shallower than `depth` with no subdirectories
@@ -28,10 +34,21 @@ object FolderWalk {
     val leaves = Seq.newBuilder[Path]
     var level = 0
     while (level < depth && frontier.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(MaxListThreads, frontier.size)))
+      // futures joined in frontier order → deterministic traversal
+      val listed =
+        try frontier.map { p =>
+          pool.submit(new java.util.concurrent.Callable[(Path, Array[Path])] {
+            def call(): (Path, Array[Path]) = {
+              val fs = p.getFileSystem(conf) // Hadoop caches FS instances
+              (p, fs.listStatus(p).filter(_.isDirectory).map(_.getPath))
+            }
+          })
+        }.map(_.get())
+        finally pool.shutdown()
       val next = Seq.newBuilder[Path]
-      frontier.foreach { p =>
-        val fs = p.getFileSystem(conf)
-        val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      listed.foreach { case (p, subdirs) =>
         if (subdirs.isEmpty) leaves += p else next ++= subdirs
       }
       frontier = next.result()

@@ -49,6 +49,17 @@ object StreamingCollect {
     Coerce(raw, spec.schema)
   }
 
+  /** The worker's optional WHERE pre-filter (filterdata, worker.js:258-312)
+    * applied to one micro-batch. */
+  private def applyQuery(batch: DataFrame, spec: StreamSpec): DataFrame =
+    spec.query match {
+      case Some(q) if q.toLowerCase.contains("where") =>
+        batch.createOrReplaceTempView(spec.schema.name)
+        batch.sparkSession.sql(
+          graft.jobs.CollectJob.rewriteS3ObjectDialect(q, spec.schema.name))
+      case _ => batch
+    }
+
   /** Sink writing each micro-batch through the optional WHERE pre-filter to
     * parquet — the worker's filterdata→bulkCreate loop (worker.js:258-312),
     * with Spark checkpointing replacing SQS redelivery. */
@@ -58,16 +69,79 @@ object StreamingCollect {
       .trigger(Trigger.ProcessingTime(s"${spec.batchWindowSeconds} seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val filtered = spec.query match {
-          case Some(q) if q.toLowerCase.contains("where") =>
-            batch.createOrReplaceTempView(spec.schema.name)
-            batch.sparkSession.sql(
-              graft.jobs.CollectJob.rewriteS3ObjectDialect(q,
-                spec.schema.name))
-          case _ => batch
-        }
-        filtered.write.mode("append").parquet(outDir)
+        applyQuery(batch, spec).write.mode("append").parquet(outDir)
       }
+
+  // ---- notification-fed collection (the 100 TB/day ingest path) ----------
+
+  /** Notification-fed collection — the reference's event-driven topology
+    * (S3 `ObjectCreated` → SQS → worker, collection.js:548-580) rebuilt
+    * without the file source's known scale wall: [[reader]] re-LISTs the
+    * watched directory every trigger, and at 100 TB/day (millions of
+    * objects per prefix) the listing itself becomes the trigger's wall
+    * clock. The reference never lists — S3 pushes the names of new
+    * objects. This is that topology on Spark: the stream tails a MANIFEST
+    * prefix (tiny text files, one object path per line — what an
+    * S3-notification forwarder, a commit log, or S3 Inventory emits), and
+    * each micro-batch reads exactly the named objects. Per-trigger listing
+    * cost is the manifest prefix — bounded and independent of the data
+    * lake's object count (and prunable further with the file source's
+    * `cleanSource`/`maxFileAge` retention options).
+    *
+    * Delivery: manifests are checkpointed exactly-once; the object read +
+    * append inside a batch is at-least-once under a mid-batch crash —
+    * the same contract as the reference's SQS delete-after-success loop
+    * (worker.js:258-312). */
+  def manifestReader(spark: SparkSession, manifestDir: String,
+      maxManifestsPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxManifestsPerTrigger)
+      .text(manifestDir)
+
+  /** foreachBatch sink for [[manifestReader]]: resolve the batch's
+    * manifest lines to object paths — bounded by manifests-per-trigger ×
+    * lines-per-manifest, the SQS message-batch analog, so the driver-side
+    * collect is O(notification batch), never O(corpus) — and run the
+    * named objects through the batch ingest stack (parse → coerce →
+    * optional WHERE) into `outDir`. */
+  def manifestWriter(manifests: DataFrame, spec: StreamSpec, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    manifests.writeStream
+      .trigger(Trigger.ProcessingTime(s"${spec.batchWindowSeconds} seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val files = batch.select(col("value")).collect()
+          .map(_.getString(0).trim).filter(_.nonEmpty).distinct.sorted
+        if (files.nonEmpty) {
+          val in = spec.schema.input
+          val raw = spark.read
+            .option("header", in.csvHeader)
+            .option("sep", in.fieldDelimiter)
+            .option("quote", in.quoteCharacter)
+            .schema(spec.schema.rawSchema)
+            .csv(files.toSeq: _*)
+          applyQuery(Coerce(raw, spec.schema), spec)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+
+  /** Bounded manifest-driven collection run (AvailableNow, one manifest
+    * per micro-batch) into `outDir` — the verification entry point; a
+    * production job keeps the ProcessingTime trigger. */
+  def runManifestBounded(spark: SparkSession, spec: StreamSpec,
+      manifestDir: String, outDir: String): Unit = {
+    val ckpt = new java.io.File(fastTmpRoot,
+      s"graft_ckpt_manifest-${java.util.UUID.randomUUID}")
+    try {
+      val q = manifestWriter(
+          manifestReader(spark, manifestDir, maxManifestsPerTrigger = 1),
+          spec, outDir, ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+  }
 
   /** Watermarked event-time windowed aggregation over a stream — the
     * Spark-native capability the reference lacks (SURVEY §2.9 "watermark /

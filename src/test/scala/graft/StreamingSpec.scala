@@ -36,6 +36,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == expected)
   }
 
+  test("manifest collection reads named objects only — never a listing") {
+    // two CSV objects land in the data directory, but the manifest names
+    // only ONE of them: a listing-driven source would ingest both; the
+    // notification-driven source must ingest exactly the named object.
+    // This is the no-full-relisting property at 100 TB/day — per-trigger
+    // work scales with the notification batch, not the lake's object
+    // count.
+    val dataDir = Files.createTempDirectory("graft_manifest_data")
+    val li = Tables.lineitem(spark, TestSession.sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        format_string("%.6f", col("l_quantity")).as("l_quantity"),
+        format_string("%.6f", col("l_extendedprice")).as("l_extendedprice"),
+        format_string("%.6f", col("l_discount")).as("l_discount"),
+        format_string("%.6f", col("l_tax")).as("l_tax"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("l_shipdate"))
+    val named = li.where(col("l_orderkey") % 2 === 0)
+    val unnamed = li.where(col("l_orderkey") % 2 =!= 0)
+    named.coalesce(1).write.mode("overwrite")
+      .option("header", "false").csv(s"$dataDir/named")
+    unnamed.coalesce(1).write.mode("overwrite")
+      .option("header", "false").csv(s"$dataDir/unnamed")
+    def csvsIn(sub: String): Seq[String] =
+      Option(new java.io.File(s"$dataDir/$sub").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(_.getAbsolutePath).toSeq.sorted
+    val manifestDir = Files.createTempDirectory("graft_manifest_m")
+    Files.writeString(manifestDir.resolve("manifest-000.txt"),
+      csvsIn("named").mkString("", "\n", "\n"))
+    val outDir = Files.createTempDirectory("graft_manifest_out").toString
+    val spec = StreamingCollect.StreamSpec(
+      schema = ReferenceQueries.lineitemSchema, inputDir = manifestDir.toString)
+    StreamingCollect.runManifestBounded(spark, spec,
+      manifestDir.toString, outDir)
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == named.count(),
+      "manifest run must ingest exactly the named object's rows")
+    assert(got.where(col("l_orderkey") % 2 =!= 0).count() == 0,
+      "rows from the unnamed object leaked in — source is listing-driven")
+  }
+
   test("stateful dedup runs on the RocksDB state store (production conf)") {
     // The bounded verification runs use the default heap-backed state
     // store (cheapest for small replays); an unbounded production stream
