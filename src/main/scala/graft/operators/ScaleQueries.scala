@@ -443,6 +443,63 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // Exact substring (span-level) dedup statistics: whole-document dedup
+    // (q29) misses the dominant crawl pathology — boilerplate SPANS
+    // repeated across distinct documents. The pass materializes every
+    // word 10-gram with its occurrence count and cross-document spread:
+    // explode → one partial-aggregated groupBy, no windows, no joins
+    // until the tiny doc-level semi join — the plan shape that survives
+    // a corpus-sized gram table. Output: corpus dup-mass accounting +
+    // how many documents carry at least one cross-document span.
+    "q178_span_dedup" -> ((s, d) => {
+      val ws = split(trim(col("text")), " ")
+      val grams = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(ws) - 10),
+            i => array_join(slice(ws, i + 1, lit(10)), " "))).as("gram"))
+      val stats = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          count(lit(1)).as("occ"))
+      val affected = grams
+        .join(stats.where(col("nd") > 1).select(col("gram")), "gram")
+        .agg(countDistinct(col("doc_id")).as("docs_affected"))
+      stats.agg(count(lit(1)).as("n_grams_distinct"),
+          sum(col("occ")).as("n_grams_total"),
+          sum(when(col("nd") > 1, col("occ")).otherwise(0L))
+            .as("n_dup_occurrences"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        .crossJoin(affected)
+    }),
+
+    // Temperature-balanced language mixing (the multilingual-corpus
+    // rebalancing step): sampling weight per language ∝ sqrt(share) —
+    // alpha = 0.5, computed with sqrt (correctly-rounded IEEE, so the
+    // rate arithmetic is engine-exact) — then deterministic md5-bucket
+    // selection at the computed per-language rate, the same
+    // hash-threshold machinery as q60/q61: any engine, any partitioning,
+    // any re-run selects the same documents.
+    "q179_temperature_mix" -> ((s, d) => {
+      val target = 100.0
+      val counts = T.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(
+          sum(sqrt(col("n").cast("double"))).as("sw"))))
+        .withColumn("thr", round(least(lit(1.0),
+            sqrt(col("n").cast("double")) / col("sw") * target / col("n"))
+          * 65536).cast("int"))
+        .select(col("lang"), col("thr"))
+      val bucketed = T.documents(s, d)
+        .withColumn("bk",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 65536)
+      bucketed.join(broadcast(rates), "lang")
+        .where(col("bk") < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"))
+        .orderBy(col("lang"))
+    }),
+
     // Production-config ANN recall gate: q34/q45/q91 pin the EXHAUSTIVE
     // configurations (bitsPerTable=0, full probe) to exact oracles — the
     // proof of mechanism; this row puts the configuration a user actually
@@ -943,6 +1000,44 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    "q178_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i+1:i+10], ' ') AS gram
+        |  FROM w, LATERAL (
+        |    SELECT unnest(generate_series(0, len(ws) - 10)) AS i) s),
+        |st AS (
+        |  SELECT gram, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS occ
+        |  FROM g GROUP BY gram)
+        |SELECT (SELECT COUNT(*) FROM st) AS n_grams_distinct,
+        |  (SELECT CAST(SUM(occ) AS BIGINT) FROM st) AS n_grams_total,
+        |  (SELECT CAST(SUM(CASE WHEN nd > 1 THEN occ ELSE 0 END) AS BIGINT)
+        |     FROM st) AS n_dup_occurrences,
+        |  (SELECT CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM st) AS n_dup_grams,
+        |  (SELECT COUNT(DISTINCT g.doc_id) FROM g
+        |     JOIN st ON g.gram = st.gram WHERE st.nd > 1)
+        |    AS docs_affected""".stripMargin,
+
+    "q179_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, CAST(round(LEAST(1.0,
+        |      sqrt(CAST(n AS DOUBLE)) /
+        |        (SELECT SUM(sqrt(CAST(n AS DOUBLE))) FROM c)
+        |      * 100.0 / n) * 65536) AS INTEGER) AS thr
+        |  FROM c),
+        |b AS (
+        |  SELECT d.lang, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 4) AS INTEGER) % 65536 AS bk
+        |  FROM documents d)
+        |SELECT b.lang, COUNT(*) AS n_selected
+        |FROM b JOIN t ON b.lang = t.lang AND b.bk < t.thr
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     // q153 pattern: the oracle-expressible fact (truth-set size: 10
     // queries x k=10 exact neighbors) is computed for real; the recall

@@ -391,6 +391,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.eval(null) == 123)
   }
 
+  // ---- q178 span dedup / q179 temperature mix -----------------------------
+
+  test("span-dedup accounting is internally consistent") {
+    val r = SparkEntry.queries("q178_span_dedup")(spark, sf).collect()(0)
+    val (distinct, total, dupOcc, dupGrams, affected) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(distinct <= total, "distinct grams cannot exceed occurrences")
+    // every cross-document gram occurs at least twice
+    assert(dupOcc >= 2 * dupGrams, s"$dupOcc occurrences for $dupGrams grams")
+    assert(affected <= Tables.documents(spark, sf).count())
+  }
+
+  test("temperature mixing flattens the language distribution") {
+    val counts = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = SparkEntry.queries("q179_temperature_mix")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = selected.map { case (l, s) => l -> s.toDouble / counts(l) }
+    val minority = counts.minBy(_._2)._1
+    val majority = counts.maxBy(_._2)._1
+    // alpha = 0.5 samples rare languages at a higher RATE than common ones
+    assert(rates(minority) >= rates(majority),
+      s"minority $minority rate ${rates(minority)} < " +
+        s"majority $majority rate ${rates(majority)}")
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
