@@ -207,6 +207,23 @@ class ExplainSpec extends AnyFunSuite {
         s"${ranges.size}:\n$sp")
   }
 
+  test("q178 span dedup is explode + partial aggregate, no windows") {
+    val p = plan("q178_span_dedup")
+    assert(p.contains("partial_"),
+      s"gram aggregation lost map-side combine:\n$p")
+    assert(!p.contains("Window"), s"span dedup should never window:\n$p")
+  }
+
+  test("q175 PNG dimension pruning stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q175_png_peek")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter .*pngdim""".r.findFirstIn(p).isDefined,
+      s"pngdim filter not codegen'd in:\n$p")
+    assert(!p.contains("mapPartitions"),
+      "peek must not fall back to a decode pass")
+  }
+
   test("q173 pareto rank/cumsum windows are partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
     val lp = SparkEntry.queries("q173_pareto")(spark, TestSession.sfDir)
