@@ -443,6 +443,54 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // Retrieval-eval harness: recall@k and MRR of a candidate ranking
+    // against exact truth — the metrics every ANN/retrieval deployment
+    // reports. Reciprocal ranks accumulate in integer MICRO-UNITS
+    // (1000000 div rank) so the mean is engine-exact — a double 1/3
+    // would be the one non-reproducible term in the pipeline. Gated on
+    // the int8-quantized ranking as the system under eval (DuckDB
+    // replicates the quantization bit-for-bit, q59), scored against
+    // float brute force as truth — so BOTH sides of the metric are
+    // oracle-computable and the whole metric pipeline is hash-gated.
+    "q180_retrieval_metrics" -> ((s, d) => {
+      val k = 5
+      val emb = T.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val truth = graft.similarity.Similarity.bruteForceTopK(qs, emb, k)
+        .select(col("query_id"), col("rank").as("t_rank"),
+          col("neighbor_id"))
+      val sys = graft.similarity.Similarity.quantizedTopK(qs, emb, k)
+        .select(col("query_id"), col("rank").as("s_rank"),
+          col("neighbor_id"))
+      val perQuery = truth.join(sys, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("s_rank")).as("hits"),
+          // reciprocal rank of the TRUE top-1 in the system ranking
+          coalesce(max(when(col("t_rank") === 1,
+            expr("1000000 div s_rank"))), lit(0L)).as("rr_micro"))
+      perQuery.agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("n_hits"),
+          sum(col("rr_micro")).as("sum_rr_micro"))
+        .withColumn("recall_pct_x100",
+          expr("n_hits * 10000 div (n_queries * 5)"))
+        .withColumn("mrr_micro", expr("sum_rr_micro div n_queries"))
+    }),
+
+    // k-anonymity audit (privacy gate before a corpus ships): group
+    // sizes over the quasi-identifier tuple, rows in groups smaller
+    // than k, and the smallest group — one partial-aggregated groupBy
+    // plus a tiny re-aggregate, the same shape at any scale.
+    "q181_k_anonymity" -> ((s, d) => {
+      val k = 5
+      T.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n")).as("min_group"))
+    }),
+
     // Exact substring (span-level) dedup statistics: whole-document dedup
     // (q29) misses the dominant crawl pathology — boilerplate SPANS
     // repeated across distinct documents. The pass materializes every
@@ -1000,6 +1048,55 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // both the truth ranking (float brute force) and the system ranking
+    // (int8-quantized dot) replicate exactly in DuckDB, so the metric
+    // pipeline itself is hash-gated end-to-end
+    "q180_retrieval_metrics" ->
+      """WITH t AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS t_rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |tt AS (SELECT * FROM t WHERE t_rank <= 5),
+        |e AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> greatest(-127, least(127, round(x * 127.0)))) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.qv, c.qv) DESC, c.vec_id) AS s_rank
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ss AS (SELECT * FROM s WHERE s_rank <= 5),
+        |pq AS (
+        |  SELECT tt.query_id, COUNT(ss.s_rank) AS hits,
+        |    COALESCE(MAX(CASE WHEN tt.t_rank = 1
+        |      THEN 1000000 // ss.s_rank END), 0) AS rr
+        |  FROM tt LEFT JOIN ss ON tt.query_id = ss.query_id
+        |    AND tt.neighbor_id = ss.neighbor_id
+        |  GROUP BY tt.query_id)
+        |SELECT COUNT(*) AS n_queries, CAST(SUM(hits) AS BIGINT) AS n_hits,
+        |  CAST(SUM(rr) AS BIGINT) AS sum_rr_micro,
+        |  CAST(SUM(hits) AS BIGINT) * 10000 // (COUNT(*) * 5)
+        |    AS recall_pct_x100,
+        |  CAST(SUM(rr) AS BIGINT) // COUNT(*) AS mrr_micro
+        |FROM pq""".stripMargin,
+
+    "q181_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(MIN(n) AS BIGINT) AS min_group
+        |FROM g""".stripMargin,
 
     "q178_span_dedup" ->
       """WITH w AS (
