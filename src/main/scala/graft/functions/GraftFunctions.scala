@@ -43,7 +43,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
       (es: Seq[Expression]) => TopKAgg(es(0), es(1),
         foldableInt(es(2), "topk_agg(score, id, k)"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    ("ppm_dim",
+      new ExpressionInfo(classOf[PpmDim].getName, "ppm_dim"),
+      (es: Seq[Expression]) => PpmDim(es(0),
+        foldableInt(es(1), "ppm_dim(content, idx)"))),
+    ("png_dim",
+      new ExpressionInfo(classOf[PngDim].getName, "png_dim"),
+      (es: Seq[Expression]) => PngDim(es(0),
+        foldableInt(es(1), "png_dim(content, idx)"))),
+    ("normalize_nfc",
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
+      (es: Seq[Expression]) => NormalizeNfc(es.head)))
 
   /** Sketch sizes must be plan-time constants (they shape the buffer). */
   private def foldableInt(e: Expression, usage: String): Int = {
@@ -72,7 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("freq_sketch", es => FreqAgg(es(0),
         es(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
       ("topk_agg", es => TopKAgg(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].intValue).toAggregateExpression())
+        es(2).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
+      ("ppm_dim", es => PpmDim(es(0),
+        es(1).eval().asInstanceOf[Number].intValue)),
+      ("png_dim", es => PngDim(es(0),
+        es(1).eval().asInstanceOf[Number].intValue)),
+      ("normalize_nfc", es => NormalizeNfc(es.head))
     ).foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, name), builder))

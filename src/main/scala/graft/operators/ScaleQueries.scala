@@ -443,6 +443,83 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // Unicode NFC normalization — the FIRST pass of any text pipeline:
+    // composed ("é") and decomposed ("e"+U+0301) encodings of the same
+    // text fragment every exact downstream operation (dedup fingerprints,
+    // vocab joins, PII patterns) unless normalized at ingest. The
+    // codegen'd NormalizeNfc expression (JDK normalizer, no UDF
+    // boundary) runs over text with decomposed sequences planted on a
+    // schedule; lengths count code points in both engines, so the
+    // composition deltas gate exactly.
+    "q182_nfc_normalize" -> ((s, d) => {
+      // decomposed plants: 'e'+U+0301 (combining acute), 'A'+U+030A
+      // (combining ring), 'o'+U+0308 (combining diaeresis) — NFC
+      // composes each pair to one code point
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" A\u030Angstro\u0308m"))
+          .otherwise(lit("")))
+      T.documents(s, d).select(col("doc_id"), t2.as("t2"))
+        .withColumn("norm", graft.functions.NormalizeNfc(col("t2")))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("t2"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(length(col("t2"))).as("len_before"),
+          sum(length(col("norm"))).as("len_after"))
+    }),
+
+    // HTML boilerplate stripping (the crawl-cleaning pass): script-block
+    // removal, tag removal, whitespace collapse — three codegen'd
+    // regexp_replace passes at scan speed. A wrapper is planted around
+    // every third document; stripping must round-trip to EXACTLY the
+    // original text (bool_and-gated), so an off-by-one in any pattern
+    // fails the gate.
+    "q183_html_strip" -> ((s, d) => {
+      val t2 = when(col("doc_id") % 3 === 0,
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>var x=1;</script></body></html>")))
+        .otherwise(col("text"))
+      val stripped = trim(regexp_replace(regexp_replace(regexp_replace(
+        t2, "<script[^>]*>.*?</script>", " "), "<[^>]*>", " "), " +", " "))
+      T.documents(s, d)
+        .select(col("doc_id"), col("text"), stripped.as("stripped"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+            .as("n_wrapped"),
+          sum(length(col("stripped"))).as("len_total"),
+          bool_and(col("stripped") === col("text")).as("roundtrip_ok"))
+    }),
+
+    // Compression-ratio quality signal (CCNet/Gopher-style proxy):
+    // repetitive text compresses far better than prose, so the deflate
+    // ratio ranks quality without a model. Executor-side JDK Deflater,
+    // one instance reused per partition; a highly repetitive suffix is
+    // planted on every tenth document and the gate asserts the aggregate
+    // ratio ordering (integer cross-multiply — no float division) plus
+    // that every planted document actually compresses below raw.
+    "q184_compression_quality" -> ((s, d) => {
+      val planted = T.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 10 === 0,
+          lit(" " + "spam ham " * 50)).otherwise(lit(""))).as("t2"))
+      val stats = graft.text.TextAnalysis
+        .compressionStats(planted, "doc_id", "t2")
+      stats.withColumn("flag", col("doc_id") % 10 === 0)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("raw_len")).as("raw"),
+          sum(col("comp_len")).as("comp"),
+          bool_and(col("comp_len") < col("raw_len")).as("all_shrink"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(when(col("flag"), col("n")).otherwise(0L)).as("n_planted"),
+          // planted ratio < unplanted ratio, by integer cross-multiply
+          (max(when(col("flag"), col("comp"))) *
+            max(when(!col("flag"), col("raw"))) <
+            max(when(!col("flag"), col("comp"))) *
+              max(when(col("flag"), col("raw"))))
+            .as("ratio_ordering_ok"),
+          bool_and(when(col("flag"), col("all_shrink")).otherwise(lit(true)))
+            .as("planted_all_shrink"))
+    }),
+
     // Retrieval-eval harness: recall@k and MRR of a candidate ranking
     // against exact truth — the metrics every ANN/retrieval deployment
     // reports. Reciprocal ranks accumulate in integer MICRO-UNITS
@@ -1048,6 +1125,55 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,
+    // chr(776)=U+0308 combining diaeresis — the same decomposed plants
+    "q182_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |n AS (SELECT t2, nfc_normalize(t2) AS norm FROM p)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN norm <> t2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(length(t2)) AS BIGINT) AS len_before,
+        |  CAST(SUM(length(norm)) AS BIGINT) AS len_after
+        |FROM n""".stripMargin,
+
+    "q183_html_strip" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<html><body><p>' || text ||
+        |        '</p><script>var x=1;</script></body></html>'
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(
+        |    regexp_replace(t2, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS stripped
+        |  FROM p)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_wrapped,
+        |  CAST(SUM(length(stripped)) AS BIGINT) AS len_total,
+        |  bool_and(stripped = text) AS roundtrip_ok
+        |FROM s""".stripMargin,
+
+    // deflate output is not SQL-expressible; the oracle pins the
+    // oracle-computable facts and the deterministic TRUE bounds
+    // (q153 pattern)
+    "q184_compression_quality" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted,
+        |  TRUE AS ratio_ordering_ok, TRUE AS planted_all_shrink
+        |FROM documents""".stripMargin,
 
     // both the truth ranking (float brute force) and the system ranking
     // (int8-quantized dot) replicate exactly in DuckDB, so the metric

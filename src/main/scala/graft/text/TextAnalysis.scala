@@ -102,6 +102,37 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  final case class CompressionRow(doc_id: Long, raw_len: Long, comp_len: Long)
+
+  /** Compression-ratio quality signal — the CCNet/Gopher-style proxy:
+    * repetitive or boilerplate text compresses far better than natural
+    * prose, so the deflate ratio ranks document quality without a model.
+    * The one operator in this module that is NOT column algebra:
+    * `java.util.zip.Deflater` (pure JDK) runs executor-side with ONE
+    * deflater reused per partition (reset between rows), so the pass costs
+    * an allocation per partition, not per document, and shuffles nothing.
+    * Lengths stay integer so downstream thresholds are engine-exact. */
+  def compressionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val outEnc: Encoder[CompressionRow] =
+      Encoders.product[CompressionRow]
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater()
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          defl.reset(); defl.setInput(raw); defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          CompressionRow(id, raw.length.toLong, n)
+        }
+      }.toDF()
+  }
+
   // ---- oracle SQL fragments (same semantics, DuckDB dialect) -------------
 
   def sqlStopwordHits(words: Seq[String]): String = {

@@ -62,6 +62,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(tk.map(_.getLong(1)) == Seq(30L, 20L))
   }
 
+  test("normalize_nfc and media dims are SQL-callable after register()") {
+    graft.functions.GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301" // 'e' + combining acute: 5 code points
+    val composed = "caf\u00e9"    // one precomposed code point: 4
+    val n = spark.sql(
+      s"SELECT length(normalize_nfc('$decomposed')) AS l, " +
+        s"length('$decomposed') AS l0")
+      .collect()(0)
+    assert(n.getInt(0) == 4 && n.getInt(1) == 5,
+      s"NFC composition failed: ${n.toString}")
+    // interpreted path agrees with codegen
+    val e = graft.functions.NormalizeNfc(
+      org.apache.spark.sql.catalyst.expressions.Literal(decomposed))
+    assert(e.eval(null).toString == composed)
+    val png = graft.multimodal.Multimodal.PngCodec.encode(7, 9,
+      (_, _) => (1, 2, 3))
+    val dims = spark.createDataset(Seq(png))(
+        org.apache.spark.sql.Encoders.BINARY).toDF("c")
+      .selectExpr("png_dim(c, 1) AS w", "png_dim(c, 2) AS h")
+      .collect()(0)
+    assert((dims.getInt(0), dims.getInt(1)) == (7, 9))
+  }
+
   test("salted join equals plain join on skewed data") {
     // heavy skew: 90% of rows share key 1
     val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
