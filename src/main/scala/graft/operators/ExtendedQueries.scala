@@ -61,7 +61,66 @@ object ExtendedQueries {
     * the same gaps-and-islands oracle. */
   private val GapUs = 43200000000L
 
+  /** Bucketed + per-bucket-sorted orders/customer tables (8 buckets on the
+    * join/filter key), written once per sf: the layout that replaces the
+    * join shuffle (q87) and lets a key-equality scan read ONE bucket file
+    * instead of the table (q185). One writer task per bucket → one file
+    * per bucket, the only layout whose sort order Spark trusts. */
+  private[graft] def bucketedTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val to = s"graft_bkt_orders$tag"
+    val tc = s"graft_bkt_cust$tag"
+    // a previous JVM's in-memory catalog is gone but its warehouse dir
+    // survives — saveAsTable refuses the orphaned location, so clear it
+    def freshTable(name: String)(write: => Unit): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val orphan = new java.io.File(s"spark-warehouse/$name")
+        if (orphan.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(orphan)
+        }
+        write
+      }
+    freshTable(to) {
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(to)
+    }
+    freshTable(tc) {
+      T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(tc)
+    }
+    (to, tc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bucket pruning on read: a key-equality filter over the bucketed
+    // table touches ONE bucket file of 8 — the scan-side dividend of the
+    // bucketed layout (q87 shows the join-side one). At 100 TB the
+    // difference is reading 1/8 of the files for point lookups with zero
+    // shuffle; ExtendedSpec pins SelectedBucketsCount in the plan.
+    "q185_bucket_pruning" -> ((s, d) => {
+      val (to, _) = bucketedTables(s, d)
+      // auto-bucketed-scan turns the bucketed layout OFF when no join
+      // needs the distribution — but pruning is exactly the case where
+      // the layout pays without a join, so keep the scan bucketed
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      s.table(to)
+        .where(col("o_custkey") === 107)
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
 
     // Custom-state sessionization via flatMapGroupsWithState — the typed
     // escape hatch where q56's built-in session_window is the declarative
@@ -397,41 +456,7 @@ object ExtendedQueries {
     // the demo honest (a broadcast would also avoid the shuffle, but
     // only because the test data is small).
     "q87_bucketed_join" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val to = s"graft_bkt_orders$tag"
-      val tc = s"graft_bkt_cust$tag"
-      // a previous JVM's in-memory catalog is gone but its warehouse dir
-      // survives — saveAsTable refuses the orphaned location, so clear it
-      def freshTable(name: String)(write: => Unit): Unit =
-        if (!s.catalog.tableExists(name)) {
-          val orphan = new java.io.File(s"spark-warehouse/$name")
-          if (orphan.exists()) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory)
-                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              f.delete(): Unit
-            }
-            rm(orphan)
-          }
-          write
-        }
-      // one writer task per bucket → one file per bucket: Spark only
-      // trusts (and re-uses) the per-bucket sort order when each bucket
-      // is a single file, which is also how a production re-bucketing
-      // job would lay the table out
-      freshTable(to) {
-        T.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          .repartition(8, col("o_custkey"))
-          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .mode("overwrite").saveAsTable(to)
-      }
-      freshTable(tc) {
-        T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-          .repartition(8, col("c_custkey"))
-          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .mode("overwrite").saveAsTable(tc)
-      }
+      val (to, tc) = bucketedTables(s, d)
       // since 3.0 Spark ignores the buckets' sort order unless told the
       // layout guarantees it (exactly one file per bucket, which the
       // repartition above ensures) — without this the SMJ re-sorts
@@ -784,6 +809,12 @@ object ExtendedQueries {
               "CASE WHEN event_type = 'purchase' THEN value * 2 " +
                 "ELSE value END")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q185_bucket_pruning" -> {
+      val q = Det.sqlSum("o_totalprice")
+      s"""SELECT COUNT(*) AS n, $q AS sum_price
+         |FROM orders WHERE o_custkey = 107""".stripMargin
+    },
 
     "q87_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

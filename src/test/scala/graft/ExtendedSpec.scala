@@ -175,6 +175,13 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 key-equality scan prunes to one bucket file") {
+    val p = SparkEntry.queries("q185_bucket_pruning")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"scan did not prune buckets:\n$p")
+  }
+
   test("q86 partition-pruned read after dynamic overwrite") {
     // run the query once so the partitioned layout exists with the
     // overwritten purchase partition
