@@ -81,6 +81,60 @@ object ScaleQueries {
     out
   }
 
+  /** PNG corpus with PLANTED DUPLICATES: image content is keyed by
+    * `doc_id % 40`, so every 40th document is byte-identical — the
+    * image-dedup fixture (same schedule family as [[pngFixture]]). */
+  private[graft] def pngDupFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_png_dups")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = id % 40
+            val w = (16 + k % 17).toInt
+            val h = (16 + k % 13).toInt
+            // k varies the GRADIENT, not a uniform offset — adding a
+            // constant to every pixel shifts each luma cell and the
+            // thumbnail mean equally, which aHash (by design) ignores
+            val bytes = graft.multimodal.Multimodal.PngCodec.encode(w, h,
+              (x, y) => (((x * (31 + k) + y * 17) % 256).toInt,
+                ((x * 7 + y * (3 + k)) % 256).toInt,
+                ((x * (1 + k) + y) % 256).toInt))
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Animated GIFs, one per document, frames from a deterministic gray
+    * schedule — the multi-frame (video-shaped) fixture. */
+  private[graft] def gifFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_gif")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (12 + id % 5).toInt
+            val h = (10 + id % 3).toInt
+            val nf = (3 + id % 4).toInt
+            val bytes = graft.multimodal.Multimodal.GifCodec.encode(w, h, nf,
+              (x, y, f) => ((x * (3 + f) + y * (5 + f) + id) % 256).toInt)
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Incrementally-built IVF index: base index over history vectors
     * (vec_id with a nonzero last digit), then the held-out tenth
     * assigned to the SAME centroids and appended cell-partitioned —
@@ -441,6 +495,43 @@ object ScaleQueries {
           sum(col("sum_g")).as("sum_g"),
           sum(col("sum_b")).as("sum_b"),
           sum(col("thumb_sum")).as("thumb_sum"))
+    }),
+
+    // REAL multi-frame (video-shaped) decode + frame sampling: animated
+    // GIFs — the one multi-frame container pure-JDK ImageIO both writes
+    // and reads — decode to one row per frame on the executors, every
+    // second frame is sampled, per-frame gray sums aggregate. The
+    // frame-pixel schedule is analytic, so the oracle recomputes every
+    // sampled byte; real video codecs need native libs, but this IS the
+    // video pipeline's Spark plumbing on actual container bytes.
+    "q187_gif_frames" -> ((s, d) => {
+      val media = s.read.parquet(gifFixture(s, d))
+      graft.multimodal.Multimodal.decodeGifFrames(media)
+        .agg(countDistinct(col("doc_id")).as("n_gifs"),
+          count(lit(1)).as("n_frames"),
+          sum(when(col("frame_idx") % 2 === 0, 1L).otherwise(0L))
+            .as("n_sampled"),
+          sum(when(col("frame_idx") % 2 === 0, col("sum_gray"))
+            .otherwise(0L)).as("gray_sampled"))
+    }),
+
+    // Image dedup via perceptual average-hash over REAL decoded PNGs:
+    // decode → 8x8 luma thumbnail → mean-threshold → 64-bit signature,
+    // then a hash-groupBy — the q29 exact-dedup shape applied to pixels,
+    // scale-free (no pairwise anything). The fixture plants byte-identical
+    // duplicates every 40 documents; identical bytes hash identically and
+    // the 40 distinct schedules produce 40 distinct signatures, so the
+    // cluster accounting is analytic.
+    "q186_image_dedup" -> ((s, d) => {
+      val media = s.read.parquet(pngDupFixture(s, d))
+      graft.multimodal.Multimodal
+        .aHash(media, graft.multimodal.Multimodal.PngCodec.decode)
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_images"),
+          count(lit(1)).as("n_clusters"),
+          sum(col("n") - 1).as("n_dup_images"),
+          max(col("n")).as("max_cluster"))
     }),
 
     // Unicode NFC normalization — the FIRST pass of any text pipeline:
@@ -1125,6 +1216,39 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    "q187_gif_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 12 + doc_id % 5 AS w, 10 + doc_id % 3 AS h,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, f
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(0, nf - 1)) AS f) fs),
+        |px AS (
+        |  SELECT doc_id, f,
+        |    (x*(3+f) + y*(5+f) + doc_id) % 256 AS v
+        |  FROM fr,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_gifs,
+        |  (SELECT COUNT(*) FROM fr) AS n_frames,
+        |  (SELECT COUNT(*) FROM fr WHERE f % 2 = 0) AS n_sampled,
+        |  (SELECT CAST(SUM(CASE WHEN f % 2 = 0 THEN v ELSE 0 END)
+        |     AS BIGINT) FROM px) AS gray_sampled""".stripMargin,
+
+    // cluster accounting over the planted %40 duplicate schedule (the
+    // 40 distinct pixel schedules give 40 distinct signatures — pinned
+    // by ScaleSpec — so clusters ≡ doc_id % 40 groups)
+    "q186_image_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id % 40 AS k, COUNT(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_images,
+        |  (SELECT COUNT(*) FROM g) AS n_clusters,
+        |  (SELECT CAST(SUM(n - 1) AS BIGINT) FROM g) AS n_dup_images,
+        |  (SELECT CAST(MAX(n) AS BIGINT) FROM g) AS max_cluster""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,
     // chr(776)=U+0308 combining diaeresis — the same decomposed plants

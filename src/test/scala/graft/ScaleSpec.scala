@@ -391,6 +391,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.eval(null) == 123)
   }
 
+  // ---- q187 animated GIF frames -------------------------------------------
+
+  test("GIF round-trips every frame byte-for-byte") {
+    import graft.multimodal.Multimodal.GifCodec
+    val (w, h, nf) = (13, 11, 4)
+    val pix = (x: Int, y: Int, f: Int) => (x * (3 + f) + y * (5 + f) + 9) % 256
+    val (gw, gh, frames) = GifCodec.decode(GifCodec.encode(w, h, nf, pix))
+    assert((gw, gh, frames.length) == (w, h, nf))
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      assert((frames(f)(y * w + x) & 0xff) == pix(x, y, f),
+        s"frame $f pixel ($x,$y) corrupted")
+  }
+
+  // ---- q186 perceptual image dedup ----------------------------------------
+
+  test("aHash: 40 planted schedules give 40 distinct signatures") {
+    import graft.multimodal.Multimodal
+    def img(k: Long): Array[Byte] = {
+      val w = (16 + k % 17).toInt; val h = (16 + k % 13).toInt
+      Multimodal.PngCodec.encode(w, h,
+        (x, y) => (((x * (31 + k) + y * 17) % 256).toInt,
+          ((x * 7 + y * (3 + k)) % 256).toInt,
+          ((x * (1 + k) + y) % 256).toInt))
+    }
+    import spark.implicits._
+    val rows = (0L until 40L).map(k => Multimodal.MediaRow(k, img(k)))
+    val hashes = Multimodal
+      .aHash(rows.toDF("doc_id", "content"), Multimodal.PngCodec.decode)
+      .select(col("ahash")).collect().map(_.getLong(0))
+    assert(hashes.distinct.length == 40,
+      s"cross-schedule aHash collision: ${hashes.toSeq}")
+    // identical bytes → identical signature
+    val dup = Multimodal.aHash(
+      Seq(Multimodal.MediaRow(0L, img(7)), Multimodal.MediaRow(1L, img(7)))
+        .toDF("doc_id", "content"), Multimodal.PngCodec.decode)
+      .select(col("ahash")).collect().map(_.getLong(0))
+    assert(dup(0) == dup(1))
+  }
+
   // ---- q178 span dedup / q179 temperature mix -----------------------------
 
   test("span-dedup accounting is internally consistent") {
