@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for training-data
@@ -392,6 +392,38 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class AudioWindowRow(doc_id: Long, window_idx: Int,
+      n_samples: Int, sum_abs: Long, peak: Long)
+
+  /** Executor-side REAL WAV decode exploded to fixed-length analysis
+    * WINDOWS (one row per `windowLen`-sample window, last window ragged)
+    * — the audio analog of per-frame video rows: the shape every
+    * downstream audio featurizer (VAD, energy gating, loudness
+    * normalization) consumes. One partition pass, no shuffle. */
+  def decodeWavWindows(df: DataFrame, windowLen: Int = 256): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[AudioWindowRow] =
+      Encoders.product[AudioWindowRow]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (_, samples) = WavCodec.decode(r.content)
+          (0 until samples.length by windowLen).iterator.zipWithIndex
+            .map { case (start, wi) =>
+              val end = math.min(start + windowLen, samples.length)
+              var sa = 0L; var pk = 0L
+              var i = start
+              while (i < end) {
+                val a = math.abs(samples(i).toLong)
+                sa += a; if (a > pk) pk = a
+                i += 1
+              }
+              AudioWindowRow(r.doc_id, wi, end - start, sa, pk)
+            }
+        }
+      }.toDF()
+  }
+
   final case class AHashRow(doc_id: Long, width: Int, height: Int,
       ahash: Long)
 
@@ -437,6 +469,24 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  /** Magic-byte format classifier — the ingest ROUTER for a mixed media
+    * landing zone: a crawl delivers one binary stream, and the first
+    * bytes decide which decoder a row is routed to. Pure column algebra
+    * (substring compares on the binary column inside whole-stage
+    * codegen), so classification costs a few byte reads per row, never a
+    * decode. */
+  def mediaFormat(content: Column): Column =
+    when(substring(content, 1, 8) ===
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')),
+      "png")
+      .when(substring(content, 1, 4) === lit("GIF8".getBytes("US-ASCII")),
+        "gif")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .when(substring(content, 1, 2) === lit("P6".getBytes("US-ASCII")),
+        "ppm")
+      .otherwise("unknown")
 
   /** Pack a text corpus into the multimodal layout (binary content +
     * metadata): the shape an image/audio corpus lands in. */

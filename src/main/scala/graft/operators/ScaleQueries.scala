@@ -497,6 +497,41 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // Windowed audio analysis: REAL WAV decode exploded to fixed 256-
+    // sample analysis windows (the VAD/energy-gating shape), per-window
+    // abs-sum and peak, plus a loudness gate (mean abs ≥ 1024) counted
+    // integer-exactly. One partition pass; the oracle recomputes every
+    // window boundary and sample from the schedule.
+    "q189_audio_windows" -> ((s, d) => {
+      val media = s.read.parquet(wavFixture(s, d))
+      graft.multimodal.Multimodal.decodeWavWindows(media)
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("sum_abs")).as("sum_abs"),
+          max(col("peak")).as("max_peak"),
+          sum(when(col("sum_abs") >= col("n_samples") * 1024, 1L)
+            .otherwise(0L)).as("n_loud"))
+    }),
+
+    // Mixed-media landing zone routed by MAGIC BYTES: one binary stream
+    // (PNG + GIF + WAV + PPM corpora unioned) classified by its first
+    // bytes inside whole-stage codegen — the router that decides which
+    // decoder each row reaches, costing a few byte compares per row,
+    // never a decode. Every fixture contributes exactly one object per
+    // document, so the per-format accounting is analytic.
+    "q188_media_router" -> ((s, d) => {
+      val zone = s.read.parquet(ppmFixture(s, d))
+        .unionByName(s.read.parquet(pngFixture(s, d)))
+        .unionByName(s.read.parquet(wavFixture(s, d)))
+        .unionByName(s.read.parquet(gifFixture(s, d)))
+      zone.withColumn("format",
+          graft.multimodal.Multimodal.mediaFormat(col("content")))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("format"))
+    }),
+
     // REAL multi-frame (video-shaped) decode + frame sampling: animated
     // GIFs — the one multi-frame container pure-JDK ImageIO both writes
     // and reads — decode to one row per frame on the executors, every
@@ -1216,6 +1251,31 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    "q189_audio_windows" ->
+      """WITH d AS (SELECT doc_id, 1000 + doc_id % 501 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, i, i // 256 AS wi,
+        |    ((i*37 + doc_id*11) % 4096) - 2048 AS v
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(0, n - 1)) AS i) s_),
+        |w AS (
+        |  SELECT doc_id, wi, COUNT(*) AS ns, SUM(ABS(v)) AS sa,
+        |    MAX(ABS(v)) AS pk
+        |  FROM s GROUP BY doc_id, wi)
+        |SELECT COUNT(*) AS n_windows,
+        |  CAST(SUM(ns) AS BIGINT) AS n_samples,
+        |  CAST(SUM(sa) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+        |  CAST(SUM(CASE WHEN sa >= ns * 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_loud
+        |FROM w""".stripMargin,
+
+    "q188_media_router" ->
+      """SELECT f.format, (SELECT COUNT(*) FROM documents) AS n,
+        |  (SELECT COUNT(*) FROM documents) AS n_docs
+        |FROM (VALUES ('gif'), ('png'), ('ppm'), ('wav')) f(format)
+        |ORDER BY f.format""".stripMargin,
 
     "q187_gif_frames" ->
       """WITH d AS (
