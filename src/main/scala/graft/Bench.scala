@@ -72,9 +72,13 @@ object Bench {
       operators.IncrementalQueries.evolutionFixture(spark, sfDir)
       operators.IncrementalQueries.corruptFixture(spark, sfDir)
       operators.ScaleQueries.ppmFixture(spark, sfDir)
+      operators.ScaleQueries.pngFixture(spark, sfDir)
+      operators.ScaleQueries.pngDupFixture(spark, sfDir)
+      operators.ScaleQueries.gifFixture(spark, sfDir)
       operators.ScaleQueries.wavFixture(spark, sfDir)
       operators.ScaleQueries.mixedZoneFixture(spark, sfDir)
       operators.ScaleQueries.ivfAppendFixture(spark, sfDir)
+      operators.StreamCatalogQueries.manifestFixture(spark, sfDir)
       operators.IncrementalQueries.lateFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))

@@ -497,6 +497,32 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // BPE vocabulary INDUCTION (tokenizer training, not just token
+    // counting like q44): three rounds of most-frequent-adjacent-pair
+    // merging over the corpus word-frequency table. The corpus reduces
+    // once to |vocab| rows; each round is a pair-count aggregate plus a
+    // one-row argmax collect (k-means||-style bounded driver action) and
+    // a column-fold merge — no UDFs. The oracle replays the identical
+    // induction in SQL (same §-seq representation, same greedy fold,
+    // same tie-break), so a wrong count, wrong argmax, or wrong merge
+    // application in ANY round shifts every later round and fails the
+    // gate. tokens_before/after pin the compression the learned merges
+    // actually achieve on the corpus.
+    "q190_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, words) =
+        graft.text.Bpe.learnMerges(T.documents(s, d), "text", rounds = 3)
+      val before = words
+        .agg(sum(col("freq") * length(col("word"))).cast("long")
+          .as("tokens_before"))
+      val after = words.agg(graft.text.Bpe.tokenCount.as("tokens_after"))
+      merges.map(m => (m.round, s"${m.a}+${m.b}", m.pairFreq))
+        .toDF("round", "merge", "pair_freq")
+        .crossJoin(broadcast(before))
+        .crossJoin(broadcast(after))
+        .orderBy(col("round"))
+    }),
+
     // Windowed audio analysis: REAL WAV decode exploded to fixed 256-
     // sample analysis windows (the VAD/energy-gating shape), per-window
     // abs-sum and peak, plus a loudness gate (mean abs ≥ 1024) counted
@@ -1251,6 +1277,71 @@ object ScaleQueries {
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
         |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
         |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // Replays the identical BPE induction: same §-seq representation,
+    // same greedy leftmost fold (list_reduce with the ends_with test),
+    // same (cnt DESC, a, b) argmax tie-break, three chained rounds.
+    "q190_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT word, COUNT(*) AS freq,
+        |    regexp_replace(word, '(.)', '§\1', 'g') AS seq
+        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p1 AS (
+        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w0) t,
+        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT a AS ma, b AS mb, cnt FROM p1
+        |       ORDER BY cnt DESC, a, b LIMIT 1),
+        |w1 AS (
+        |  SELECT word, freq,
+        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+        |  FROM w0, t1),
+        |p2 AS (
+        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w1) t,
+        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT a AS ma, b AS mb, cnt FROM p2
+        |       ORDER BY cnt DESC, a, b LIMIT 1),
+        |w2 AS (
+        |  SELECT word, freq,
+        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+        |  FROM w1, t2),
+        |p3 AS (
+        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w2) t,
+        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+        |  GROUP BY 1, 2),
+        |t3 AS (SELECT a AS ma, b AS mb, cnt FROM p3
+        |       ORDER BY cnt DESC, a, b LIMIT 1),
+        |w3 AS (
+        |  SELECT word, freq,
+        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+        |  FROM w2, t3),
+        |tb AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n FROM w0),
+        |ta AS (SELECT CAST(SUM(freq * len(string_split(seq, '§')[2:]))
+        |         AS BIGINT) AS n FROM w3)
+        |SELECT * FROM (
+        |  SELECT 1 AS round, ma || '+' || mb AS merge,
+        |    CAST(cnt AS BIGINT) AS pair_freq,
+        |    (SELECT n FROM tb) AS tokens_before,
+        |    (SELECT n FROM ta) AS tokens_after FROM t1
+        |  UNION ALL
+        |  SELECT 2, ma || '+' || mb, CAST(cnt AS BIGINT),
+        |    (SELECT n FROM tb), (SELECT n FROM ta) FROM t2
+        |  UNION ALL
+        |  SELECT 3, ma || '+' || mb, CAST(cnt AS BIGINT),
+        |    (SELECT n FROM tb), (SELECT n FROM ta) FROM t3)
+        |ORDER BY round""".stripMargin,
 
     "q189_audio_windows" ->
       """WITH d AS (SELECT doc_id, 1000 + doc_id % 501 AS n FROM documents),

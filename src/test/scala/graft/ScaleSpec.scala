@@ -457,6 +457,51 @@ class ScaleSpec extends AnyFunSuite {
         s"majority $majority rate ${rates(majority)}")
   }
 
+  // ---- q190 BPE merge induction ------------------------------------------
+
+  test("BPE induction learns hand-computed merges on a tiny corpus") {
+    import spark.implicits._
+    // freqs: low=2, lower=1. Pair counts r1: l+o=3, o+w=3, w+e=1, e+r=1
+    // → argmax tie (3,3) breaks to l+o (a ASC). r2: lo+w=3 wins.
+    // r3: low+e=1, e+r=1 → tie breaks to e+r ('e' < 'low').
+    val docs = Seq("low low lower").toDF("text")
+    val (merges, words) = text.Bpe.learnMerges(docs, "text", rounds = 3)
+    assert(merges.map(m => (m.round, m.a, m.b, m.pairFreq)) ==
+      Seq((1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L)))
+    val seqs = words.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs("low") == "§low")
+    assert(seqs("lower") == "§low§er")
+  }
+
+  test("BPE merge fold is greedy leftmost: overlaps never double-merge") {
+    import spark.implicits._
+    val df = Seq("§b§b§b", "§a§b§a§b", "§x§b§b").toDF("seq")
+      .withColumn("m", text.Bpe.applyMerge(col("seq"), "b", "b"))
+      .withColumn("m2", text.Bpe.applyMerge(col("seq"), "a", "b"))
+    val byseq = df.collect().map(r =>
+      r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byseq("§b§b§b")._1 == "§bb§b")
+    assert(byseq("§a§b§a§b")._2 == "§ab§ab")
+    assert(byseq("§x§b§b")._1 == "§x§bb")
+  }
+
+  test("q190 token accounting: after = before - sum of merge pair freqs") {
+    val rows = SparkEntry.queries("q190_bpe_merges")(spark, sf).collect()
+    assert(rows.length == 3)
+    val saved = rows.map(_.getLong(2)).sum
+    val before = rows.head.getLong(3)
+    val after = rows.head.getLong(4)
+    val selfPair = rows.exists { r =>
+      val Array(a, b) = r.getString(1).split("\\+", 2); a == b
+    }
+    // with a != b the counted occurrences are disjoint, so every one
+    // merges and removes exactly one token; a self-pair (a==b) can
+    // overlap, in which case greedy merges strictly fewer
+    if (selfPair) assert(after > before - saved && after < before)
+    else assert(after == before - saved, s"$after != $before - $saved")
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
