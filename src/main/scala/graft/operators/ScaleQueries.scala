@@ -672,6 +672,41 @@ object ScaleQueries {
             .as("planted_all_shrink"))
     }),
 
+    // Exact AUC of a quality-classifier score (the calibration step
+    // behind every classifier-filtered corpus): a graded repetition
+    // plant gives genuinely overlapping score distributions, the score
+    // is an integer repetition permille (1000·(nw-nd) div nw), and AUC
+    // comes out RANK-FREE: scores bucket into a domain-bounded table
+    // (≤1001 rows regardless of corpus size), concordant pairs are a
+    // tiny bucket-level range join, ties one product sum — no global
+    // sort, no window, no per-row pairing anywhere. auc_x1e6 in integer
+    // micro-units: (2·concordant + ties)·1e6 div (2·P·N) — engine-exact.
+    "q191_auc_quality" -> ((s, d) => {
+      val planted = T.documents(s, d).select(col("doc_id"),
+        expr("trim(concat(text, CASE WHEN doc_id % 10 = 0 THEN " +
+          "concat(' ', repeat('spam ', CAST(doc_id % 30 AS INT))) " +
+          "ELSE '' END))").as("t2"))
+      val ws = split(col("t2"), " ")
+      val scored = planted
+        .select((col("doc_id") % 10 === 0).as("pos"),
+          size(ws).cast("long").as("nw"),
+          size(array_distinct(ws)).cast("long").as("nd"))
+        .select(col("pos"), expr("1000 * (nw - nd) div nw").as("score"))
+      val b = scored.groupBy(col("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val conc = b.as("hi").join(broadcast(b.as("lo")),
+          col("hi.score") > col("lo.score"))
+        .agg(coalesce(sum(col("hi.np") * col("lo.nn")), lit(0L))
+          .as("concordant"))
+      b.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          coalesce(sum(col("np") * col("nn")), lit(0L)).as("ties"))
+        .crossJoin(broadcast(conc))
+        .select(col("n_pos"), col("n_neg"), col("concordant"), col("ties"),
+          expr("(2 * concordant + ties) * 1000000 div (2 * n_pos * n_neg)")
+            .as("auc_x1e6"))
+    }),
+
     // Retrieval-eval harness: recall@k and MRR of a candidate ranking
     // against exact truth — the metrics every ANN/retrieval deployment
     // reports. Reciprocal ranks accumulate in integer MICRO-UNITS
@@ -1449,6 +1484,34 @@ object ScaleQueries {
         |    AS n_planted,
         |  TRUE AS ratio_ordering_ok, TRUE AS planted_all_shrink
         |FROM documents""".stripMargin,
+
+    "q191_auc_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id, trim(text || CASE WHEN doc_id % 10 = 0
+        |    THEN ' ' || repeat('spam ', CAST(doc_id % 30 AS INTEGER))
+        |    ELSE '' END) AS t2
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id % 10 = 0 AS pos,
+        |    1000 * (len(string_split(t2, ' ')) -
+        |            len(list_distinct(string_split(t2, ' ')))) //
+        |      len(string_split(t2, ' ')) AS score
+        |  FROM p),
+        |b AS (
+        |  SELECT score, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+        |  FROM s GROUP BY score),
+        |c AS (SELECT COALESCE(SUM(hi.np * lo.nn), 0) AS concordant
+        |      FROM b hi JOIN b lo ON hi.score > lo.score),
+        |t AS (SELECT COALESCE(SUM(np * nn), 0) AS ties,
+        |       SUM(np) AS n_pos, SUM(nn) AS n_neg FROM b)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(concordant AS BIGINT) AS concordant,
+        |  CAST(ties AS BIGINT) AS ties,
+        |  CAST((2*concordant + ties) * 1000000 // (2 * n_pos * n_neg)
+        |    AS BIGINT) AS auc_x1e6
+        |FROM t, c""".stripMargin,
 
     // both the truth ranking (float brute force) and the system ranking
     // (int8-quantized dot) replicate exactly in DuckDB, so the metric

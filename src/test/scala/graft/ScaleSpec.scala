@@ -502,6 +502,19 @@ class ScaleSpec extends AnyFunSuite {
     else assert(after == before - saved, s"$after != $before - $saved")
   }
 
+  // ---- q191 exact AUC -----------------------------------------------------
+
+  test("q191 AUC satisfies the Mann-Whitney identities") {
+    val r = SparkEntry.queries("q191_auc_quality")(spark, sf).collect()(0)
+    val (p, n, c, t, auc) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(p + n == Tables.documents(spark, sf).count())
+    assert(c + t <= p * n, s"pairs $c+$t exceed $p*$n")
+    assert(auc == (2 * c + t) * 1000000L / (2 * p * n))
+    // the graded plant separates better than chance but not perfectly
+    assert(auc > 500000L && auc < 1000000L, s"degenerate AUC $auc")
+  }
+
   // ---- q116 minority boost ------------------------------------------------
 
   test("minority boost replicates exactly n_orig * factor rows") {
