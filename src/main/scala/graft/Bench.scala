@@ -73,6 +73,7 @@ object Bench {
       operators.IncrementalQueries.corruptFixture(spark, sfDir)
       operators.ScaleQueries.ppmFixture(spark, sfDir)
       operators.ScaleQueries.pngFixture(spark, sfDir)
+      operators.ScaleQueries.jpegFixture(spark, sfDir)
       operators.ScaleQueries.pngDupFixture(spark, sfDir)
       operators.ScaleQueries.gifFixture(spark, sfDir)
       operators.ScaleQueries.wavFixture(spark, sfDir)

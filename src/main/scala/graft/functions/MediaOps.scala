@@ -154,6 +154,97 @@ case class PngDim(child: Expression, idx: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JPEG dimension peek — the header-walk tier for the lossy mainstream
+  * format: segments are walked by their big-endian length fields until a
+  * start-of-frame marker (SOF0..SOF15 minus DHT/JPG/DAC), whose payload
+  * carries height then width at fixed offsets. A few dozen byte reads
+  * inside whole-stage codegen, never an entropy-decode — dimension pruning
+  * over a JPEG corpus stays a scan predicate. */
+case class JpegDim(child: Expression, idx: Int) extends UnaryExpression {
+
+  require(idx == 1 || idx == 2, s"idx must be 1 (width) or 2 (height)")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"jpeg_dim expects binary, got $t")
+    }
+
+  /** -1 when the bytes are not a JPEG with a locatable SOF segment —
+    * malformed media filters on the sentinel (q122 quarantine pattern),
+    * never throws mid-scan. */
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var res = -1
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var p = 2
+      var done = false
+      while (!done && p + 9 < b.length) {
+        if ((b(p) & 0xff) != 0xff) { done = true }
+        else {
+          val m = b(p + 1) & 0xff
+          if (m == 0xff) { p += 1 } // fill byte
+          else if (m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            val o = if (idx == 1) p + 7 else p + 5
+            res = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+            done = true
+          } else if (m == 0xda || m == 0xd9) { done = true } // SOS / EOI
+          else {
+            p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+          }
+        }
+      }
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, b => {
+      val res = ctx.freshName("res")
+      val p = ctx.freshName("p")
+      val m = ctx.freshName("m")
+      val o = ctx.freshName("o")
+      val done = ctx.freshName("done")
+      val off = if (idx == 1) 7 else 5
+      s"""
+         |int $res = -1;
+         |if ($b.length >= 4 && ($b[0] & 0xff) == 0xff &&
+         |    ($b[1] & 0xff) == 0xd8) {
+         |  int $p = 2; boolean $done = false;
+         |  while (!$done && $p + 9 < $b.length) {
+         |    if (($b[$p] & 0xff) != 0xff) { $done = true; }
+         |    else {
+         |      int $m = $b[$p + 1] & 0xff;
+         |      if ($m == 0xff) { $p += 1; }
+         |      else if ($m >= 0xc0 && $m <= 0xcf &&
+         |          $m != 0xc4 && $m != 0xc8 && $m != 0xcc) {
+         |        int $o = $p + $off;
+         |        $res = (($b[$o] & 0xff) << 8) | ($b[$o + 1] & 0xff);
+         |        $done = true;
+         |      } else if ($m == 0xda || $m == 0xd9) { $done = true; }
+         |      else {
+         |        $p += 2 + ((($b[$p + 2] & 0xff) << 8) | ($b[$p + 3] & 0xff));
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDim =
+    copy(child = newChild)
+}
+
 object MediaOps {
   /** Header-peeked PPM width (-1 if not P6). */
   def ppmWidth(content: Column): Column =
@@ -170,4 +261,12 @@ object MediaOps {
   /** Header-peeked PNG height (-1 if not PNG/IHDR). */
   def pngHeight(content: Column): Column =
     GraftSqlBridge.column(PngDim(GraftSqlBridge.expression(content), 2))
+
+  /** Header-peeked JPEG width (-1 if no SOF segment found). */
+  def jpegWidth(content: Column): Column =
+    GraftSqlBridge.column(JpegDim(GraftSqlBridge.expression(content), 1))
+
+  /** Header-peeked JPEG height (-1 if no SOF segment found). */
+  def jpegHeight(content: Column): Column =
+    GraftSqlBridge.column(JpegDim(GraftSqlBridge.expression(content), 2))
 }

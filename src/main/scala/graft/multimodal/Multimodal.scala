@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Decode comes in two tiers. [[PpmCodec]] (binary PPM / P6, pure byte
   * parsing, q144), [[PngCodec]] (PNG via `javax.imageio` — the mainstream
-  * crawl-corpus format, pure JDK, q174) and [[WavCodec]] (PCM16 WAV,
-  * q145) are REAL codecs: decode, feature extraction, and resize run for
-  * real on the executors. Formats needing native libraries not present in
-  * this container (video frame extraction, exotic raster formats) keep
-  * [[FakeCodec]], a deterministic stand-in with the same signature a
-  * JNI/FFI decoder would have; the Spark-side plumbing — schema,
-  * executor-side batch iteration via mapPartitions, partition sizing — is
-  * identical and swapping in the true codec changes only the decode body.
+  * lossless crawl format, pure JDK, q174), [[JpegCodec]] (JPEG via the
+  * same ImageIO stack — the most common crawl format of all, lossy, so
+  * gated by bounded deviation from the lossless baseline, q192),
+  * [[GifCodec]] (animated GIF — the multi-frame/video-shaped path, q187)
+  * and [[WavCodec]] (PCM16 WAV, q145) are REAL codecs: decode, feature
+  * extraction, and resize run for real on the executors. Formats needing
+  * native libraries not present in this container (video codecs, exotic
+  * raster formats) keep [[FakeCodec]], a deterministic stand-in with the
+  * same signature a JNI/FFI decoder would have; the Spark-side plumbing —
+  * schema, executor-side batch iteration via mapPartitions, partition
+  * sizing — is identical and swapping in the true codec changes only the
+  * decode body.
   */
 object Multimodal {
 
@@ -158,6 +162,83 @@ object Multimodal {
       }
       (w, h, px)
     }
+  }
+
+  /** REAL JPEG encode via `javax.imageio` (pure JDK) — the single most
+    * common crawl-image format. Quality is pinned explicitly (0.9) so the
+    * fixture bytes are deterministic for a given JVM. Decode goes through
+    * the same `ImageIO.read` call as [[PngCodec.decode]]; JPEG is LOSSY,
+    * so decoded pixels are gated by BOUNDED deviation from the lossless
+    * PNG decode of the same schedule (the q153 TRUE-bounds pattern), not
+    * by exact sums. */
+  object JpegCodec {
+
+    def encode(w: Int, h: Int,
+        pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pix(x, y)
+          img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.9f)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+
+    /** Same generic `ImageIO.read` path as PNG. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+      PngCodec.decode(bytes)
+  }
+
+  final case class JpegPair(doc_id: Long, png: Array[Byte],
+      jpg: Array[Byte])
+  final case class JpegDelta(doc_id: Long, width: Int, height: Int,
+      dims_match: Boolean, abs_err: Long, n_channel_values: Long)
+
+  /** Executor-side REAL JPEG decode graded against the lossless baseline:
+    * each row carries BOTH encodings of the same pixel schedule; the pass
+    * decodes both and accumulates the total absolute per-channel
+    * deviation. Dimensions must match exactly (JPEG headers are
+    * lossless); pixel error is bounded, and the bound is discriminating —
+    * a channel swap, stride bug, or flipped axis produces a mean error an
+    * order of magnitude above JPEG quantization loss. One partition pass,
+    * no shuffle. */
+  def decodeJpegVsPng(df: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[JpegPair] = Encoders.product[JpegPair]
+    implicit val outEnc: Encoder[JpegDelta] = Encoders.product[JpegDelta]
+    df.select(col("doc_id"), col("png"), col("jpg")).as[JpegPair]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (wp, hp, pp) = PngCodec.decode(r.png)
+          val (wj, hj, pj) = JpegCodec.decode(r.jpg)
+          val ok = wp == wj && hp == hj
+          var err = 0L
+          if (ok) {
+            var i = 0
+            while (i < pp.length) {
+              err += math.abs((pp(i) & 0xff) - (pj(i) & 0xff))
+              i += 1
+            }
+          }
+          JpegDelta(r.doc_id, wj, hj, ok, err, wj.toLong * hj * 3)
+        }
+      }.toDF()
   }
 
   /** REAL codec for WAV / PCM16 mono audio — RIFF container parsing in

@@ -81,6 +81,35 @@ object ScaleQueries {
     out
   }
 
+  /** Paired JPEG + PNG encodings of the SAME pixel schedule, one row per
+    * document — the lossy-format fixture: PNG is the lossless baseline
+    * the JPEG decode is graded against (bounded deviation, q192), and the
+    * JPEG bytes also feed the codegen'd SOF header peek (q193). */
+  private[graft] def jpegFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_jpeg")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.JpegPair] =
+        Encoders.product[graft.multimodal.Multimodal.JpegPair]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 17).toInt
+            val h = (16 + id % 13).toInt
+            val pix = (x: Int, y: Int) =>
+              (((x * 31 + y * 17 + id) % 256).toInt,
+                ((x * 7 + y * 3) % 256).toInt,
+                ((x + y + id) % 256).toInt)
+            graft.multimodal.Multimodal.JpegPair(id,
+              graft.multimodal.Multimodal.PngCodec.encode(w, h, pix),
+              graft.multimodal.Multimodal.JpegCodec.encode(w, h, pix))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** PNG corpus with PLANTED DUPLICATES: image content is keyed by
     * `doc_id % 40`, so every 40th document is byte-identical — the
     * image-dedup fixture (same schedule family as [[pngFixture]]). */
@@ -497,6 +526,44 @@ object ScaleQueries {
           sum(col("thumb_sum")).as("thumb_sum"))
     }),
 
+    // REAL JPEG decode — the most common crawl-image format, via the
+    // same pure-JDK ImageIO stack as q174. JPEG is lossy, so the gate is
+    // the q153 TRUE-bounds pattern graded against the LOSSLESS baseline:
+    // each row carries both encodings of one pixel schedule, dimensions
+    // must match exactly (headers are lossless; the analytic sums gate
+    // them), and the per-image mean absolute pixel deviation is bounded
+    // at 40/255: the measured quantization loss on this deliberately
+    // high-frequency schedule tops out at ~18 (ScaleSpec pins a 28
+    // margin), while a channel swap, stride bug, or flipped axis
+    // produces ~85 — so the booleans are stable, discriminating facts.
+    "q192_jpeg_decode" -> ((s, d) => {
+      val media = s.read.parquet(jpegFixture(s, d))
+      graft.multimodal.Multimodal.decodeJpegVsPng(media)
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          bool_and(col("dims_match")).as("dims_ok"),
+          bool_and(col("abs_err") <= col("n_channel_values") * 40)
+            .as("err_ok"))
+    }),
+
+    // JPEG metadata peek WITHOUT decode (q175 for the lossy format):
+    // the codegen'd SOF-marker walk (functions.MediaOps.JpegDim) reads
+    // dimensions from the frame header by hopping segment lengths — a
+    // few dozen byte compares per row, never an entropy decode. JPEG
+    // headers are lossless, so the analytic schedule oracle is exact.
+    "q193_jpeg_peek" -> ((s, d) => {
+      val media = s.read.parquet(jpegFixture(s, d))
+      media.select(
+          graft.functions.MediaOps.jpegWidth(col("jpg")).as("w"),
+          graft.functions.MediaOps.jpegHeight(col("jpg")).as("h"))
+        .where(col("w") >= 24)
+        .agg(count(lit(1)).as("n_large"),
+          sum(col("w").cast("long")).as("sum_w"),
+          sum(col("h").cast("long")).as("sum_h"),
+          min(col("w")).as("min_w"))
+    }),
+
     // BPE vocabulary INDUCTION (tokenizer training, not just token
     // counting like q44): three rounds of most-frequent-adjacent-pair
     // merging over the corpus word-frequency table. The corpus reduces
@@ -765,16 +832,28 @@ object ScaleQueries {
     // how many documents carry at least one cross-document span.
     "q178_span_dedup" -> ((s, d) => {
       val ws = split(trim(col("text")), " ")
-      val grams = T.documents(s, d)
+      // the gram table feeds BOTH the stats aggregate and the
+      // affected-docs join; materialize it once (localCheckpoint) so
+      // the corpus-sized explode is not evaluated twice — on a cluster
+      // this would be a persist(DISK_ONLY) of the same frame
+      // two-level aggregate instead of countDistinct-with-count (which
+      // Catalyst plans as an Expand, doubling the corpus-sized gram
+      // stream): the (gram, doc) level collapses first, then nd/occ
+      // are plain counts — and the (gram, doc) table is exactly what
+      // the affected-docs step needs, so it is materialized once
+      val gd = T.documents(s, d)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(ws) - 10),
             i => array_join(slice(ws, i + 1, lit(10)), " "))).as("gram"))
-      val stats = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("nd"),
-          count(lit(1)).as("occ"))
-      val affected = grams
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val stats = gd.groupBy(col("gram"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("occ"))
+      val affected = gd
         .join(stats.where(col("nd") > 1).select(col("gram")), "gram")
-        .agg(countDistinct(col("doc_id")).as("docs_affected"))
+        .select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("docs_affected"))
       stats.agg(count(lit(1)).as("n_grams_distinct"),
           sum(col("occ")).as("n_grams_total"),
           sum(when(col("nd") > 1, col("occ")).otherwise(0L))
@@ -1307,6 +1386,23 @@ object ScaleQueries {
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q149_ppm_peek" ->
+      """SELECT COUNT(*) AS n_large,
+        |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
+        |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
+        |  CAST(MIN(16 + doc_id % 17) AS INTEGER) AS min_w
+        |FROM documents WHERE 16 + doc_id % 17 >= 24""".stripMargin,
+
+    // q153 pattern: dimensions and counts are analytic (JPEG headers
+    // are lossless); the decode-accuracy booleans are deterministic
+    // TRUE facts of the dataset + pinned encoder quality.
+    "q192_jpeg_decode" ->
+      """SELECT COUNT(*) AS n_images,
+        |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
+        |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,
+        |  TRUE AS dims_ok, TRUE AS err_ok
+        |FROM documents""".stripMargin,
+
+    "q193_jpeg_peek" ->
       """SELECT COUNT(*) AS n_large,
         |  CAST(SUM(16 + doc_id % 17) AS BIGINT) AS sum_w,
         |  CAST(SUM(16 + doc_id % 13) AS BIGINT) AS sum_h,

@@ -502,6 +502,51 @@ class ScaleSpec extends AnyFunSuite {
     else assert(after == before - saved, s"$after != $before - $saved")
   }
 
+  // ---- q192/q193 JPEG -----------------------------------------------------
+
+  test("JPEG decode stays well inside the gate's error bound") {
+    val media = spark.read.parquet(
+      operators.ScaleQueries.jpegFixture(spark, sf))
+    val d = multimodal.Multimodal.decodeJpegVsPng(media)
+      .agg(bool_and(col("dims_match")),
+        max(expr("abs_err * 1000 div n_channel_values")))
+      .collect()(0)
+    assert(d.getBoolean(0), "JPEG dimensions must decode exactly")
+    val maxMeanErrMilli = d.getLong(1)
+    // measured ~17.7 on this schedule; the gate bound is 40/255 — pin a
+    // 28 margin here so encoder/decoder drift is caught by the suite
+    // before it ever threatens the gate boolean
+    assert(maxMeanErrMilli <= 28000,
+      s"max mean abs error ${maxMeanErrMilli / 1000.0} exceeds margin 28")
+  }
+
+  test("JpegDim peeks SOF dimensions in codegen and interpreted modes") {
+    val media = spark.read.parquet(
+      operators.ScaleQueries.jpegFixture(spark, sf))
+    val viaPeek = media.select(col("doc_id"),
+      functions.MediaOps.jpegWidth(col("jpg")).as("w"),
+      functions.MediaOps.jpegHeight(col("jpg")).as("h"))
+    val viaSchedule = media.select(col("doc_id"),
+      (lit(16) + col("doc_id") % 17).cast("int").as("w"),
+      (lit(16) + col("doc_id") % 13).cast("int").as("h"))
+    assert(viaPeek.exceptAll(viaSchedule).isEmpty &&
+      viaSchedule.exceptAll(viaPeek).isEmpty)
+    // interpreted path agrees (nullSafeEval vs doGenCode)
+    val row = media.orderBy(col("doc_id")).limit(1).collect()(0)
+    val bytes = row.getAs[Array[Byte]]("jpg")
+    val id = row.getLong(0)
+    assert(functions.JpegDim(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes), 1)
+      .eval(null) == (16 + id % 17).toInt)
+    assert(functions.JpegDim(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes), 2)
+      .eval(null) == (16 + id % 13).toInt)
+    // non-JPEG bytes yield the -1 sentinel, never a throw
+    assert(functions.JpegDim(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          "not an image".getBytes), 1).eval(null) == -1)
+  }
+
   // ---- q191 exact AUC -----------------------------------------------------
 
   test("q191 AUC satisfies the Mann-Whitney identities") {
