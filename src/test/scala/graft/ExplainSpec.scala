@@ -224,6 +224,28 @@ class ExplainSpec extends AnyFunSuite {
       "peek must not fall back to a decode pass")
   }
 
+  test("q193 JPEG dimension pruning stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q193_jpeg_peek")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter .*jpegdim""".r.findFirstIn(p).isDefined,
+      s"jpegdim filter not codegen'd in:\n$p")
+    assert(!p.contains("mapPartitions"),
+      "peek must not fall back to a decode pass")
+  }
+
+  test("q191 AUC joins only the bounded score-bucket table, broadcast") {
+    val df = SparkEntry.queries("q191_auc_quality")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"AUC must be rank-free (no windows):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket-level range join must broadcast, never sort-merge:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the bucket range join as a broadcast NL join:\n$p")
+  }
+
   test("q173 pareto rank/cumsum windows are partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
     val lp = SparkEntry.queries("q173_pareto")(spark, TestSession.sfDir)
