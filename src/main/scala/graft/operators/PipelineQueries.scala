@@ -280,6 +280,33 @@ object PipelineQueries {
     // lowest-id member of each cluster is kept. The oracle recomputes the
     // exhaustive edge set in SQL and resolves components with a recursive
     // min-label CTE — a fully independent CC implementation.
+    // SEMANTIC dedup end-to-end (the SemDeDup-style pass: embedding
+    // near-dup pairs → connected components → survivor selection) — the
+    // composition of q32's LSH-bucketed cosine pair generation with
+    // q65's alternating large-star/small-star CC, over vectors instead
+    // of shingles. Two planted copy generations of the same 20 vectors
+    // must resolve into 20 three-member clusters keeping one survivor
+    // each; the oracle recomputes the exhaustive O(n²) cosine edge set
+    // and resolves components with an independent recursive min-label
+    // CTE. Every stage is the scale shape: id-only pair shuffles,
+    // bucket caps, edge-sized CC rounds.
+    "q194_semantic_dedup" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      def copy(off: Long) = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(off))
+      val all = emb.unionByName(copy(10000000L))
+        .unionByName(copy(20000000L))
+      val pairs = Similarity.embeddingNearDups(all, threshold = 0.999)
+      Clusters.survivors(all.select(col("vec_id")),
+          pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+          max(col("vec_id")).as("max_id"))
+        .where(col("n_members") > 1)
+        .orderBy(col("comp"))
+    }),
+
     "q65_dedup_clusters" -> ((s, d) => {
       val docs = T.documents(s, d)
       def copy(off: Long) = docs.where(col("doc_id") < 20)
@@ -562,6 +589,38 @@ object PipelineQueries {
         |ORDER BY shard""".stripMargin,
 
     // Independent connected-components implementation: exhaustive pairwise
+    // Exhaustive O(n²) cosine edges over the planted union (q32's
+    // derivation, three generations), components resolved by the same
+    // independent recursive min-label CTE as q65.
+    "q194_semantic_dedup" ->
+      """WITH RECURSIVE
+        |gens AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 20000000, embedding FROM embeddings
+        |  WHERE vec_id < 20),
+        |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM gens),
+        |e AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM vv a JOIN vv b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.x, b.x) >= 0.999),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |cc AS (
+        |  SELECT u AS id, u AS comp FROM sym
+        |  UNION
+        |  SELECT s.v AS id, c.comp FROM cc c JOIN sym s ON s.u = c.id
+        |  WHERE c.comp < s.v),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+        |SELECT comp, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN id = comp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  MAX(id) AS max_id
+        |FROM lab GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp"""
+      .stripMargin,
+
     // Jaccard edges (same derivation as q30's oracle, over the corpus +
     // two planted copy generations), components resolved by a recursive
     // min-label-propagation CTE, survivors = id == component min.

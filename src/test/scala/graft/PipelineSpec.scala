@@ -111,6 +111,18 @@ class PipelineSpec extends AnyFunSuite {
       "full-probe IVF must equal brute force")
   }
 
+  test("semantic dedup resolves planted copies into 3-member clusters") {
+    val rows = SparkEntry.queries("q194_semantic_dedup")(
+      spark, TestSession.sfDir).collect()
+    assert(rows.length == 20, s"expected 20 clusters, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3, s"cluster ${r.getLong(0)} size ${r.getLong(1)}")
+      assert(r.getLong(2) == 1, "exactly one survivor per cluster")
+      assert(r.getLong(3) == r.getLong(0) + 20000000L,
+        "max member is the second planted generation")
+    }
+  }
+
   test("k-means centroids are deterministic and cover all cells") {
     val c1 = Similarity.kmeansCentroids(embs, nCells = 8)
     val c2 = Similarity.kmeansCentroids(embs, nCells = 8)
