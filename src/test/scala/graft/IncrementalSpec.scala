@@ -231,7 +231,9 @@ class IncrementalSpec extends AnyFunSuite {
   // queries with side effects (scratch writes, Derby databases,
   // streaming checkpoints) must produce identical results every time.
   Seq("q114_compaction", "q130_stream_jdbc_upsert", "q151_late_routing",
-    "q170_checkpoint_recovery", "q177_manifest_collect").foreach { name =>
+    "q170_checkpoint_recovery", "q177_manifest_collect",
+    "q190_bpe_merges", "q192_jpeg_decode", "q194_semantic_dedup")
+    .foreach { name =>
     test(s"$name is invocation-idempotent") {
       def run(): Seq[String] =
         SparkEntry.queries(name)(spark, TestSession.sfDir)
