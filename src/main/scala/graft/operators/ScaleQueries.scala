@@ -862,6 +862,48 @@ object ScaleQueries {
         .crossJoin(affected)
     }),
 
+    // Span REMOVAL accounting (the action q178's statistics inform —
+    // the suffix-array-dedup shape of "Deduplicating Training Data
+    // Makes Language Models Better", re-expressed Spark-first): every
+    // cross-document 10-gram occurrence becomes a token interval
+    // [i, i+10), and the tokens a span-level dedup pass would excise
+    // are the per-document INTERVAL UNION of those spans — classic
+    // gaps-and-islands with windows partitioned by doc_id (never
+    // global), over an interval table already reduced to duplicated
+    // grams only. The oracle replays the identical island construction.
+    "q195_span_removal" -> ((s, d) => {
+      val ws = split(trim(col("text")), " ")
+      val docs = T.documents(s, d).select(col("doc_id"), ws.as("ws"))
+      val g = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ws")) - 10),
+            i => struct(i.as("i"),
+              array_join(slice(col("ws"), i + 1, lit(10)), " ")
+                .as("gram")))).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
+        .localCheckpoint()
+      val dup = g.groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+        .where(col("nd") > 1).select(col("gram"))
+      val iv = g.join(dup, "gram")
+        .select(col("doc_id"), col("i").as("s"), (col("i") + 10).as("e"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val pm = iv.withColumn("prev_max",
+        coalesce(max(col("e")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(-1)))
+      val isl = pm.withColumn("island",
+        sum(when(col("s") > col("prev_max"), 1).otherwise(0)).over(byDoc))
+      val spans = isl.groupBy(col("doc_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).cast("long").as("covered"))
+      val tot = docs
+        .agg(sum(size(col("ws"))).cast("long").as("tokens_total"))
+      spans.agg(
+          coalesce(sum(col("covered")), lit(0L)).as("tokens_covered"),
+          countDistinct(col("doc_id")).as("n_docs_affected"),
+          count(lit(1)).as("n_spans"))
+        .crossJoin(broadcast(tot))
+    }),
+
     // Temperature-balanced language mixing (the multilingual-corpus
     // rebalancing step): sampling weight per language ∝ sqrt(share) —
     // alpha = 0.5, computed with sqrt (correctly-rounded IEEE, so the
@@ -1657,6 +1699,41 @@ object ScaleQueries {
         |    AS rows_at_risk,
         |  CAST(MIN(n) AS BIGINT) AS min_group
         |FROM g""".stripMargin,
+
+    "q195_span_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i+1:i+10], ' ') AS gram
+        |  FROM w, LATERAL (
+        |    SELECT unnest(generate_series(0, len(ws) - 10)) AS i) s),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |iv AS (
+        |  SELECT g.doc_id, g.i AS s, g.i + 10 AS e
+        |  FROM g JOIN dup ON g.gram = dup.gram),
+        |pm AS (
+        |  SELECT doc_id, s, e,
+        |    COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(CASE WHEN s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM pm),
+        |spans AS (
+        |  SELECT doc_id, island, MAX(e) - MIN(s) AS covered
+        |  FROM isl GROUP BY doc_id, island),
+        |tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS tokens_total FROM w)
+        |SELECT CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS tokens_covered,
+        |  COUNT(DISTINCT doc_id) AS n_docs_affected,
+        |  COUNT(*) AS n_spans,
+        |  (SELECT tokens_total FROM tot) AS tokens_total
+        |FROM spans""".stripMargin,
 
     "q178_span_dedup" ->
       """WITH w AS (

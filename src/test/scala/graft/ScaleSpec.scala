@@ -502,6 +502,23 @@ class ScaleSpec extends AnyFunSuite {
     else assert(after == before - saved, s"$after != $before - $saved")
   }
 
+  // ---- q195 span removal --------------------------------------------------
+
+  test("span removal agrees with span-dedup stats and island geometry") {
+    val r = SparkEntry.queries("q195_span_removal")(spark, sf).collect()(0)
+    val (covered, docsAffected, nSpans, total) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // every island is at least one 10-gram wide and islands are disjoint
+    assert(covered >= 10 * nSpans && covered <= total,
+      s"covered $covered vs spans $nSpans total $total")
+    assert(nSpans >= docsAffected, "every affected doc has >= 1 island")
+    // the same dup-gram definition drives q178's docs_affected
+    val q178 = SparkEntry.queries("q178_span_dedup")(spark, sf)
+      .collect()(0)
+    assert(docsAffected == q178.getLong(4),
+      s"q195 $docsAffected != q178 ${q178.getLong(4)} affected docs")
+  }
+
   // ---- q192/q193 JPEG -----------------------------------------------------
 
   test("JPEG decode stays well inside the gate's error bound") {
