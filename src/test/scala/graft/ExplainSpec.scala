@@ -224,6 +224,16 @@ class ExplainSpec extends AnyFunSuite {
       "peek must not fall back to a decode pass")
   }
 
+  test("q99 blocked fuzzy join broadcasts the block-keyed build side") {
+    val df = SparkEntry.queries("q99_fuzzy_pairs")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocked self-join should hash-broadcast the name table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"25-block key space must not sort-merge:\n$p")
+  }
+
   test("q193 JPEG dimension pruning stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q193_jpeg_peek")(spark, TestSession.sfDir)
     df.collect()
