@@ -590,6 +590,33 @@ object ScaleQueries {
         .orderBy(col("round"))
     }),
 
+    // Tokenizer APPLICATION (the other half of q190's training loop):
+    // the learned vocabulary — a |vocab|-row (word → token count) table —
+    // broadcasts onto the corpus word stream, the production shape for
+    // tokenizing 100 TB with a trained tokenizer (the corpus never
+    // re-derives merges; one equi-join against the broadcast asset).
+    // Per-language fertility (tokens per word, integer millis) is the
+    // metric multilingual-tokenizer evaluations report. The oracle
+    // replays the induction AND the application, so a wrong merge, a
+    // wrong fold, or a dropped word in either phase fails the gate.
+    "q196_bpe_fertility" -> ((s, d) => {
+      val (_, words) =
+        graft.text.Bpe.learnMerges(T.documents(s, d), "text", rounds = 3)
+      val vocab = words.select(col("word"),
+        size(filter(split(col("seq"), "§"), x => x =!= "")).as("n_sym"))
+      val corpus = T.documents(s, d)
+        .select(col("lang"),
+          explode(split(trim(col("text")), " ")).as("word"))
+        .where(col("word") =!= "")
+      corpus.join(broadcast(vocab), "word")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym").cast("long")).as("n_tokens"))
+        .withColumn("fertility_milli",
+          expr("n_tokens * 1000 div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     // Windowed audio analysis: REAL WAV decode exploded to fixed 256-
     // sample analysis windows (the VAD/energy-gating shape), per-window
     // abs-sum and peak, plus a loudness gate (mean abs ≥ 1024) counted
@@ -1325,6 +1352,58 @@ object ScaleQueries {
     })
   )
 
+  /** The three-round BPE induction CTE chain (w0 char-split word table,
+    * p/t pair-count + argmax, w1..w3 folded merges) shared by the q190
+    * and q196 oracles — kept as one constant so the two gates can never
+    * drift apart on the induction semantics. */
+  private val BpeInductionCtes: String =
+    """WITH w0 AS (
+      |  SELECT word, COUNT(*) AS freq,
+      |    regexp_replace(word, '(.)', '§\1', 'g') AS seq
+      |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |p1 AS (
+      |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+      |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w0) t,
+      |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+      |  GROUP BY 1, 2),
+      |t1 AS (SELECT a AS ma, b AS mb, cnt FROM p1
+      |       ORDER BY cnt DESC, a, b LIMIT 1),
+      |w1 AS (
+      |  SELECT word, freq,
+      |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+      |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+      |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+      |  FROM w0, t1),
+      |p2 AS (
+      |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+      |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w1) t,
+      |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+      |  GROUP BY 1, 2),
+      |t2 AS (SELECT a AS ma, b AS mb, cnt FROM p2
+      |       ORDER BY cnt DESC, a, b LIMIT 1),
+      |w2 AS (
+      |  SELECT word, freq,
+      |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+      |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+      |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+      |  FROM w1, t2),
+      |p3 AS (
+      |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+      |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w2) t,
+      |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
+      |  GROUP BY 1, 2),
+      |t3 AS (SELECT a AS ma, b AS mb, cnt FROM p3
+      |       ORDER BY cnt DESC, a, b LIMIT 1),
+      |w3 AS (
+      |  SELECT word, freq,
+      |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
+      |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
+      |        THEN acc || mb ELSE acc || '§' || x END) AS seq
+      |  FROM w2, t3),
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q145_wav_decode" ->
@@ -1455,52 +1534,8 @@ object ScaleQueries {
     // same greedy leftmost fold (list_reduce with the ends_with test),
     // same (cnt DESC, a, b) argmax tie-break, three chained rounds.
     "q190_bpe_merges" ->
-      """WITH w0 AS (
-        |  SELECT word, COUNT(*) AS freq,
-        |    regexp_replace(word, '(.)', '§\1', 'g') AS seq
-        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
-        |        FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |p1 AS (
-        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
-        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w0) t,
-        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
-        |  GROUP BY 1, 2),
-        |t1 AS (SELECT a AS ma, b AS mb, cnt FROM p1
-        |       ORDER BY cnt DESC, a, b LIMIT 1),
-        |w1 AS (
-        |  SELECT word, freq,
-        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
-        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
-        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
-        |  FROM w0, t1),
-        |p2 AS (
-        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
-        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w1) t,
-        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
-        |  GROUP BY 1, 2),
-        |t2 AS (SELECT a AS ma, b AS mb, cnt FROM p2
-        |       ORDER BY cnt DESC, a, b LIMIT 1),
-        |w2 AS (
-        |  SELECT word, freq,
-        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
-        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
-        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
-        |  FROM w1, t2),
-        |p3 AS (
-        |  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
-        |  FROM (SELECT freq, string_split(seq, '§')[2:] AS s FROM w2) t,
-        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i_
-        |  GROUP BY 1, 2),
-        |t3 AS (SELECT a AS ma, b AS mb, cnt FROM p3
-        |       ORDER BY cnt DESC, a, b LIMIT 1),
-        |w3 AS (
-        |  SELECT word, freq,
-        |    list_reduce(list_prepend('', string_split(seq, '§')[2:]),
-        |      (acc, x) -> CASE WHEN ends_with(acc, '§' || ma) AND x = mb
-        |        THEN acc || mb ELSE acc || '§' || x END) AS seq
-        |  FROM w2, t3),
-        |tb AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n FROM w0),
+      (BpeInductionCtes +
+      """|tb AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n FROM w0),
         |ta AS (SELECT CAST(SUM(freq * len(string_split(seq, '§')[2:]))
         |         AS BIGINT) AS n FROM w3)
         |SELECT * FROM (
@@ -1514,7 +1549,24 @@ object ScaleQueries {
         |  UNION ALL
         |  SELECT 3, ma || '+' || mb, CAST(cnt AS BIGINT),
         |    (SELECT n FROM tb), (SELECT n FROM ta) FROM t3)
-        |ORDER BY round""".stripMargin,
+        |ORDER BY round""".stripMargin),
+
+    // The induction chain (shared with q190) plus the APPLICATION join:
+    // corpus words against the trained w3 vocabulary, per-language
+    // token accounting.
+    "q196_bpe_fertility" ->
+      (BpeInductionCtes +
+      """|corpus AS (
+        |  SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents)
+        |SELECT c.lang, COUNT(*) AS n_words,
+        |  CAST(SUM(len(string_split(w3.seq, '§')[2:])) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(SUM(len(string_split(w3.seq, '§')[2:])) AS BIGINT) * 1000
+        |    // COUNT(*) AS fertility_milli
+        |FROM corpus c JOIN w3 ON c.word = w3.word
+        |WHERE c.word <> ''
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin),
 
     "q189_audio_windows" ->
       """WITH d AS (SELECT doc_id, 1000 + doc_id % 501 AS n FROM documents),

@@ -564,6 +564,16 @@ class ScaleSpec extends AnyFunSuite {
           "not an image".getBytes), 1).eval(null) == -1)
   }
 
+  test("q196 fertility totals equal q190's post-merge token count") {
+    val fert = SparkEntry.queries("q196_bpe_fertility")(spark, sf).collect()
+    val q190 = SparkEntry.queries("q190_bpe_merges")(spark, sf).collect()
+    assert(fert.map(_.getLong(2)).sum == q190.head.getLong(4),
+      "per-language tokens must sum to the corpus total after merges")
+    // every language tokenizes to more than one symbol per word
+    fert.foreach(r => assert(r.getLong(3) > 1000L,
+      s"${r.getString(0)} fertility ${r.getLong(3)}"))
+  }
+
   // ---- q191 exact AUC -----------------------------------------------------
 
   test("q191 AUC satisfies the Mann-Whitney identities") {
