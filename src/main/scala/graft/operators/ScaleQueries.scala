@@ -590,6 +590,32 @@ object ScaleQueries {
         .orderBy(col("round"))
     }),
 
+    // Epoch-deterministic corpus shuffling: every training epoch needs a
+    // DIFFERENT order that is nonetheless reproducible on any engine,
+    // any partitioning, any re-run — order by md5(epoch:doc_id). The
+    // per-epoch heads surface through the bounded-heap TopKAgg (q52's
+    // single-buffer aggregate), so the proof-of-order is one partial-
+    // aggregated pass: no global sort, no per-epoch window over the
+    // corpus, k·|epochs| rows of state total at any scale.
+    "q197_epoch_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val epochs = s.range(1, 4).toDF("epoch")
+      val key = conv(substring(
+        md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 12), 16, 10)
+        .cast("long")
+      T.documents(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("score", -key.cast("double"))
+        .groupBy(col("epoch"))
+        .agg(graft.functions.TopKAgg.topkAgg(
+          col("score"), col("doc_id"), 5).as("top"))
+        .select(col("epoch"), posexplode(col("top")))
+        .select(col("epoch").cast("int").as("epoch"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("doc_id"))
+        .orderBy(col("epoch"), col("rnk"))
+    }),
+
     // Tokenizer APPLICATION (the other half of q190's training loop):
     // the learned vocabulary — a |vocab|-row (word → token count) table —
     // broadcasts onto the corpus word stream, the production shape for
@@ -1550,6 +1576,22 @@ object ScaleQueries {
         |  SELECT 3, ma || '+' || mb, CAST(cnt AS BIGINT),
         |    (SELECT n FROM tb), (SELECT n FROM ta) FROM t3)
         |ORDER BY round""".stripMargin),
+
+    "q197_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
+        |      AS BIGINT) AS key
+        |  FROM e, documents d),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY key, doc_id)
+        |      AS rnk
+        |  FROM k)
+        |SELECT CAST(epoch AS INTEGER) AS epoch, CAST(rnk AS INTEGER) AS rnk,
+        |  doc_id
+        |FROM r WHERE rnk <= 5 ORDER BY epoch, rnk""".stripMargin,
 
     // The induction chain (shared with q190) plus the APPLICATION join:
     // corpus words against the trained w3 vocabulary, per-language

@@ -564,6 +564,17 @@ class ScaleSpec extends AnyFunSuite {
           "not an image".getBytes), 1).eval(null) == -1)
   }
 
+  test("q197 epoch shuffle: reproducible per epoch, different across") {
+    def run() = SparkEntry.queries("q197_epoch_shuffle")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.length == 15 && (a.toSeq == run().toSeq),
+      "shuffle order must be reproducible")
+    val heads = a.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(heads(1) != heads(2) && heads(2) != heads(3),
+      "different epochs must produce different orders")
+  }
+
   test("q196 fertility totals equal q190's post-merge token count") {
     val fert = SparkEntry.queries("q196_bpe_fertility")(spark, sf).collect()
     val q190 = SparkEntry.queries("q190_bpe_merges")(spark, sf).collect()
