@@ -933,6 +933,8 @@ object ScaleQueries {
               array_join(slice(col("ws"), i + 1, lit(10)), " ")
                 .as("gram")))).as("p"))
         .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
+        // feeds both the dup-gram aggregate and the interval join;
+        // materialized once (a persist(DISK_ONLY) on a cluster)
         .localCheckpoint()
       val dup = g.groupBy(col("gram"), col("doc_id"))
         .agg(count(lit(1)).as("c"))

@@ -234,6 +234,28 @@ class ExplainSpec extends AnyFunSuite {
       s"25-block key space must not sort-merge:\n$p")
   }
 
+  test("q196 tokenizer application broadcasts the vocab, never shuffles it") {
+    val df = SparkEntry.queries("q196_bpe_fertility")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side words must not sort-merge against the tiny vocab:\n$p")
+  }
+
+  test("q197 epoch shuffle runs as a partial aggregate, no global sort") {
+    val df = SparkEntry.queries("q197_epoch_shuffle")(spark, TestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      s"TopKAgg must partial-aggregate map-side:\n$p")
+    // the only sort is the 15-row final presentation sort; the corpus
+    // itself is never globally sorted
+    assert(!p.contains("rank(") && !p.contains("row_number("),
+      s"no window ranking over the corpus:\n$p")
+  }
+
   test("q193 JPEG dimension pruning stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q193_jpeg_peek")(spark, TestSession.sfDir)
     df.collect()
