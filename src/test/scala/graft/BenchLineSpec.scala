@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver records only the LAST 2000 bytes of bench output, and sbt's
+  * success footer consumes ~75 of them. If the canonical JSON line ever
+  * outgrows the remaining window, the driver can no longer parse the
+  * round's bench numbers (this silently happened in round 2 and nearly
+  * happened again at 195 queries) — so the budget is enforced here at the
+  * registry's ACTUAL size with worst-case value widths. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val TailWindow = 2000
+  private val SbtFooter = 90 // "[success] Total time: ..." + newlines
+
+  test("canonical bench line fits the driver tail window, worst case") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst realistic width: every query at 9.9s (widest folded value)
+    val line = Bench.canonicalLine(names.map(_ -> 9.9), "sf0.1")
+    assert(line.length + 1 + SbtFooter <= TailWindow,
+      s"canonical line ${line.length}B no longer fits the ${TailWindow}B " +
+        "tail with the sbt footer — compress the scheme before adding " +
+        "more queries (see Bench.scala budget comment)")
+    // pathological contended run: everything at 100+ seconds
+    val worst = Bench.canonicalLine(names.map(_ -> 999.4), "sf0.1")
+    assert(worst.length + 1 + SbtFooter <= TailWindow,
+      s"pathological line ${worst.length}B overflows the tail window")
+    // and it must be the driver-expected shape
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""queries":{"""))
+  }
+
+  test("rest bucket accounts for exactly the fastest queries") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) => n -> (i * 0.1) }
+    val line = Bench.canonicalLine(results, "sf0.1")
+    val omitted = math.max(0, names.size - Bench.MaxExactEntries)
+    if (omitted > 0) {
+      assert(line.contains(s""""rest":{"n":$omitted,"sec":"""),
+        s"rest bucket must carry the $omitted fastest queries:\n$line")
+      // the slowest query is always an exact entry
+      val slowKey = results.maxBy(_._2)._1
+        .takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+      assert(line.contains(s""""$slowKey":"""), "slowest query omitted")
+    }
+  }
+}
