@@ -590,6 +590,43 @@ object ScaleQueries {
         .orderBy(col("round"))
     }),
 
+    // Content-defined chunking (the Rabin-fingerprint boundary rule
+    // behind dedup-friendly storage and incremental sync): a position is
+    // a chunk boundary when the rolling polynomial hash of the trailing
+    // 8 characters ≡ 0 (mod 64), so boundaries are a pure function of
+    // LOCAL content — insert a byte early in a document and every chunk
+    // after the next boundary still re-aligns (the property fixed-size
+    // chunking lacks). All column algebra: per-char codes, an 8-term
+    // polynomial per position, boundary positions filtered, chunk
+    // lengths by zipping boundary arrays — no UDFs, no shuffle until
+    // the corpus-level aggregate. The boundary-position checksum gates
+    // every boundary decision exactly.
+    "q198_cdc_chunking" -> ((s, d) => {
+      val perDoc = T.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("L"),
+          expr("transform(sequence(1, length(text)), " +
+            "i -> ascii(substr(text, i, 1)))").as("cs"))
+        .select(col("doc_id"), col("L"),
+          expr("filter(sequence(8, L), i -> " +
+            "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> " +
+            "acc + element_at(cs, i - j) * element_at(array(" +
+            "1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, " +
+            "27512614111L), j + 1)) % 64 = 0)").as("bp"))
+        .select(col("L"),
+          (size(col("bp")) + 1).cast("long").as("n_chunks"),
+          expr("coalesce(aggregate(bp, CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x), 0L)").as("bp_sum"),
+          expr("array_max(zip_with(concat(array(0), bp), " +
+            "concat(bp, array(L)), (a, b) -> b - a))").as("max_chunk"))
+      perDoc.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("L").cast("long")).as("n_chars"),
+        expr("sum(CAST(L AS BIGINT)) * 1000 div sum(n_chunks)")
+          .as("mean_chunk_milli"),
+        max(col("max_chunk")).cast("long").as("max_chunk"),
+        sum(col("bp_sum")).as("boundary_checksum"))
+    }),
+
     // Epoch-deterministic corpus shuffling: every training epoch needs a
     // DIFFERENT order that is nonetheless reproducible on any engine,
     // any partitioning, any re-run — order by md5(epoch:doc_id). The
@@ -1578,6 +1615,35 @@ object ScaleQueries {
         |  SELECT 3, ma || '+' || mb, CAST(cnt AS BIGINT),
         |    (SELECT n FROM tb), (SELECT n FROM ta) FROM t3)
         |ORDER BY round""".stripMargin),
+
+    "q198_cdc_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS L,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> ascii(substr(text, i, 1))) AS cs
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, L,
+        |    list_filter(generate_series(8, L),
+        |      i -> list_sum(list_transform(generate_series(0, 7),
+        |        j -> cs[i - j] * ([1,31,961,29791,923521,28629151,
+        |          887503681,27512614111])[j + 1])) % 64 = 0) AS bp
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, L, len(bp) + 1 AS n_chunks,
+        |    COALESCE(list_sum(bp), 0) AS bp_sum,
+        |    list_max(list_transform(generate_series(1, len(bp) + 1),
+        |      k -> COALESCE(bp[k], L) - COALESCE(bp[k - 1], 0)))
+        |      AS max_chunk
+        |  FROM b)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(L) AS BIGINT) AS n_chars,
+        |  CAST(SUM(L) AS BIGINT) * 1000 // CAST(SUM(n_chunks) AS BIGINT)
+        |    AS mean_chunk_milli,
+        |  CAST(MAX(max_chunk) AS BIGINT) AS max_chunk,
+        |  CAST(SUM(bp_sum) AS BIGINT) AS boundary_checksum
+        |FROM s""".stripMargin,
 
     "q197_epoch_shuffle" ->
       """WITH e AS (SELECT unnest(generate_series(1, 3)) AS epoch),

@@ -564,6 +564,37 @@ class ScaleSpec extends AnyFunSuite {
           "not an image".getBytes), 1).eval(null) == -1)
   }
 
+  test("CDC chunk boundaries re-align after a prefix insertion") {
+    import spark.implicits._
+    // a real corpus document (varied content → real boundary hits; a
+    // short repeated phrase has too few distinct windows to boundary)
+    val base = Tables.documents(spark, sf)
+      .orderBy(length(col("text")).desc).select(col("text"))
+      .limit(1).collect()(0).getString(0)
+    val df = Seq(("a", base), ("b", "X" + base)).toDF("id", "text")
+    val bps = df
+      .select(col("id"), length(col("text")).as("L"),
+        expr("transform(sequence(1, length(text)), " +
+          "i -> ascii(substr(text, i, 1)))").as("cs"))
+      .select(col("id"),
+        expr("filter(sequence(8, L), i -> " +
+          "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> " +
+          "acc + element_at(cs, i - j) * element_at(array(" +
+          "1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, " +
+          "27512614111L), j + 1)) % 64 = 0)").as("bp"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Int](1).toSet).toMap
+    val (bA, bB) = (bps("a"), bps("b"))
+    assert(bA.nonEmpty, "fixture text must produce boundaries")
+    // every original boundary survives, shifted by the inserted char —
+    // the re-alignment property fixed-size chunking lacks
+    assert(bA.map(_ + 1).subsetOf(bB),
+      s"boundaries did not re-align: ${bA.toSeq.sorted} vs ${bB.toSeq.sorted}")
+    // any NEW boundary can only be where the window covers the insert
+    assert((bB -- bA.map(_ + 1)).forall(_ <= 8),
+      "insertion perturbed a window that does not contain it")
+  }
+
   test("q197 epoch shuffle: reproducible per epoch, different across") {
     def run() = SparkEntry.queries("q197_epoch_shuffle")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
