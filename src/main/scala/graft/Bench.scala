@@ -34,13 +34,16 @@ object Bench {
     * queries, individually noise-level) is bucketed into
     * `"rest":{"n":…,"sec":…}` so the line length is bounded even when
     * every value prints at its widest. */
-  private[graft] val MaxExactEntries = 175
+  private[graft] val MaxExactEntries = 160
 
   private[graft] def canonicalLine(results: Seq[(String, Double)],
       sfName: String): String = {
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def fmt1(v: Double): String = {
       if (v < 0.05) "0"
+      // clamp: per-entry value is at most 4 chars even on a pathological
+      // run (a 5-digit seconds value would overflow the tail budget)
+      else if (v >= 9999.5) "9999"
       else if (v >= 9.95) math.round(v).toString
       else {
         val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
@@ -51,7 +54,11 @@ object Bench {
     val (exact, rest) = results.sortBy(-_._2).splitAt(MaxExactEntries)
     val qs = exact.sortBy(_._1).map { case (k, v) =>
       val num = k.takeWhile(_ != '_').dropWhile(!_.isDigit)
-      s"\"${num.toInt}\":${fmt1(v)}"
+      // digitless names (none today) get a bounded sentinel key instead
+      // of throwing in toInt
+      val key = if (num.nonEmpty) num.toInt.toString
+                else "x" + (k.hashCode & 0xfff)
+      s"\"$key\":${fmt1(v)}"
     }.mkString("{", ",", "}")
     val restPart =
       if (rest.isEmpty) ""

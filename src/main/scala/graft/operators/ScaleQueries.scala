@@ -607,11 +607,15 @@ object ScaleQueries {
           expr("transform(sequence(1, length(text)), " +
             "i -> ascii(substr(text, i, 1)))").as("cs"))
         .select(col("doc_id"), col("L"),
-          expr("filter(sequence(8, L), i -> " +
+          // L < 8 guard: sequence(8, L) defaults to step -1 when L < 8
+          // (reaching element_at index 0 → runtime error); a doc shorter
+          // than the rolling window simply has no interior boundaries.
+          expr("CASE WHEN L >= 8 THEN filter(sequence(8, L), i -> " +
             "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> " +
             "acc + element_at(cs, i - j) * element_at(array(" +
             "1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, " +
-            "27512614111L), j + 1)) % 64 = 0)").as("bp"))
+            "27512614111L), j + 1)) % 64 = 0) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END").as("bp"))
         .select(col("L"),
           (size(col("bp")) + 1).cast("long").as("n_chunks"),
           expr("coalesce(aggregate(bp, CAST(0 AS BIGINT), " +
@@ -931,10 +935,14 @@ object ScaleQueries {
       // stream): the (gram, doc) level collapses first, then nd/occ
       // are plain counts — and the (gram, doc) table is exactly what
       // the affected-docs step needs, so it is materialized once
+      // size(ws) < 10 guard: sequence(0, size-10) steps -1 for short
+      // docs and slice then throws; such docs simply have no 10-grams.
       val gd = T.documents(s, d)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(ws) - 10),
-            i => array_join(slice(ws, i + 1, lit(10)), " "))).as("gram"))
+          explode(when(size(ws) >= 10,
+            transform(sequence(lit(0), size(ws) - 10),
+              i => array_join(slice(ws, i + 1, lit(10)), " ")))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("gram"))
         .groupBy(col("gram"), col("doc_id"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint()
@@ -964,11 +972,19 @@ object ScaleQueries {
     "q195_span_removal" -> ((s, d) => {
       val ws = split(trim(col("text")), " ")
       val docs = T.documents(s, d).select(col("doc_id"), ws.as("ws"))
+      // size(ws) < 10 guard: sequence(0, size-10) would step -1 and
+      // slice(ws, 0, 10) throws on start 0; short docs contribute no
+      // grams (explode drops the empty array), matching the oracle's
+      // empty generate_series.
       val g = docs.select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("ws")) - 10),
-            i => struct(i.as("i"),
-              array_join(slice(col("ws"), i + 1, lit(10)), " ")
-                .as("gram")))).as("p"))
+          explode(when(size(col("ws")) >= 10,
+            transform(sequence(lit(0), size(col("ws")) - 10),
+              i => struct(i.as("i"),
+                array_join(slice(col("ws"), i + 1, lit(10)), " ")
+                  .as("gram"))))
+            .otherwise(expr(
+              "CAST(array() AS ARRAY<STRUCT<i: INT, gram: STRING>>)")))
+            .as("p"))
         .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
         // feeds both the dup-gram aggregate and the interval join;
         // materialized once (a persist(DISK_ONLY) on a cluster)
@@ -1567,7 +1583,8 @@ object ScaleQueries {
         |    SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |      AS cum
         |  FROM documents)
-        |SELECT (cum - n_chars) // 20000 AS shard, COUNT(*) AS n_docs,
+        |SELECT CAST((cum - n_chars) // 20000 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
 

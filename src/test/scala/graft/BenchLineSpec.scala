@@ -21,13 +21,20 @@ class BenchLineSpec extends AnyFunSuite {
       s"canonical line ${line.length}B no longer fits the ${TailWindow}B " +
         "tail with the sbt footer — compress the scheme before adding " +
         "more queries (see Bench.scala budget comment)")
-    // pathological contended run: everything at 100+ seconds
-    val worst = Bench.canonicalLine(names.map(_ -> 999.4), "sf0.1")
+    // pathological contended run: per-entry values clamp at 4 chars, so
+    // the line stays bounded for ANY value magnitude
+    val worst = Bench.canonicalLine(names.map(_ -> 123456.7), "sf0.1")
     assert(worst.length + 1 + SbtFooter <= TailWindow,
       s"pathological line ${worst.length}B overflows the tail window")
+    assert(worst.contains(":9999"), "5+ digit values must clamp to 9999")
     // and it must be the driver-expected shape
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""queries":{"""))
+  }
+
+  test("digitless query names get a bounded sentinel key, not a throw") {
+    val line = Bench.canonicalLine(Seq("weird_name" -> 1.0), "sf0.1")
+    assert(line.contains(""""x"""), s"sentinel key missing: $line")
   }
 
   test("rest bucket accounts for exactly the fastest queries") {

@@ -651,4 +651,33 @@ class ScaleSpec extends AnyFunSuite {
       assert(rows.find(_.getString(0) == majority).get.getLong(3) == 1L)
     } finally out.unpersist()
   }
+
+  // ---- short-document guards (q178/q195/q198) -----------------------------
+
+  test("gram and chunk queries survive documents shorter than the window") {
+    // The sf fixtures have no docs under 8 chars / 10 words, so the
+    // descending-sequence hazard (sequence(a, b) steps -1 when b < a,
+    // then element_at/slice throw) is exercised here with a synthetic
+    // corpus of pathological lengths: empty, 1 char, 7 chars, 9 words.
+    import spark.implicits._
+    val dir = s"${Scratch.root}/graft_fixtures/shortdocs"
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "a", "en", "web", 1L),
+      (2L, "short01", "en", "web", 7L),
+      (3L, "one two three four five six seven eight nine", "en", "web", 44L),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 long enough document " +
+        "to produce at least one gram and boundary window", "en", "web", 108L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q178_span_dedup", "q195_span_removal", "q198_cdc_chunking")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$q returned no rows on the short corpus")
+    }
+    // q198: only doc 4 can host interior boundaries; chunk accounting
+    // must still cover every char of every doc (n_chunks >= n_docs)
+    val r = SparkEntry.queries("q198_cdc_chunking")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 5L, s"n_docs ${r.getLong(0)}")
+    assert(r.getLong(1) >= 5L, s"n_chunks ${r.getLong(1)}")
+  }
 }
