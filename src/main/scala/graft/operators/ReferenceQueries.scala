@@ -218,6 +218,55 @@ object ReferenceQueries {
           graft.Det.dsum(col("l_quantity")).as("sum_qty"),
           graft.Det.dsum(col("l_discount")).as("sum_disc"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- sink-failure quarantine (DebugInsert, worker.js:774-823) -------
+    // The reference wraps each worker's bulk insert in a transaction; a
+    // failing batch rolls back whole and its rows + error are dumped to
+    // ProcessingErrors/DebugInsert. Here: orders rows batch by customer
+    // group, the target table carries a row-intrinsic CHECK constraint,
+    // and planted poison rows (every 3000th orderkey) violate it — so a
+    // poisoned group must land ZERO rows (rollback) and surface ALL its
+    // rows in the quarantine frame, while clean groups insert fully. The
+    // gate compares the REAL outcome (Derby read-back + quarantine
+    // counts) against the oracle's prediction of which groups contain
+    // poison — proving transactional all-or-nothing per batch.
+    "q199_sink_quarantine" -> ((s, d) => {
+      val dbId = java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:graft$dbId;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("""CREATE TABLE orders_sunk ("o_orderkey" BIGINT, """ +
+          """"g" BIGINT, "val" BIGINT CHECK ("val" > 0))""")
+        st.close()
+      } finally c.close()
+      val src = T.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 20).as("g"),
+        when(col("o_orderkey") % 3000 === 0, lit(-1L))
+          .otherwise(lit(1L)).as("val"))
+      val errs = graft.sinks.JdbcSink.writeWithQuarantine(src, col("g"),
+        url, "orders_sunk", props, instanceMemoryMb = 1560,
+        engine = "postgres", jobid = "q199")
+      val ins = graft.sinks.JdbcSink.read(s, url, "orders_sunk", props)
+        .groupBy(col("g")).agg(count(lit(1)).as("n_inserted"))
+      val qr = errs.groupBy(col("logstream").cast("bigint").as("g"))
+        .agg(count(lit(1)).as("n_quarantined"))
+      val out = ins.join(qr, Seq("g"), "full_outer")
+        .select(col("g"),
+          coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+        .orderBy(col("g"))
+      // materialize, then DROP the per-invocation in-memory Derby DB so
+      // repeated invocations in one JVM (the bench) don't accumulate heap
+      val rows = out.collect()
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:memory:graft$dbId;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq), out.schema)
     })
   )
 
@@ -303,6 +352,20 @@ object ReferenceQueries {
          |FROM lineitem
          |WHERE l_discount > 0.09 AND l_quantity <= 10
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    }
+    },
+
+    // Predicts the transactional outcome: a group containing any poison
+    // row (orderkey % 3000 = 0 → CHECK violation) rolls back whole —
+    // zero inserted, all quarantined; clean groups insert fully.
+    "q199_sink_quarantine" ->
+      """WITH r AS (SELECT o_custkey % 20 AS g,
+        |  CASE WHEN o_orderkey % 3000 = 0 THEN 1 ELSE 0 END AS p
+        |  FROM orders)
+        |SELECT g,
+        |  CAST(CASE WHEN MAX(p) = 1 THEN 0 ELSE COUNT(*) END AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(CASE WHEN MAX(p) = 1 THEN COUNT(*) ELSE 0 END AS BIGINT)
+        |    AS n_quarantined
+        |FROM r GROUP BY g ORDER BY g""".stripMargin
   )
 }

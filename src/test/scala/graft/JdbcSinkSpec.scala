@@ -60,6 +60,55 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(a.sameElements(b), "JDBC round-trip changed the data")
   }
 
+  test("failed batch rolls back whole and lands in quarantine (DebugInsert)") {
+    // worker.js:774-823 parity: a batch (group) with a constraint-violating
+    // row must leave ZERO rows in the table (transaction rollback), every
+    // row of the group must surface in the ProcessingErrors-shaped frame,
+    // and the failing SQL must be dumped under DebugInsert/.
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftquar;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE quar_t ("id" BIGINT, "grp" VARCHAR(8), """ +
+        """"v" BIGINT CHECK ("v" > 0))""")
+      st.close()
+    } finally c.close()
+    // group "bad" carries one poison row among good ones; "good" is clean
+    val src = Seq(
+      (1L, "good", 5L), (2L, "good", 6L), (3L, "good", 7L),
+      (10L, "bad", 1L), (11L, "bad", -1L), (12L, "bad", 2L)
+    ).toDF("id", "grp", "v")
+    val dump = s"${Scratch.root}/graft_debuginsert"
+    val errs = JdbcSink.writeWithQuarantine(src, col("grp"), url, "quar_t",
+      derbyProps, instanceMemoryMb = 1560, engine = "postgres",
+      jobid = "specjob", debugDumpDir = Some(dump))
+    // clean group fully inserted; poisoned group fully rolled back
+    val landed = JdbcSink.read(spark, url, "quar_t", derbyProps)
+      .select(col("id").cast("long")).as[Long].collect().sorted
+    assert(landed.sameElements(Array(1L, 2L, 3L)),
+      s"rollback leaked rows: ${landed.mkString(",")}")
+    val q = errs.collect()
+    assert(q.length == 3, s"expected the whole bad group quarantined: ${q.length}")
+    assert(q.forall(_.getAs[String]("logstream") == "bad"))
+    assert(q.forall(_.getAs[String]("loggroup") == "quar_t"))
+    assert(q.forall(_.getAs[String]("jobid") == "specjob"))
+    assert(q.forall(r => Option(r.getAs[String]("errormessage"))
+      .exists(_.nonEmpty)), "errormessage must carry the database error")
+    // payloads of all three rows present
+    val payloads = q.map(_.getAs[String]("path")).sorted
+    assert(payloads.exists(_.startsWith("11,")), payloads.mkString(";"))
+    // DebugInsert SQL dump exists and names the failing statement
+    val f = new java.io.File(s"$dump/DebugInsert/specjob_bad_error.sql")
+    assert(f.exists(), s"missing dump ${f.getPath}")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(txt.contains("INSERT INTO quar_t"), txt.take(200))
+    assert(txt.contains("(11, bad, -1)"), txt.take(400))
+    // quarantine frame is checkpointed: re-reading it must NOT re-insert
+    errs.count()
+    assert(JdbcSink.read(spark, url, "quar_t", derbyProps).count() == 3L)
+  }
+
   test("append mode accumulates, overwrite replaces") {
     val url = "jdbc:derby:memory:graftspec2;create=true"
     val src = Tables.region(spark, TestSession.sfDir)
