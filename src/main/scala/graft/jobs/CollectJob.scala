@@ -107,7 +107,8 @@ object CollectJob {
       props: java.util.Properties, instanceMemoryMb: Long, engine: String,
       overwrite: Boolean = true): Unit = {
     graft.sinks.JdbcSink.write(run(spark, spec), url, spec.datasetName,
-      props, instanceMemoryMb, engine, overwrite)
+      props, instanceMemoryMb, engine, overwrite,
+      schemaTypes = Some(spec.schema)) // engine-profiled DDL, convertschema seam
     spark.catalog.dropTempView(spec.datasetName)
   }
 }

@@ -31,6 +31,17 @@ object SeqType {
     case SBoolean => BooleanType
     case SDate => TimestampType
   }
+
+  /** Per-engine model downgrade — the reference's `convertschema`
+    * (enginesharedv3.mjs:182-193): for MSSQL every JSON, STRING(n) and
+    * STRING column becomes TEXT (the tedious driver has no JSON type,
+    * sized strings cap at 8000 chars, and Sequelize TEXT lands
+    * NVARCHAR(MAX)). Other engines keep the declared types. */
+  def convertFor(engine: String, t: SeqType): SeqType =
+    if (engine.equalsIgnoreCase("mssql")) t match {
+      case SString(_) | SJson | SText => SText
+      case other => other
+    } else t
 }
 
 /** Parse/serialization config of a DataType (reference
@@ -58,6 +69,14 @@ final case class DataTypeSchema(
 
   def sparkSchema: StructType =
     StructType(fields.map(f => StructField(f.name, SeqType.toSpark(f.stype))))
+
+  /** This schema downgraded for a destination engine —
+    * [[SeqType.convertFor]] applied field-wise (reference `convertschema`
+    * runs on the model source right before `ConnectDBserver` builds it,
+    * enginesharedv3.mjs:196-198). */
+  def convertFor(engine: String): DataTypeSchema =
+    copy(fields = fields.map(f =>
+      f.copy(stype = SeqType.convertFor(engine, f.stype))))
 
   /** The schema the raw reader produces before coercion: all strings. */
   def rawSchema: StructType =

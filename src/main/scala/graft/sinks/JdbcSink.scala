@@ -89,13 +89,42 @@ object JdbcSink {
     * lands on. */
   def write(df: DataFrame, url: String, table: String, props: Properties,
       instanceMemoryMb: Long, engine: String,
-      overwrite: Boolean = false, batchSize: Int = 10000): Unit = {
+      overwrite: Boolean = false, batchSize: Int = 10000,
+      schemaTypes: Option[graft.schema.DataTypeSchema] = None): Unit = {
     val writers = writerPartitions(instanceMemoryMb, engine)
-    df.write
+    val w = df.write
       .mode(if (overwrite) "overwrite" else "append")
       .option("numPartitions", writers) // JDBC writer coalesces to this
       .option("batchsize", batchSize) // multi-row inserts, worker.js:774
+    // only columns actually present survive — the collect query may have
+    // projected a subset of the declared schema, and Spark rejects
+    // createTableColumnTypes entries absent from the frame
+    val present = df.columns.map(_.toLowerCase).toSet
+    createTableColumnTypes(
+      schemaTypes.map(sc => sc.copy(fields =
+        sc.fields.filter(f => present(f.name.toLowerCase)))), engine)
+      .fold(w)(t => w.option("createTableColumnTypes", t))
       .jdbc(url, table, props)
+  }
+
+  /** Engine-specific CREATE TABLE column overrides — the reference's
+    * `convertschema` seam (enginesharedv3.mjs:182-193) expressed as
+    * Spark's `createTableColumnTypes` option. Sized strings create as
+    * faithful `VARCHAR(n)` on engines that keep them; for MSSQL
+    * [[graft.schema.SeqType.convertFor]] downgrades the whole stringy
+    * family (JSON, STRING(n), STRING → TEXT) first, so no override
+    * survives and Spark's MsSqlServerDialect lands every string column on
+    * NVARCHAR(MAX) — exactly the reference's downgrade target. TEXT and
+    * JSON columns never emit overrides on any engine: they are
+    * StringType, and each dialect's default (TEXT / CLOB /
+    * NVARCHAR(MAX)) is already unbounded. */
+  def createTableColumnTypes(schema: Option[graft.schema.DataTypeSchema],
+      engine: String): Option[String] = schema.flatMap { sc =>
+    val overrides = sc.convertFor(engine).fields.collect {
+      case graft.schema.FieldSpec(nm, graft.schema.SeqType.SString(len)) =>
+        s"`$nm` VARCHAR($len)"
+    }
+    if (overrides.isEmpty) None else Some(overrides.mkString(", "))
   }
 
   /** Bulk insert with the reference's failure quarantine (DebugInsert,

@@ -43,6 +43,51 @@ class JdbcSinkSpec extends AnyFunSuite {
       .contains("NVARCHAR(MAX)"))
   }
 
+  test("convertschema seam: MSSQL downgrades the stringy family to TEXT") {
+    // enginesharedv3.mjs:182-193: JSON → STRING, STRING(n) → TEXT,
+    // STRING → TEXT — i.e. for MSSQL every stringy column ends at TEXT.
+    import graft.schema.{DataTypeSchema, FieldSpec, SeqType}
+    import SeqType._
+    val sc = DataTypeSchema("T", Seq(
+      FieldSpec("a", SString(64)), FieldSpec("b", SJson),
+      FieldSpec("c", SText), FieldSpec("d", SBigint)))
+    assert(sc.convertFor("mssql").fields.map(_.stype) ==
+      Seq(SText, SText, SText, SBigint))
+    // other engines keep the declared model untouched
+    assert(sc.convertFor("postgres") == sc)
+    // DDL overrides: sized strings become faithful VARCHAR(n) on engines
+    // that keep them; MSSQL emits none (dialect lands NVARCHAR(MAX))
+    assert(JdbcSink.createTableColumnTypes(Some(sc), "postgres")
+      .contains("`a` VARCHAR(64)"))
+    assert(JdbcSink.createTableColumnTypes(Some(sc), "mssql").isEmpty)
+  }
+
+  test("engine-profiled DDL round-trips: VARCHAR(n) actually lands") {
+    import graft.schema.{DataTypeSchema, FieldSpec, SeqType}
+    import SeqType._
+    import spark.implicits._
+    val sc = DataTypeSchema("T", Seq(
+      FieldSpec("name", SString(64)), FieldSpec("n", SBigint)))
+    val url = "jdbc:derby:memory:graftddl;create=true"
+    JdbcSink.write(Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "n"),
+      url, "ddl_t", derbyProps, 8000, "postgres", overwrite = true,
+      schemaTypes = Some(sc))
+    // the table's column must be the profiled VARCHAR(64), not the
+    // dialect default (CLOB on Derby)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark passes the table name unquoted (Derby stores it uppercase)
+      // but quotes column identifiers (stored lowercase)
+      val rs = conn.getMetaData.getColumns(null, null, "DDL_T", "name")
+      assert(rs.next(), "column metadata missing")
+      assert(rs.getString("TYPE_NAME") == "VARCHAR", rs.getString("TYPE_NAME"))
+      assert(rs.getInt("COLUMN_SIZE") == 64)
+    } finally conn.close()
+    val back = JdbcSink.read(spark, url, "ddl_t", derbyProps)
+    assert(back.orderBy("n").select("name").as[String].collect()
+      .sameElements(Array("alpha", "beta")))
+  }
+
   test("round-trip: bulk insert to Derby reads back equal to the source") {
     val src = Tables.lineitem(spark, TestSession.sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
