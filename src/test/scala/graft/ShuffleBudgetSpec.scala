@@ -1,0 +1,104 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime shuffle-volume budgets for the similarity/dedup candidate
+  * pipelines. ExplainSpec pins the *plan* property (pair exchanges carry
+  * bare ids, no array payloads); this spec pins the *measured* bytes: the
+  * total shuffle volume of a run must stay within an id+signature-sized
+  * budget derived from the corpus, so a vector or text payload sneaking
+  * into a candidate exchange fails the suite even if the plan shape
+  * assertion misses it (e.g. behind a localCheckpoint boundary, which
+  * plan-level collect() cannot see through).
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  /** Total shuffle-write bytes across every task run inside `body`.
+    * Listener events are async: poll until the counter is stable. */
+  private def measureShuffleWrite(body: => Unit): Long = {
+    val acc = new AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val cur = acc.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
+  private def run(name: String): Long = measureShuffleWrite {
+    SparkEntry.queries(name)(spark, TestSession.sfDir).collect()
+  }
+
+  // Budgets derive from the corpus at runtime, so they scale with the
+  // fixture and fail on payload *duplication*, not on absolute drift.
+
+  test("q30 MinHash near-dup total shuffle stays hashed-shingle-sized") {
+    // The dedup pipeline's corpus-sized rows are (id, xxhash64(shingle))
+    // = 16 B each, ≈ one per corpus token, crossing ~5 exchanges
+    // (shingle distinct, signature agg, size agg, two verify joins).
+    // Measured: ~7.3 B of shuffle per corpus char (1.12 MB @ 153 K
+    // chars, lz4). Budget 12 B/char ≈ 1.6x headroom — a raw-string
+    // shingle pipeline (k≈3 words ≈ 18 chars + framing per row, per
+    // pass) or a 512 B signature payload riding the pair exchange
+    // roughly doubles the volume and overshoots.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q30_dedup_minhash")
+    info(s"q30 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 12L * chars,
+      s"q30 shuffled $bytes B for a $chars-char corpus — text or " +
+        "signature payload leaked into a candidate exchange?")
+  }
+
+  /** Vector-pipeline budget: one corpus-vector payload (n × dim × 4 B —
+    * random floats don't compress). The id+band/candidate traffic these
+    * plans actually shuffle measures well under it (86 KB / 42 KB vs
+    * 128 KB at sf0.001), while a vector column duplicated into any
+    * exchange adds at least one full payload and overshoots. */
+  private def vectorBudget(): Long = {
+    import org.apache.spark.sql.functions.{col, size => asize, max, count}
+    val r = Tables.embeddings(spark, TestSession.sfDir)
+      .agg(count(col("vec_id")).as("n"), max(asize(col("embedding"))))
+      .collect()(0)
+    r.getLong(0) * r.getInt(1) * 4L
+  }
+
+  test("q32 embedding near-dup total shuffle stays under one vector payload") {
+    val budget = vectorBudget()
+    val bytes = run("q32_embed_neardup")
+    info(s"q32 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q32 shuffled $bytes B ≥ the $budget B corpus vector payload — " +
+        "vectors leaked into the pair exchange?")
+  }
+
+  test("q34 LSH ANN total shuffle stays under one vector payload") {
+    val budget = vectorBudget()
+    val bytes = run("q34_ann_lsh_exhaustive")
+    info(s"q34 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q34 shuffled $bytes B ≥ the $budget B corpus vector payload — " +
+        "vectors leaked into the candidate exchange?")
+  }
+}
