@@ -473,6 +473,153 @@ object Multimodal {
       }.toDF()
   }
 
+  /** REAL codec for MJPEG-in-AVI video — the one video container whose
+    * frame payloads the shipped pure-JDK [[JpegCodec]] can decode, making
+    * the video pipeline end-to-end real: RIFF chunk walk (same container
+    * family as [[WavCodec]]), `avih`/`strh`/`strf` headers, `00dc` frame
+    * chunks. Real-world codecs (H.264 &c.) need native libs and route
+    * through [[FakeCodec]]; the container plumbing here is identical.
+    * Reference treats media as opaque payloads (SURVEY §2 multimodal
+    * extension). */
+  object AviCodec {
+    private val ASCII = "US-ASCII"
+
+    /** Minimal standard AVI: RIFF('AVI ') { LIST(hdrl){ avih,
+      * LIST(strl){ strh(vids/MJPG, rate/scale = fps), strf(BITMAPINFO,
+      * 'MJPG') } }, LIST(movi){ 00dc… } }. Frames are JPEG bytes. */
+    def encode(w: Int, h: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length % 2 // RIFF chunks are word-aligned
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes(ASCII)).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes(ASCII) ++ body)
+      val avih = {
+        val bb = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+          .putInt(0).putInt(0).putInt(0)
+          .putInt(frames.length) // dwTotalFrames
+          .putInt(0).putInt(1) // dwStreams
+          .putInt(0).putInt(w).putInt(h)
+        bb.array()
+      }
+      val strh = {
+        val bb = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("vids".getBytes(ASCII)).put("MJPG".getBytes(ASCII))
+          .putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1) // dwScale
+          .putInt(fps) // dwRate → fps = rate/scale
+          .putInt(0)
+          .putInt(frames.length) // dwLength
+          .putInt(0).putInt(-1).putInt(0)
+          .putShort(0).putShort(0)
+          .putShort(w.toShort).putShort(h.toShort) // rcFrame
+        bb.array()
+      }
+      val strf = {
+        val bb = java.nio.ByteBuffer.allocate(40)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .put("MJPG".getBytes(ASCII)).putInt(w * h * 3)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.array()
+      }
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        frames.iterator.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      chunk("RIFF", "AVI ".getBytes(ASCII) ++ hdrl ++ movi)
+    }
+
+    /** (width, height, fps, frame JPEG payloads). Walks RIFF lists; the
+      * frame list needs no idx1 (sequential `00dc`/`00db` scan). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, ASCII)
+      }
+      require(tag() == "RIFF", "not a RIFF file")
+      bb.getInt // riff size
+      require(tag() == "AVI ", "not an AVI file")
+      var w = 0; var h = 0; var scale = 1; var rate = 0
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = tag()
+          val sz = bb.getInt
+          val next = bb.position() + sz + (sz % 2)
+          if (id == "LIST") {
+            tag() // list type: hdrl / strl / movi — walk them all
+            walk(bb.position() + sz - 4)
+            bb.position(next)
+          } else {
+            if (id == "strh") {
+              val fcc = tag()
+              if (fcc == "vids") {
+                bb.position(bb.position() + 16) // handler..initialFrames
+                scale = bb.getInt
+                rate = bb.getInt
+              }
+            } else if (id == "strf" && w == 0) {
+              bb.getInt // biSize
+              w = bb.getInt
+              h = bb.getInt
+            } else if (id.endsWith("dc") || id.endsWith("db")) {
+              val f = new Array[Byte](sz)
+              bb.get(f)
+              frames += f
+            }
+            bb.position(next)
+          }
+        }
+      }
+      walk(bytes.length)
+      val fps = if (scale > 0 && rate > 0) rate / scale else 0
+      (w, h, fps, frames.toSeq)
+    }
+  }
+
+  final case class AviFrameRow(doc_id: Long, frame_idx: Int, fps: Int,
+      n_frames: Int, width: Int, height: Int, sampled: Boolean,
+      dec_width: Int, dec_height: Int)
+
+  /** Executor-side REAL MJPEG-in-AVI decode exploded to one row per
+    * frame, with frames-per-second sampling: one frame per second of
+    * video (`frame_idx % fps == 0`) is marked sampled and ONLY sampled
+    * frames pay the JPEG decode (`dec_width`/`dec_height` from real
+    * pixel decode; -1 on unsampled rows) — the decode cost scales with
+    * the sampling schedule, not the frame count, which is the property
+    * that matters when the container is 100 TB of video. One partition
+    * pass, no shuffle. */
+  def decodeAviFrames(df: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[AviFrameRow] = Encoders.product[AviFrameRow]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (w, h, fps, frames) = AviCodec.decode(r.content)
+          val step = math.max(1, fps)
+          frames.iterator.zipWithIndex.map { case (jpeg, i) =>
+            val sampled = i % step == 0
+            val (dw, dh) =
+              if (sampled) {
+                val (a, b, _) = JpegCodec.decode(jpeg)
+                (a, b)
+              } else (-1, -1)
+            AviFrameRow(r.doc_id, i, fps, frames.length, w, h, sampled,
+              dw, dh)
+          }
+        }
+      }.toDF()
+  }
+
   final case class AudioWindowRow(doc_id: Long, window_idx: Int,
       n_samples: Int, sum_abs: Long, peak: Long)
 
@@ -565,6 +712,8 @@ object Multimodal {
         "gif")
       .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(content, 9, 4) === lit("AVI ".getBytes("US-ASCII")), "avi")
       .when(substring(content, 1, 2) === lit("P6".getBytes("US-ASCII")),
         "ppm")
       .otherwise("unknown")

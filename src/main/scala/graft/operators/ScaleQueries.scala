@@ -164,6 +164,37 @@ object ScaleQueries {
     out
   }
 
+  /** MJPEG-in-AVI videos, one per document: real JPEG frames (encoded by
+    * the shipped pure-JDK codec from a deterministic gradient) inside a
+    * real AVI container, dims / fps / frame count on planted analytic
+    * schedules. */
+  private[graft] def aviFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_avi")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 5).toInt
+            val h = (12 + id % 3).toInt
+            val fps = (2 + id % 3).toInt
+            val nf = (5 + id % 7).toInt
+            val frames = (0 until nf).map { f =>
+              graft.multimodal.Multimodal.JpegCodec.encode(w, h,
+                (x, y) => (((x * (3 + f) + id) % 256).toInt,
+                  ((y * (5 + f)) % 256).toInt, ((x + y + f) % 256).toInt))
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.AviCodec.encode(w, h, fps, frames))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Incrementally-built IVF index: base index over history vectors
     * (vec_id with a nonzero last digit), then the held-out tenth
     * assigned to the SAME centroids and appended cell-partitioned —
@@ -735,6 +766,27 @@ object ScaleQueries {
             .as("n_sampled"),
           sum(when(col("frame_idx") % 2 === 0, col("sum_gray"))
             .otherwise(0L)).as("gray_sampled"))
+    }),
+
+    // REAL video container end-to-end: MJPEG-in-AVI — RIFF walk to the
+    // avih/strh/strf headers and 00dc frame chunks, frames-per-second
+    // sampling (one frame per second of video), and a REAL JPEG pixel
+    // decode of exactly the sampled frames. Every gated number is
+    // analytic from the planted schedule; the decoded dims feeding
+    // px_sampled prove the sampled frames actually went through the
+    // pixel decoder (a header-only shortcut would still pass n_* but
+    // any decode/dims bug breaks px_sampled). Decode cost scales with
+    // the sampling schedule, not the frame count — the property that
+    // matters against 100 TB of video.
+    "q200_mjpeg_avi" -> ((s, d) => {
+      val media = s.read.parquet(aviFixture(s, d))
+      graft.multimodal.Multimodal.decodeAviFrames(media)
+        .agg(countDistinct(col("doc_id")).as("n_videos"),
+          count(lit(1)).as("n_frames"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("sampled"),
+            col("dec_width").cast("long") * col("dec_height") * 3L)
+            .otherwise(0L)).as("px_sampled"))
     }),
 
     // Image dedup via perceptual average-hash over REAL decoded PNGs:
@@ -1719,6 +1771,21 @@ object ScaleQueries {
         |  (SELECT COUNT(*) FROM documents) AS n_docs
         |FROM (VALUES ('gif'), ('png'), ('ppm'), ('wav')) f(format)
         |ORDER BY f.format""".stripMargin,
+
+    // Planted AVI schedule: w=16+id%5, h=12+id%3, fps=2+id%3, nf=5+id%7;
+    // sampling takes frames 0, fps, 2·fps, … → (nf-1)//fps + 1 per video;
+    // sampled frames decode to w×h×3 channel values each.
+    "q200_mjpeg_avi" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 3 AS h,
+        |    2 + doc_id % 3 AS fps, 5 + doc_id % 7 AS nf
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_videos,
+        |  CAST(SUM(nf) AS BIGINT) AS n_frames,
+        |  CAST(SUM((nf - 1) // fps + 1) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(((nf - 1) // fps + 1) * w * h * 3) AS BIGINT)
+        |    AS px_sampled
+        |FROM d""".stripMargin,
 
     "q187_gif_frames" ->
       """WITH d AS (

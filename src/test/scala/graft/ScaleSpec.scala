@@ -404,6 +404,40 @@ class ScaleSpec extends AnyFunSuite {
         s"frame $f pixel ($x,$y) corrupted")
   }
 
+  // ---- q200 MJPEG-in-AVI --------------------------------------------------
+
+  test("AVI container round-trips headers and every MJPEG frame payload") {
+    import graft.multimodal.Multimodal.{AviCodec, JpegCodec}
+    val (w, h, fps, nf) = (18, 14, 3, 7)
+    val frames = (0 until nf).map { f =>
+      JpegCodec.encode(w, h, (x, y) =>
+        ((x * (3 + f)) % 256, (y * (5 + f)) % 256, (x + y + f) % 256))
+    }
+    val (dw, dh, dfps, back) = AviCodec.decode(AviCodec.encode(w, h, fps, frames))
+    assert((dw, dh, dfps, back.length) == (w, h, fps, nf))
+    // frame payloads byte-identical (word-alignment padding must not leak)
+    for (f <- 0 until nf)
+      assert(java.util.Arrays.equals(back(f), frames(f)), s"frame $f bytes")
+    // the payloads are genuinely decodable JPEGs of the header dims
+    val (jw, jh, _) = JpegCodec.decode(back(nf - 1))
+    assert((jw, jh) == (w, h))
+    // odd-length frame payload exercises the pad path
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7))
+    val (_, _, _, backOdd) = AviCodec.decode(AviCodec.encode(4, 4, 1, odd))
+    assert(backOdd.map(_.toSeq) == odd.map(_.toSeq))
+  }
+
+  test("mediaFormat routes AVI bytes distinctly from WAV") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val avi = Multimodal.AviCodec.encode(4, 4, 2, Seq(Array[Byte](9)))
+    val wav = Multimodal.WavCodec.encode(Array[Short](1, 2, 3), 8000)
+    val out = Seq((1L, avi), (2L, wav)).toDF("doc_id", "content")
+      .select(col("doc_id"), Multimodal.mediaFormat(col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "avi", 2L -> "wav"))
+  }
+
   // ---- q186 perceptual image dedup ----------------------------------------
 
   test("aHash: 40 planted schedules give 40 distinct signatures") {
