@@ -65,6 +65,44 @@ object StreamCatalogQueries {
         .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
+    // The reference's WHOLE §3.1 collection pipeline chained as one
+    // streaming entry point: manifest notifications → named-object read →
+    // parse/coerce → WHERE pre-filter → connection-bounded JDBC append →
+    // per-batch Invocations status row, all inside runContinuousCollection.
+    // The gate reads BOTH destinations back over JDBC: the filtered
+    // aggregate proves the data path, and audit_rows (the Invocations
+    // ledger total) must equal the landed row count — so a batch that
+    // inserted without its status row, or double-counted, fails the hash.
+    "q201_continuous_pipeline" -> ((s, d) => {
+      val mdir = manifestFixture(s, d)
+      val spec = StreamingCollect.StreamSpec(
+        schema = ReferenceQueries.lineitemSchema, inputDir = mdir,
+        query = Some("SELECT l_orderkey, l_quantity, l_discount, " +
+          "l_returnflag FROM S3Object[*] s WHERE s.l_discount > 0.09 " +
+          "AND s.l_quantity <= 10"))
+      val dbId = java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:graft$dbId;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      StreamingCollect.runContinuousCollection(s, spec, mdir, url, props,
+        "lineitem_cc", instanceMemoryMb = 1560, engine = "postgres",
+        jobid = "q201")
+      val agg = graft.sinks.JdbcSink.read(s, url, "lineitem_cc", props)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      val inv = graft.sinks.JdbcSink.read(s, url, "invocations", props)
+        .agg(sum(col("nrecords")).cast("long").as("audit_rows"))
+      val out = agg.crossJoin(inv) // 1-row audit total beside each group
+        .select(col("l_returnflag"), col("n"), col("sum_qty"),
+          col("audit_rows"))
+        .orderBy(col("l_returnflag"))
+      val rows = out.collect()
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:memory:graft$dbId;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq), out.schema)
+    }),
+
     // Watermarked event-time windowed aggregation over the events stream.
     "q37_stream_window" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -277,6 +315,17 @@ object StreamCatalogQueries {
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The audit column predicts the Invocations ledger: every filtered
+    // row must be accounted exactly once across the batch status rows.
+    "q201_continuous_pipeline" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+         |   WHERE l_discount > 0.09 AND l_quantity <= 10) AS audit_rows
+         |FROM lineitem
+         |WHERE l_discount > 0.09 AND l_quantity <= 10
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q39_catalog_tables" ->
       """SELECT name FROM (VALUES ('graft_docs'), ('graft_orders')) t(name)

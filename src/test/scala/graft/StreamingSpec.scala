@@ -79,6 +79,59 @@ class StreamingSpec extends AnyFunSuite {
       "rows from the unnamed object leaked in — source is listing-driven")
   }
 
+  test("continuous pipeline: per-batch Invocations ledger accounts every row") {
+    // runContinuousCollection chains manifest → coerce → WHERE → JDBC
+    // append → status row. Two manifests at one-per-trigger must produce
+    // two COMPLETED invocation rows whose nrecords sum to exactly the
+    // landed count (worker.js:736-772 status bookkeeping parity).
+    val dataDir = Files.createTempDirectory("graft_cc_data")
+    val li = Tables.lineitem(spark, TestSession.sfDir)
+      .where(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        format_string("%.6f", col("l_quantity")).as("l_quantity"),
+        format_string("%.6f", col("l_extendedprice")).as("l_extendedprice"),
+        format_string("%.6f", col("l_discount")).as("l_discount"),
+        format_string("%.6f", col("l_tax")).as("l_tax"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("l_shipdate"))
+    li.where(col("l_orderkey") % 2 === 0).coalesce(1).write
+      .mode("overwrite").option("header", "false").csv(s"$dataDir/a")
+    li.where(col("l_orderkey") % 2 =!= 0).coalesce(1).write
+      .mode("overwrite").option("header", "false").csv(s"$dataDir/b")
+    def csvsIn(sub: String): Seq[String] =
+      Option(new java.io.File(s"$dataDir/$sub").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(_.getAbsolutePath).toSeq.sorted
+    val manifestDir = Files.createTempDirectory("graft_cc_m")
+    Files.writeString(manifestDir.resolve("manifest-000.txt"),
+      csvsIn("a").mkString("", "\n", "\n"))
+    Files.writeString(manifestDir.resolve("manifest-001.txt"),
+      csvsIn("b").mkString("", "\n", "\n"))
+    val url = "jdbc:derby:memory:graftccspec;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val spec = StreamingCollect.StreamSpec(
+      schema = ReferenceQueries.lineitemSchema,
+      inputDir = manifestDir.toString,
+      query = Some("SELECT l_orderkey, l_quantity, l_returnflag FROM " +
+        "S3Object[*] s WHERE s.l_quantity <= 25"))
+    StreamingCollect.runContinuousCollection(spark, spec,
+      manifestDir.toString, url, props, "cc_t",
+      instanceMemoryMb = 1560, engine = "postgres", jobid = "speccc")
+    val landed = graft.sinks.JdbcSink.read(spark, url, "cc_t", props)
+    val inv = graft.sinks.JdbcSink.read(spark, url, "invocations", props)
+      .collect()
+    val expected = li.where(col("l_quantity").cast("double") <= 25).count()
+    assert(landed.count() == expected, "WHERE-filtered rows must land")
+    assert(inv.length == 2, s"one status row per manifest batch: ${inv.length}")
+    assert(inv.forall(_.getAs[String]("status") == "COMPLETED"))
+    assert(inv.forall(_.getAs[String]("jobid") == "speccc"))
+    assert(inv.map(_.getAs[Long]("nrecords")).sum == expected,
+      "ledger must account exactly the landed rows")
+  }
+
   test("stateful dedup runs on the RocksDB state store (production conf)") {
     // The bounded verification runs use the default heap-backed state
     // store (cheapest for small replays); an unbounded production stream
