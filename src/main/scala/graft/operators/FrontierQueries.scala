@@ -302,14 +302,53 @@ object FrontierQueries {
     // comparator work; it returns -1 above the bound, so "dist <= 2"
     // becomes "result >= 0".
     "q99_fuzzy_pairs" -> ((s, d) => {
+      // Candidate generation is a FastSS/SymSpell deletion-neighborhood
+      // join (Bocek et al. 2007; public technique): dist(a,b) ≤ 2 ⟹ the
+      // depth-≤2 deletion neighborhoods of a and b intersect, so pairs
+      // sharing a (nation, variant-hash) bucket are an EXACT superset of
+      // the true pair set and the thresholded-levenshtein verify keeps
+      // the semantics identical to the oracle's blocked join. Why not
+      // block on (nation, length) directly: that key space is FIXED
+      // (25 nations × a few lengths), so block sizes — and the per-block
+      // quadratic pair count — grow with the corpus; the sf1 scale probe
+      // measured 28x wall time for 10x rows. Deletion-variant buckets
+      // group only strings within ≤2 aligned deletions of each other, so
+      // bucket sizes track genuine near-clusters, variants per row are a
+      // constant ~1+L+L²/2, and the candidate exchange carries bare
+      // (nation, hash, id) rows — linear corpus scaling end to end.
       val c = T.customer(s, d).select(
-        col("c_custkey"), col("c_nationkey"),
-        col("c_name"), length(col("c_name")).as("len"))
-      val a = c.toDF("a_key", "nat", "a_name", "len")
-      val b = c.toDF("b_key", "nat", "b_name", "len")
-      a.join(b, Seq("nat", "len"))
-        .where(col("a_key") < col("b_key") &&
-          levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        col("c_name").as("name"), length(col("c_name")).as("len"))
+      // depth 0/1/2 deletion variants, hashed; short-string guards keep
+      // sequence() ascending (the q178/q195/q198 hazard class)
+      val vh = expr(
+        """array_distinct(transform(flatten(array(
+          |  array(name),
+          |  CASE WHEN len >= 1 THEN
+          |    transform(sequence(1, len), i ->
+          |      concat(substr(name, 1, i - 1), substr(name, i + 1, len)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END,
+          |  CASE WHEN len >= 2 THEN
+          |    flatten(transform(sequence(1, len - 1), i ->
+          |      transform(sequence(i + 1, len), j ->
+          |        concat(substr(name, 1, i - 1),
+          |               substr(name, i + 1, j - i - 1),
+          |               substr(name, j + 1, len)))))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)),
+          |  v -> xxhash64(v)))""".stripMargin)
+      val variants = c.select(col("id"), col("nat"), col("len"),
+        explode(vh).as("v"))
+      val a = variants.toDF("a_key", "nat", "a_len", "v")
+      val b = variants.toDF("b_key", "nat", "b_len", "v")
+      // id-only candidate exchange; distinct collapses the ≤172-way
+      // variant multiplicity before names re-join for the verify
+      val cand = a.join(b, Seq("nat", "v"))
+        .where(col("a_key") < col("b_key") && col("a_len") === col("b_len"))
+        .select(col("nat"), col("a_key"), col("b_key")).distinct()
+      val n1 = c.select(col("id").as("a_key"), col("name").as("a_name"))
+      val n2 = c.select(col("id").as("b_key"), col("name").as("b_name"))
+      cand.join(n1, "a_key").join(n2, "b_key")
+        .where(levenshtein(col("a_name"), col("b_name"), 2) >= 0)
         .groupBy(col("nat").as("c_nationkey"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("a_key")).as("min_key"))

@@ -224,14 +224,32 @@ class ExplainSpec extends AnyFunSuite {
       "peek must not fall back to a decode pass")
   }
 
-  test("q99 blocked fuzzy join broadcasts the block-keyed build side") {
-    val df = SparkEntry.queries("q99_fuzzy_pairs")(spark, TestSession.sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"blocked self-join should hash-broadcast the name table:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"25-block key space must not sort-merge:\n$p")
+  test("q99 deletion-neighborhood candidates: id-only pair exchange, no cartesian") {
+    // The fuzzy join must never plan a product, and the candidate-pair
+    // distinct must exchange bare ids — the name payload re-joins only
+    // for the bounded verify.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val sp = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("q99_fuzzy_pairs")(spark, TestSession.sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"fuzzy join planned a product:\n$p")
+    val pairShuffles = sp.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("a_key") &&
+            e.outputPartitioning.toString.contains("b_key") => e
+    }
+    assert(pairShuffles.nonEmpty, s"no (a_key, b_key) exchange in:\n$sp")
+    pairShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"candidate pair exchange carries a string payload: ${e.output}")
+    }
   }
 
   test("q196 tokenizer application broadcasts the vocab, never shuffles it") {

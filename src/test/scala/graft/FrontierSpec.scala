@@ -75,6 +75,28 @@ class FrontierSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("q99 deletion-neighborhood candidates reproduce the naive blocked join") {
+    // The FastSS candidate superset + thresholded verify must yield
+    // EXACTLY the (nation, len)-blocked levenshtein ≤ 2 pair accounting
+    // the oracle computes — no recall loss, no phantom pairs.
+    val c = Tables.customer(spark, TestSession.sfDir).select(
+      col("c_custkey"), col("c_nationkey"),
+      col("c_name"), length(col("c_name")).as("len"))
+    val a = c.toDF("a_key", "nat", "a_name", "len")
+    val b = c.toDF("b_key", "nat", "b_name", "len")
+    val naive = a.join(b, Seq("nat", "len"))
+      .where(col("a_key") < col("b_key") &&
+        levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("a_key")).as("min_key"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = SparkEntry.queries("q99_fuzzy_pairs")(spark, TestSession.sfDir)
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == naive, s"neighborhood join diverged:\ngot   $got\nnaive $naive")
+  }
+
   // ---- q100 SCD2 --------------------------------------------------------
 
   test("SCD2 build: planted change log yields expected versions") {
