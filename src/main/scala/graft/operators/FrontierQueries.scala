@@ -316,9 +316,18 @@ object FrontierQueries {
       // bucket sizes track genuine near-clusters, variants per row are a
       // constant ~1+L+L²/2, and the candidate exchange carries bare
       // (nation, hash, id) rows — linear corpus scaling end to end.
-      val c = T.customer(s, d).select(
-        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
-        col("c_name").as("name"), length(col("c_name")).as("len"))
+      // Exact-dup collapse first: variants are generated per DISTINCT
+      // (nation, name) — a boilerplate name repeated m times (crawl-dup
+      // skew; the scale probe planted exactly this) costs ONE variant
+      // set instead of m· and its C(m,2) intra pairs are analytic;
+      // inter-name pair counts recover as m_a·m_b. The per-pair minimum
+      // a_key is least(minid_a, minid_b): the smaller groups' minimum id
+      // is the smaller element of at least one cross pair.
+      val g = T.customer(s, d)
+        .groupBy(col("c_nationkey").as("nat"), col("c_name").as("name"))
+        .agg(count(lit(1)).as("m"), min(col("c_custkey")).as("minid"))
+        .withColumn("len", length(col("name")))
+        .localCheckpoint() // feeds variants + both verify re-joins
       // depth 0/1/2 deletion variants, hashed; short-string guards keep
       // sequence() ascending (the q178/q195/q198 hazard class)
       val vh = expr(
@@ -336,22 +345,31 @@ object FrontierQueries {
           |               substr(name, j + 1, len)))))
           |  ELSE CAST(array() AS ARRAY<STRING>) END)),
           |  v -> xxhash64(v)))""".stripMargin)
-      val variants = c.select(col("id"), col("nat"), col("len"),
-        explode(vh).as("v"))
-      val a = variants.toDF("a_key", "nat", "a_len", "v")
-      val b = variants.toDF("b_key", "nat", "b_len", "v")
+      val variants = g.select(col("minid").as("gid"), col("nat"),
+        col("len"), explode(vh).as("v"))
+      val a = variants.toDF("a_gid", "nat", "a_len", "v")
+      val b = variants.toDF("b_gid", "nat", "b_len", "v")
       // id-only candidate exchange; distinct collapses the ≤172-way
       // variant multiplicity before names re-join for the verify
       val cand = a.join(b, Seq("nat", "v"))
-        .where(col("a_key") < col("b_key") && col("a_len") === col("b_len"))
-        .select(col("nat"), col("a_key"), col("b_key")).distinct()
-      val n1 = c.select(col("id").as("a_key"), col("name").as("a_name"))
-      val n2 = c.select(col("id").as("b_key"), col("name").as("b_name"))
-      cand.join(n1, "a_key").join(n2, "b_key")
+        .where(col("a_gid") < col("b_gid") && col("a_len") === col("b_len"))
+        .select(col("nat"), col("a_gid"), col("b_gid")).distinct()
+      val na = g.select(col("minid").as("a_gid"), col("name").as("a_name"),
+        col("m").as("m_a"))
+      val nb = g.select(col("minid").as("b_gid"), col("name").as("b_name"),
+        col("m").as("m_b"))
+      val inter = cand.join(na, "a_gid").join(nb, "b_gid")
         .where(levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+        .select(col("nat"), (col("m_a") * col("m_b")).as("pairs"),
+          least(col("a_gid"), col("b_gid")).as("cand_min"))
+      val intra = g.where(col("m") >= 2)
+        .select(col("nat"),
+          expr("m * (m - 1) DIV 2").as("pairs"), // integer div: `/` is double
+          col("minid").as("cand_min"))
+      inter.unionByName(intra)
         .groupBy(col("nat").as("c_nationkey"))
-        .agg(count(lit(1)).as("n_pairs"),
-          min(col("a_key")).as("min_key"))
+        .agg(sum(col("pairs")).as("n_pairs"),
+          min(col("cand_min")).as("min_key"))
         .orderBy(col("c_nationkey"))
     }),
 

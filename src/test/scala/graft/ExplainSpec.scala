@@ -242,10 +242,10 @@ class ExplainSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoop"), s"fuzzy join planned a product:\n$p")
     val pairShuffles = sp.collect {
       case e: ShuffleExchangeExec
-          if e.outputPartitioning.toString.contains("a_key") &&
-            e.outputPartitioning.toString.contains("b_key") => e
+          if e.outputPartitioning.toString.contains("a_gid") &&
+            e.outputPartitioning.toString.contains("b_gid") => e
     }
-    assert(pairShuffles.nonEmpty, s"no (a_key, b_key) exchange in:\n$sp")
+    assert(pairShuffles.nonEmpty, s"no (a_gid, b_gid) exchange in:\n$sp")
     pairShuffles.foreach { e =>
       assert(!e.output.exists(_.dataType == StringType),
         s"candidate pair exchange carries a string payload: ${e.output}")
