@@ -215,6 +215,25 @@ object ScaleQueries {
     out
   }
 
+  /** Query-vector stream (two files → two AvailableNow micro-batches:
+    * vec_id < 5, then 5 ≤ vec_id < 10) plus a persisted IVF index over
+    * the full embeddings table, built once per sf — the serving-side
+    * fixture for q202's streaming retrieval. */
+  private[graft] def streamAnnFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "stream_ann")
+    if (!new java.io.File(s"$out/_DONE").exists()) {
+      val emb = T.embeddings(s, d)
+      graft.similarity.Similarity.saveIvfIndex(emb, s"$out/index")
+      val qs = emb.where(col("vec_id") < 10)
+      qs.where(col("vec_id") < 5)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/qs")
+      qs.where(col("vec_id") >= 5)
+        .coalesce(1).write.mode("append").parquet(s"$out/qs")
+      new java.io.File(s"$out/_DONE").createNewFile()
+    }
+    out
+  }
+
   /** Mixed-format landing zone: lineitem routed disjointly into gzip CSV
     * (k%3=0, plus the k%3=2 overflow above the zip cap), JSON lines
     * (k%3=1), and single-entry ZIP archives (k%3=2 below the cap — the
@@ -635,8 +654,13 @@ object ScaleQueries {
     "q198_cdc_chunking" -> ((s, d) => {
       val perDoc = T.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("L"),
-          expr("transform(sequence(1, length(text)), " +
-            "i -> ascii(substr(text, i, 1)))").as("cs"))
+          // empty-text guard: sequence(1, 0) silently descends, leaving
+          // a two-element garbage cs; it is never read (L < 8 short-
+          // circuits below) but the empty doc should carry cs = []
+          expr("CASE WHEN length(text) >= 1 THEN " +
+            "transform(sequence(1, length(text)), " +
+            "i -> ascii(substr(text, i, 1))) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END").as("cs"))
         .select(col("doc_id"), col("L"),
           // L < 8 guard: sequence(8, L) defaults to step -1 when L < 8
           // (reaching element_at index 0 → runtime error); a doc shorter
@@ -787,6 +811,43 @@ object ScaleQueries {
           sum(when(col("sampled"),
             col("dec_width").cast("long") * col("dec_height") * 3L)
             .otherwise(0L)).as("px_sampled"))
+    }),
+
+    // Streaming ANN retrieval against a PERSISTED IVF index — the
+    // online-serving shape of a retrieval deployment: query vectors
+    // arrive in micro-batches, each batch probes the cell-partitioned
+    // on-disk index (q91's layout; literal partition filters resolved
+    // per batch) and lands its top-k in an exactly-once batch-
+    // partitioned sink (dynamic partition overwrite, so a replayed
+    // batch rewrites itself). Per-trigger work is O(batch × probed
+    // cells), never O(corpus) — the index build is never rescanned by
+    // the stream. Gate: nProbe = nCells makes every probe exhaustive,
+    // so the union across batches must equal the exact top-k (the q45
+    // oracle) while the full stream → probe → sink path (checkpoint,
+    // AvailableNow, foreachBatch idempotence) is exercised.
+    "q202_stream_ann" -> ((s, d) => {
+      val fix = streamAnnFixture(s, d)
+      val base = s"${graft.Scratch.root}/graft_streamann/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(s"$fix/qs").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$fix/qs")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.similarity.Similarity
+            .ivfTopKIndexed(batch, s"$fix/index", k = 5, nProbe = 16)
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/results")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/results")
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Image dedup via perceptual average-hash over REAL decoded PNGs:
@@ -1786,6 +1847,20 @@ object ScaleQueries {
         |  CAST(SUM(((nf - 1) // fps + 1) * w * h * 3) AS BIGINT)
         |    AS px_sampled
         |FROM d""".stripMargin,
+
+    // Full-probe streaming retrieval is exhaustive per batch and the
+    // batches partition the query set, so the streamed union equals
+    // the exact top-k — the q45 oracle.
+    "q202_stream_ann" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q187_gif_frames" ->
       """WITH d AS (

@@ -56,10 +56,107 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** Queries whose unguarded sequence() is bounded by an upstream Filter
+    * (verified structurally below): the analyzed plan must contain a
+    * Filter whose condition carries the named size guard, placed below
+    * the explode so the sequence only ever sees qualifying rows. */
+  private val seqFilterGuarded = Map(
+    "q62_contamination" -> ("size(__toks", ">= 3"),
+    "q64_repetition" -> ("size(__toks", ">= 3"),
+    "q109_ngram_stats" -> ("size(w", ">= 2"),
+    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"))
+
+  /** Queries whose sequence() bounds are ascending by arithmetic that
+    * the shape rules below cannot see:
+    *  - q101: sequence(min(day), max(day)) of ONE column's aggregate —
+    *    min ≤ max always; empty input yields nulls and explode(null)
+    *    emits nothing.
+    *  - q116: factor = least((tgt + n - 1) div n, 4) with tgt ≥ n ≥ 1,
+    *    so factor ∈ [1, 4] and sequence(1, factor) ascends. */
+  private val seqProvedByConstruction = Set(
+    "q101_gapfill", "q116_minority_boost")
+
+  /** Registry-wide lint for the silent-descent hazard: sequence(a, b)
+    * without an explicit step DEFAULTS TO STEP -1 when b < a (Spark's
+    * documented default-step rule), so a short document turns an index
+    * walk into [a, a-1, …] and element_at reads from the WRONG END with
+    * no error anywhere (the q178/q195/q198 bug class, found three times
+    * by review). A sequence is accepted only if it is provably
+    * ascending (literal bounds; stop clamped by greatest(_, k) with
+    * start ≤ k; stop = start + nonnegative literal), sits in a guarded
+    * CaseWhen/If branch, or is whitelisted above with its Filter guard
+    * re-verified. */
+  private def lintSequences(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen,
+      Cast, Expression, Greatest, If, Literal, Sequence}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def strip(e: Expression): Expression = e match {
+      case c: Cast => strip(c.child)
+      case e => e
+    }
+    def litVal(e: Expression): Option[Long] = strip(e) match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def litLe(a: Expression, b: Expression): Boolean =
+      (litVal(a), litVal(b)) match {
+        case (Some(x), Some(y)) => x <= y
+        case _ => false
+      }
+    def safeByShape(s: Sequence): Boolean =
+      litLe(s.start, s.stop) || (strip(s.stop) match {
+        case g: Greatest => g.children.exists(c => litLe(s.start, c))
+        case a: Add =>
+          (strip(a.left).semanticEquals(strip(s.start)) &&
+            litVal(a.right).exists(_ >= 0)) ||
+          (strip(a.right).semanticEquals(strip(s.start)) &&
+            litVal(a.left).exists(_ >= 0))
+        case _ => false
+      })
+    def offenders(e: Expression, guarded: Boolean): Seq[Sequence] =
+      e match {
+        case s: Sequence =>
+          (if (guarded || safeByShape(s)) Nil else Seq(s)) ++
+            s.children.flatMap(offenders(_, guarded))
+        case c: CaseWhen =>
+          c.branches.flatMap { case (cond, v) =>
+            offenders(cond, guarded) ++ offenders(v, guarded = true)
+          } ++ c.elseValue.toSeq.flatMap(offenders(_, guarded = true))
+        case i: If =>
+          offenders(i.predicate, guarded) ++
+            offenders(i.trueValue, guarded = true) ++
+            offenders(i.falseValue, guarded = true)
+        case other => other.children.flatMap(offenders(_, guarded))
+      }
+    val plan = df.queryExecution.analyzed
+    if (seqProvedByConstruction(name)) ()
+    else seqFilterGuarded.get(name) match {
+      case Some((ref, bound)) =>
+        val hasGuard = plan.collect {
+          case f: Filter
+              if f.condition.toString.contains(ref) &&
+                f.condition.toString.contains(bound) => f
+        }.nonEmpty
+        assert(hasGuard,
+          s"$name: whitelisted as Filter-guarded but no Filter matches " +
+            s"'$ref' '$bound' — the guard moved or was dropped")
+      case None =>
+        val bad = plan.flatMap(
+          _.expressions.flatMap(offenders(_, guarded = false)))
+        assert(bad.isEmpty,
+          s"$name: unguarded sequence() with unprovable bounds — " +
+            s"default step is -1 when stop < start, so short inputs " +
+            s"silently walk backwards: ${bad.map(_.sql).mkString("; ")}")
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, TestSession.sfDir)
       lintWindows(name, df)
+      lintSequences(name, df)
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
