@@ -28,7 +28,8 @@ object SparkEntry {
     (operators.FrontierQueries.queries, operators.FrontierQueries.oracleSql),
     (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql),
     (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql),
-    (operators.AnalyticsQueries.queries, operators.AnalyticsQueries.oracleSql)
+    (operators.AnalyticsQueries.queries, operators.AnalyticsQueries.oracleSql),
+    (operators.QualityQueries.queries, operators.QualityQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -5,15 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
+
+  /** Normalize events.ts to a session-zone TimestampType column whatever the
+    * driver's parquet encoding of the column is: TIMESTAMP(NANOS) (rejected
+    * by the vectorized reader, so read as a nanosecond long via the
+    * nanosAsLong flag), TIMESTAMP(MICROS) without the UTC flag (read as
+    * TIMESTAMP_NTZ — the session zone is pinned to UTC everywhere, so the
+    * cast is the identity reinterpretation DuckDB applies on its side), or
+    * already TimestampType. Every query sees one stable ts type regardless
+    * of which encoding a given testdata drop used. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized parquet
-    // reader rejects; read nanos as long (session flag set in Verify/Bench/
-    // tests) and convert to a microsecond TimestampType column here.
+    // nanosAsLong keeps TIMESTAMP(NANOS) drops readable (see above); a
+    // no-op for micros encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")

@@ -612,7 +612,7 @@ object ExtendedQueries {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(T.normalizeEventTs)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))

@@ -110,7 +110,7 @@ object StreamCatalogQueries {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(T.normalizeEventTs)
       val agg = StreamingCollect.windowedCounts(stream, "ts", "event_type")
       StreamingCollect.runBounded(s, agg, "q37_stream_window_sink")
         .orderBy(col("window_start"), col("event_type"))
@@ -140,7 +140,7 @@ object StreamCatalogQueries {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(T.normalizeEventTs)
         // synthetic dup stream: each event arrives twice (union of two
         // readers), dedup must collapse them back to one per event_id
         .withColumn("event_id", col("event_id"))
@@ -200,7 +200,7 @@ object StreamCatalogQueries {
       def src() = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(T.normalizeEventTs)
       val views = src().where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
           col("ts").as("v_ts"))

@@ -148,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
       val schema = spark.read.parquet(s"$d/events.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
       val deduped = stream.unionByName(stream)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
