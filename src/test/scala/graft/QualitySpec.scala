@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value- and plan-level checks for the model-based quality filters
+  * (QualityQueries): the DuckDB gate proves engine equivalence, these prove
+  * the SEMANTICS (independent recomputation of a rule, internal coherence
+  * of the stats) and the scale shape (broadcast model join, TakeOrdered
+  * top-k — never a global sort or a token-stream SMJ). */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSession.sfDir)
+
+  test("q201 per-language surprisal stats are internally coherent") {
+    val rows = run("q201_lm_surprisal").collect()
+    assert(rows.nonEmpty)
+    val langs = rows.map(_.getString(0))
+    assert(langs.sameElements(langs.sorted) && langs.contains("en"))
+    rows.foreach { r =>
+      val (n, avg, mn, mx, fl) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(mn <= avg && avg <= mx, s"stat ordering broken: $r")
+      assert(mn >= 1000, s"a smoothed unigram surprisal is >= 1 bit: $r")
+      assert(fl >= 0 && fl <= n)
+    }
+  }
+
+  test("q201 scores through a broadcast model join, never an SMJ") {
+    val p = run("q201_lm_surprisal")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not sort-merge join:\n$p")
+  }
+
+  test("q202 resamples exactly 100 documents, deterministically") {
+    val a = run("q202_dsir_resample").collect()
+    val b = run("q202_dsir_resample").collect()
+    assert(a.map(_.getLong(1)).sum == 100L)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("q202 top-k is a bounded TakeOrdered, not a global sort") {
+    val p = run("q202_dsir_resample")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the deterministic top-100:\n$p")
+  }
+
+  test("q203 word-count rule matches an independent recomputation") {
+    val row = run("q203_gopher_rules").collect()(0)
+    val docs = Tables.documents(spark, TestSession.sfDir)
+    val nw = size(split(trim(col("text")), " ")).cast("long")
+    val expected = docs.where(nw < 50 || nw > 100000).count()
+    assert(row.getLong(1) == expected,
+      s"fail_word_count ${row.getLong(1)} != independent $expected")
+    val nDocs = row.getLong(0)
+    val fails = (1 to 5).map(row.getLong)
+    assert(row.getLong(6) >= nDocs - fails.sum && row.getLong(6) <= nDocs,
+      s"pass count outside the inclusion-exclusion envelope: $row")
+  }
+}
