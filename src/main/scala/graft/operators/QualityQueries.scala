@@ -52,10 +52,11 @@ object QualityQueries {
     // keyed by anything but doc_id, and that one is partial-aggregated.
     "q201_lm_surprisal" -> ((s, d) => {
       val tk = toks(s, d)
-      val ref = tk.where(col("lang") === "en")
-      val model = ref.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val st = ref.agg(count(lit(1)).as("n"),
-        count_distinct(col("w")).as("v"))
+      val model = tk.where(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // N (reference token count) and V (vocab size) fall out of the
+      // vocab-sized model frame — no second pass over the token stream.
+      val st = model.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
       val scored = tk
         .join(broadcast(model), Seq("w"), "left")
         .crossJoin(broadcast(st))
@@ -89,15 +90,17 @@ object QualityQueries {
     "q202_dsir_resample" -> ((s, d) => {
       val tk = toks(s, d).select(col("doc_id"), col("source"),
         substring(md5(col("w")), 1, 1).as("b"))
-      val tgt = tk.where(col("source") === "src0")
-        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      val all = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-      val st = tk.agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tn"),
-        count(lit(1)).as("rn"))
-      val wt = all.join(tgt, Seq("b"), "left").crossJoin(st)
+      // ONE token-stream pass builds BOTH distributions (per-bucket raw
+      // count + conditional target count, map-side combine onto 16 rows);
+      // the corpus totals then derive from the 16-row frame instead of a
+      // third and fourth corpus scan — the scoring join below is the only
+      // other pass over the tokens.
+      val dist = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"))
+      val st = dist.agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
+      val wt = dist.crossJoin(broadcast(st))
         .select(col("b"),
-          (ilog2(expr("(coalesce(tc, 0) + 1) * (rn + 16)")) -
+          (ilog2(expr("(tc + 1) * (rn + 16)")) -
             ilog2(expr("(rc + 1) * (tn + 16)"))).as("wbits"))
       val perDoc = tk.join(broadcast(wt), Seq("b"))
         .groupBy(col("doc_id"))
