@@ -101,4 +101,34 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q34 shuffled $bytes B ≥ the $budget B corpus vector payload — " +
         "vectors leaked into the candidate exchange?")
   }
+
+  /** Quality-scorer budget: the token stream reduces map-side (model build
+    * onto a vocab-/16-row frame, scoring onto one partial-agg row per doc
+    * per partition), so total shuffle must stay doc-count-sized — document
+    * TEXT (~300 B/doc here) riding any exchange overshoots immediately. */
+  private def docBudget(): Long = {
+    import org.apache.spark.sql.functions.count
+    64L * Tables.documents(spark, TestSession.sfDir)
+      .agg(count("*")).collect()(0).getLong(0)
+  }
+
+  test("q201 LM scoring shuffles doc-sized rows, never the token stream") {
+    val budget = docBudget()
+    val bytes = run("q201_lm_surprisal")
+    info(s"q201 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q201 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
+        "or unaggregated tokens leaked into an exchange?")
+  }
+
+  test("q202 DSIR resample shuffles doc-sized rows, never the token stream") {
+    val budget = docBudget()
+    val bytes = run("q202_dsir_resample")
+    info(s"q202 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q202 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
+        "or unaggregated tokens leaked into an exchange?")
+  }
 }
