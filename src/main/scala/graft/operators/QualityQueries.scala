@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
   * every large pretraining pipeline runs between crawl and tokenizer, built
   * integer-exact so the DuckDB oracle hash-matches bit for bit:
   *
-  *  - q201: reference-LM scoring (CCNet, Wenzek et al. 2020 — train a LM on
+  *  - q204: reference-LM scoring (CCNet, Wenzek et al. 2020 — train a LM on
   *    a trusted corpus, score every document, keep the low-perplexity head).
-  *  - q202: hashed-n-gram importance resampling (DSIR, Xie et al. 2023 —
+  *  - q205: hashed-n-gram importance resampling (DSIR, Xie et al. 2023 —
   *    weight documents by a target/raw log-likelihood ratio over hashed
   *    features, resample the top of the weighted distribution).
-  *  - q203: the Gopher rule battery (Rae et al. 2021 — per-document
+  *  - q206: the Gopher rule battery (Rae et al. 2021 — per-document
   *    structural quality rules applied before any model-based filter).
   *
   * Log-space perplexities are IEEE-double territory (Spark's Math.log and
   * DuckDB's libm log differ in ulps, and a hash gate amplifies one ulp into
-  * a mismatch), so both q201 and q202 quantize the log to FLOOR-LOG2 BITS
+  * a mismatch), so both q204 and q205 quantize the log to FLOOR-LOG2 BITS
   * computed exactly in both engines as length(bin(x)) - 1 over integer
   * ratios — coarse (whole bits per word TYPE), but deterministic, ordered,
   * and scale-independent. The real-valued refinement is a one-line swap
@@ -50,7 +50,7 @@ object QualityQueries {
     // surprisal within each scan partition, and the per-language rollup
     // aggregates 1 row per doc. No shuffle ever carries the token stream
     // keyed by anything but doc_id, and that one is partial-aggregated.
-    "q201_lm_surprisal" -> ((s, d) => {
+    "q204_lm_surprisal" -> ((s, d) => {
       val tk = toks(s, d)
       val model = tk.where(col("lang") === "en")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -87,7 +87,7 @@ object QualityQueries {
     // join; per-doc weights partial-aggregate on doc_id; the top-100 is
     // TakeOrdered (per-partition heaps + driver merge of 100-row heads),
     // never a global sort.
-    "q202_dsir_resample" -> ((s, d) => {
+    "q205_dsir_resample" -> ((s, d) => {
       val tk = toks(s, d).select(col("doc_id"), col("source"),
         substring(md5(col("w")), 1, 1).as("b"))
       // ONE token-stream pass builds BOTH distributions (per-bucket raw
@@ -120,7 +120,7 @@ object QualityQueries {
     // cross-multiplied integer comparisons (3*nw <= sumlen, never a
     // double ratio), so the oracle is exact. One row out: per-rule
     // failure counts + the pass-everything count a pipeline would keep.
-    "q203_gopher_rules" -> ((s, d) => {
+    "q206_gopher_rules" -> ((s, d) => {
       val m = T.documents(s, d)
         .select(split(trim(col("text")), " ").as("ws"))
         .select(size(col("ws")).cast("long").as("nw"),
@@ -156,7 +156,7 @@ object QualityQueries {
 
   def oracleSql: Map[String, String] = Map(
 
-    "q201_lm_surprisal" ->
+    "q204_lm_surprisal" ->
       """WITH raw AS (
         |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
         |  FROM documents),
@@ -185,7 +185,7 @@ object QualityQueries {
         |    AS n_flagged
         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q202_dsir_resample" ->
+    "q205_dsir_resample" ->
       """WITH raw AS (
         |  SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
         |  FROM documents),
@@ -215,7 +215,7 @@ object QualityQueries {
         |  CAST(SUM(dwt) AS BIGINT) AS sum_weight
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
-    "q203_gopher_rules" ->
+    "q206_gopher_rules" ->
       """WITH d AS (
         |  SELECT string_split(trim(text), ' ') AS ws FROM documents),
         |m AS (

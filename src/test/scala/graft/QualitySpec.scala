@@ -13,8 +13,8 @@ class QualitySpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, TestSession.sfDir)
 
-  test("q201 per-language surprisal stats are internally coherent") {
-    val rows = run("q201_lm_surprisal").collect()
+  test("q204 per-language surprisal stats are internally coherent") {
+    val rows = run("q204_lm_surprisal").collect()
     assert(rows.nonEmpty)
     val langs = rows.map(_.getString(0))
     assert(langs.sameElements(langs.sorted) && langs.contains("en"))
@@ -27,30 +27,30 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q201 scores through a broadcast model join, never an SMJ") {
-    val p = run("q201_lm_surprisal")
+  test("q204 scores through a broadcast model join, never an SMJ") {
+    val p = run("q204_lm_surprisal")
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"token stream must not sort-merge join:\n$p")
   }
 
-  test("q202 resamples exactly 100 documents, deterministically") {
-    val a = run("q202_dsir_resample").collect()
-    val b = run("q202_dsir_resample").collect()
+  test("q205 resamples exactly 100 documents, deterministically") {
+    val a = run("q205_dsir_resample").collect()
+    val b = run("q205_dsir_resample").collect()
     assert(a.map(_.getLong(1)).sum == 100L)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
-  test("q202 top-k is a bounded TakeOrdered, not a global sort") {
-    val p = run("q202_dsir_resample")
+  test("q205 top-k is a bounded TakeOrdered, not a global sort") {
+    val p = run("q205_dsir_resample")
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"expected TakeOrdered for the deterministic top-100:\n$p")
   }
 
-  test("q203 word-count rule matches an independent recomputation") {
-    val row = run("q203_gopher_rules").collect()(0)
+  test("q206 word-count rule matches an independent recomputation") {
+    val row = run("q206_gopher_rules").collect()(0)
     val docs = Tables.documents(spark, TestSession.sfDir)
     val nw = size(split(trim(col("text")), " ")).cast("long")
     val expected = docs.where(nw < 50 || nw > 100000).count()

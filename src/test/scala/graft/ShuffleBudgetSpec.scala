@@ -112,23 +112,23 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       .agg(count("*")).collect()(0).getLong(0)
   }
 
-  test("q201 LM scoring shuffles doc-sized rows, never the token stream") {
+  test("q204 LM scoring shuffles doc-sized rows, never the token stream") {
     val budget = docBudget()
-    val bytes = run("q201_lm_surprisal")
-    info(s"q201 shuffle write: $bytes B (budget $budget)")
+    val bytes = run("q204_lm_surprisal")
+    info(s"q204 shuffle write: $bytes B (budget $budget)")
     assert(bytes > 0, "expected at least one shuffle")
     assert(bytes < budget,
-      s"q201 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
+      s"q204 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
         "or unaggregated tokens leaked into an exchange?")
   }
 
-  test("q202 DSIR resample shuffles doc-sized rows, never the token stream") {
+  test("q205 DSIR resample shuffles doc-sized rows, never the token stream") {
     val budget = docBudget()
-    val bytes = run("q202_dsir_resample")
-    info(s"q202 shuffle write: $bytes B (budget $budget)")
+    val bytes = run("q205_dsir_resample")
+    info(s"q205 shuffle write: $bytes B (budget $budget)")
     assert(bytes > 0, "expected at least one shuffle")
     assert(bytes < budget,
-      s"q202 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
+      s"q205 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
         "or unaggregated tokens leaked into an exchange?")
   }
 }
