@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - q205: hashed-n-gram importance resampling (DSIR, Xie et al. 2023 —
   *    weight documents by a target/raw log-likelihood ratio over hashed
   *    features, resample the top of the weighted distribution).
-  *  - q206: the Gopher rule battery (Rae et al. 2021 — per-document
+  *  - q203: the Gopher rule battery (Rae et al. 2021 — per-document
   *    structural quality rules applied before any model-based filter).
   *
   * Log-space perplexities are IEEE-double territory (Spark's Math.log and
@@ -120,7 +120,7 @@ object QualityQueries {
     // cross-multiplied integer comparisons (3*nw <= sumlen, never a
     // double ratio), so the oracle is exact. One row out: per-rule
     // failure counts + the pass-everything count a pipeline would keep.
-    "q206_gopher_rules" -> ((s, d) => {
+    "q203_gopher_rules" -> ((s, d) => {
       val m = T.documents(s, d)
         .select(split(trim(col("text")), " ").as("ws"))
         .select(size(col("ws")).cast("long").as("nw"),
@@ -215,7 +215,7 @@ object QualityQueries {
         |  CAST(SUM(dwt) AS BIGINT) AS sum_weight
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
-    "q206_gopher_rules" ->
+    "q203_gopher_rules" ->
       """WITH d AS (
         |  SELECT string_split(trim(text), ' ') AS ws FROM documents),
         |m AS (

@@ -49,8 +49,8 @@ class QualitySpec extends AnyFunSuite {
       s"expected TakeOrdered for the deterministic top-100:\n$p")
   }
 
-  test("q206 word-count rule matches an independent recomputation") {
-    val row = run("q206_gopher_rules").collect()(0)
+  test("q203 word-count rule matches an independent recomputation") {
+    val row = run("q203_gopher_rules").collect()(0)
     val docs = Tables.documents(spark, TestSession.sfDir)
     val nw = size(split(trim(col("text")), " ")).cast("long")
     val expected = docs.where(nw < 50 || nw > 100000).count()
