@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *    features, resample the top of the weighted distribution).
   *  - q203: the Gopher rule battery (Rae et al. 2021 — per-document
   *    structural quality rules applied before any model-based filter).
+  *  - q206: bigram LM with stupid backoff (Brants et al. 2007 — the step
+  *    from unigram toward CCNet's real n-gram scorer; alpha = 0.5 is
+  *    exactly +1 bit in floor-log2 space, keeping backoff integer-exact).
   *
   * Log-space perplexities are IEEE-double territory (Spark's Math.log and
   * DuckDB's libm log differ in ulps, and a hash gate amplifies one ulp into
@@ -109,6 +112,62 @@ object QualityQueries {
       sel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_selected"), sum(col("dwt")).as("sum_weight"))
         .orderBy(col("source"))
+    }),
+
+    // Bigram LM with stupid backoff (the step from q204's unigram toward
+    // CCNet's real n-gram scorer): p(b|a) from the reference bigram
+    // counts where the bigram was seen, else back off to the smoothed
+    // unigram p(b) with a fixed penalty. Stupid backoff's alpha = 0.5 is
+    // EXACTLY +1 bit in floor-log2 space, so the whole scorer stays
+    // integer-exact:
+    //   seen:    floor(log2((cu(a) + V) div cb(a,b)))
+    //   backoff: floor(log2((N + V) div (cu(b) + 1))) + 1
+    // Bigrams come from per-row array algebra (no positional self-join —
+    // the token list pairs with itself map-side), the two count tables
+    // are vocab-/vocab²-bounded and broadcast into the scoring pass, and
+    // per-doc scores partial-aggregate on doc_id exactly like q204. The
+    // short-doc guard keeps sequence() ascending (the q178 hazard class).
+    "q206_bigram_backoff" -> ((s, d) => {
+      val bi = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), " ").as("ws"))
+        .select(col("doc_id"), col("lang"),
+          explode(when(size(col("ws")) >= 2,
+            expr("transform(sequence(2, size(ws)), i -> " +
+              "struct(element_at(ws, i - 1) AS a, element_at(ws, i) AS b))"))
+            .otherwise(expr("CAST(array() AS " +
+              "ARRAY<STRUCT<a: STRING, b: STRING>>)"))).as("g"))
+        .select(col("doc_id"), col("lang"), col("g.a"), col("g.b"))
+      val ref = bi.where(col("lang") === "en")
+      val biModel = ref.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cb"))
+      val uniModel = toks(s, d).where(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val st = uniModel.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+      val scored = bi
+        .join(broadcast(biModel), Seq("a", "b"), "left")
+        .join(broadcast(uniModel.select(col("w").as("a"),
+          col("cu").as("cu_a"))), Seq("a"), "left")
+        .join(broadcast(uniModel.select(col("w").as("b"),
+          col("cu").as("cu_b"))), Seq("b"), "left")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), col("lang"),
+          when(col("cb").isNotNull,
+            ilog2(expr("(cu_a + v) div cb")))
+            .otherwise(ilog2(expr("(n + v) div (coalesce(cu_b, 0) + 1)")) +
+              lit(1L)).as("sbits"),
+          col("cb").isNull.cast("long").as("backoff"))
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(max(col("lang")).as("lang"),
+          expr("sum(sbits) * 1000 div count(*)").as("mb"),
+          sum(col("backoff")).as("nbk"), count(lit(1)).as("nbi"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(mb) div count(*)").as("avg_millibits"),
+          min(col("mb")).as("min_millibits"),
+          max(col("mb")).as("max_millibits"),
+          expr("sum(nbk) * 1000 div sum(nbi)").as("backoff_permille"))
+        .orderBy(col("lang"))
     }),
 
     // Gopher structural quality rules: word count in [50, 100000], mean
@@ -214,6 +273,51 @@ object QualityQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
         |  CAST(SUM(dwt) AS BIGINT) AS sum_weight
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+
+    "q206_bigram_backoff" ->
+      """WITH raw AS (
+        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, ws[i - 1] AS a, ws[i] AS b
+        |  FROM raw, UNNEST(generate_series(2, len(ws))) AS t(i)),
+        |toks AS (
+        |  SELECT lang, unnest(ws) AS w FROM raw),
+        |bim AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cb
+        |  FROM bi WHERE lang = 'en' GROUP BY a, b),
+        |unim AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |  FROM toks WHERE lang = 'en' GROUP BY w),
+        |st AS (
+        |  SELECT CAST(SUM(cu) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS v FROM unim),
+        |scored AS (
+        |  SELECT g.doc_id, g.lang,
+        |    CASE WHEN m.cb IS NOT NULL THEN
+        |      len(bin((ua.cu + st.v) // m.cb)) - 1
+        |    ELSE
+        |      len(bin((st.n + st.v) // (COALESCE(ub.cu, 0) + 1))) - 1 + 1
+        |    END AS sbits,
+        |    CASE WHEN m.cb IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM bi g
+        |  LEFT JOIN bim m ON g.a = m.a AND g.b = m.b
+        |  LEFT JOIN unim ua ON g.a = ua.w
+        |  LEFT JOIN unim ub ON g.b = ub.w
+        |  CROSS JOIN st),
+        |per_doc AS (
+        |  SELECT doc_id, max(lang) AS lang,
+        |    CAST(SUM(sbits) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+        |      AS mb,
+        |    CAST(SUM(backoff) AS BIGINT) AS nbk,
+        |    CAST(count(*) AS BIGINT) AS nbi
+        |  FROM scored GROUP BY doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(mb) // count(*) AS BIGINT) AS avg_millibits,
+        |  CAST(MIN(mb) AS BIGINT) AS min_millibits,
+        |  CAST(MAX(mb) AS BIGINT) AS max_millibits,
+        |  CAST(SUM(nbk) * 1000 // SUM(nbi) AS BIGINT) AS backoff_permille
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q203_gopher_rules" ->
       """WITH d AS (

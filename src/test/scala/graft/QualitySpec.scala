@@ -49,6 +49,29 @@ class QualitySpec extends AnyFunSuite {
       s"expected TakeOrdered for the deterministic top-100:\n$p")
   }
 
+  test("q206 bigram backoff stats are coherent and the rate is a permille") {
+    val rows = run("q206_bigram_backoff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avg, mn, mx, bk) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(mn <= avg && avg <= mx, s"stat ordering broken: $r")
+      assert(bk >= 0 && bk <= 1000, s"backoff rate not a permille: $r")
+    }
+    // the reference language scores against its own model: every one of
+    // its bigrams is seen, so en's backoff rate is exactly zero
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(5) == 0L, s"en backed off against its own model: $en")
+  }
+
+  test("q206 scoring joins broadcast both models, never an SMJ") {
+    val p = run("q206_bigram_backoff")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram stream must not sort-merge join:\n$p")
+  }
+
   test("q203 word-count rule matches an independent recomputation") {
     val row = run("q203_gopher_rules").collect()(0)
     val docs = Tables.documents(spark, TestSession.sfDir)
