@@ -23,11 +23,22 @@ object Tables {
       case _ => df
     }
 
+  /** Cast any TIMESTAMP_NTZ column to session-zone TimestampType (identity
+    * under the pinned UTC zone — the same reinterpretation DuckDB applies).
+    * Driver drops have flipped timestamp encodings between rounds; this
+    * keeps every query seeing one stable type for ALL tables' timestamps
+    * (o_orderdate, l_shipdate, ts), not just events.ts. */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // nanosAsLong keeps TIMESTAMP(NANOS) drops readable (see above); a
     // no-op for micros encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
     if (name == "events") normalizeEventTs(df) else df
   }
 
