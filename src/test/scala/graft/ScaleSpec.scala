@@ -714,4 +714,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L, s"n_docs ${r.getLong(0)}")
     assert(r.getLong(1) >= 5L, s"n_chunks ${r.getLong(1)}")
   }
+
+  test("q202 streaming ANN: every query lands a complete 1..k ranking") {
+    // The batch-partitioned sink must union to exactly one full top-k
+    // per query vector — a dropped micro-batch, a replayed batch that
+    // appended instead of overwrote, or a partial probe all break the
+    // (count, rank-set) invariant before the value gate even looks.
+    val rows = SparkEntry.queries("q202_stream_ann")(
+      spark, TestSession.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5),
+        s"query $q ranking incomplete: ${rs.map(_.getInt(1)).sorted.toSeq}")
+      val nbrs = rs.map(_.getLong(2))
+      assert(nbrs.distinct.length == nbrs.length,
+        s"query $q repeated a neighbor: ${nbrs.toSeq}")
+    }
+  }
 }

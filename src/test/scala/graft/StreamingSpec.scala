@@ -166,4 +166,19 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q201 continuous collection: audit ledger equals landed rows") {
+    // The Invocations total rides every output row; it must equal the
+    // sum of the landed per-group counts — a batch that appended rows
+    // without its status row (or double-counted one) breaks this here,
+    // independently of the DuckDB gate.
+    val rows = SparkEntry.queries("q201_continuous_pipeline")(
+      spark, TestSession.sfDir).collect()
+    assert(rows.nonEmpty)
+    val landed = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == landed,
+        s"audit_rows ${r.getLong(3)} != landed $landed")
+    }
+  }
 }
