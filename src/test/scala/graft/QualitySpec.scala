@@ -72,6 +72,21 @@ class QualitySpec extends AnyFunSuite {
       s"bigram stream must not sort-merge join:\n$p")
   }
 
+  test("quality queries prune the documents scan to the used columns") {
+    // documents has 5 columns; none of these queries touches n_chars, and
+    // the rule battery needs ONLY text — Catalyst must push the pruned
+    // schema into the parquet scan or a 100 TB corpus reads its metadata
+    // columns for nothing.
+    val p3 = run("q203_gopher_rules").queryExecution.executedPlan.toString
+    assert(p3.contains("ReadSchema: struct<text:string>"),
+      s"q203 must scan only text:\n$p3")
+    Seq("q204_lm_surprisal", "q205_dsir_resample", "q206_bigram_backoff")
+      .foreach { q =>
+        val p = run(q).queryExecution.executedPlan.toString
+        assert(!p.contains("n_chars"), s"$q reads the unused n_chars:\n$p")
+      }
+  }
+
   test("q203 word-count rule matches an independent recomputation") {
     val row = run("q203_gopher_rules").collect()(0)
     val docs = Tables.documents(spark, TestSession.sfDir)
