@@ -332,6 +332,40 @@ object PipelineQueries {
           max(col("doc_id")).as("max_id"))
         .where(col("n_members") > 1)
         .orderBy(col("comp"))
+    }),
+
+    // Split-leakage audit: near-dup pairs crossing the q98 hash-split
+    // boundary — the eval-hygiene gate a pipeline runs BEFORE publishing
+    // a split (a test doc whose near-dup sits in train leaks the answer
+    // into evaluation; q62 checks contamination against an EXTERNAL
+    // benchmark, this checks the split's own internal leakage). Pairs
+    // come from the gate-proven LSH pipeline (q30 pins it equal to the
+    // exhaustive pairwise scan at j >= 0.8 on this corpus); splits are
+    // q98's content-stable md5 buckets, so the audit is deterministic
+    // under re-partitioning and append. Scale: the labeled frame is
+    // near-dup-pair-sized, both split joins shuffle bare (id, split)
+    // rows, and the output is the 6-row split matrix.
+    "q207_split_leakage" -> ((s, d) => {
+      val ch = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val sdf = T.documents(s, d).select(col("doc_id"),
+        when(ch < "c", "train").when(ch < "e", "val")
+          .otherwise("test").as("split"))
+      val pairs = Dedup.minhashNearDups(T.documents(s, d), threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      pairs
+        .join(sdf.select(col("doc_id").as("id_a"),
+          col("split").as("spl_a")), "id_a")
+        .join(sdf.select(col("doc_id").as("id_b"),
+          col("split").as("spl_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          least(col("spl_a"), col("spl_b")).as("sa"),
+          greatest(col("spl_a"), col("spl_b")).as("sb"))
+        .select(col("sa"), col("sb"),
+          explode(array(col("id_a"), col("id_b"))).as("doc"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(expr("count(*) div 2").as("n_pairs"),
+          count_distinct(col("doc")).as("n_docs_involved"))
+        .orderBy(col("sa"), col("sb"))
     })
   )
 
@@ -387,6 +421,33 @@ object PipelineQueries {
         |  COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |    AS n_dups
         |FROM documents""".stripMargin,
+
+    "q207_split_leakage" ->
+      s"""WITH sh AS (${sqlShingles("documents")}),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+         |      THEN 'train'
+         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+         |      THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |lab AS (
+         |  SELECT p.id_a, p.id_b,
+         |    least(x.split, y.split) AS sa, greatest(x.split, y.split) AS sb
+         |  FROM p JOIN sp x ON p.id_a = x.doc_id
+         |         JOIN sp y ON p.id_b = y.doc_id),
+         |e AS (
+         |  SELECT sa, sb, id_a AS doc FROM lab
+         |  UNION ALL SELECT sa, sb, id_b AS doc FROM lab)
+         |SELECT sa, sb, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+         |FROM e GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
 
     // Exhaustive O(n²) oracle — the LSH path must find exactly the pairs the
     // full pairwise scan finds (LSH miss probability at j≥0.8 is ~2e-4/pair).

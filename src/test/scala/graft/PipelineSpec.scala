@@ -156,4 +156,23 @@ class PipelineSpec extends AnyFunSuite {
     val again = Multimodal.decodeMeta(Multimodal.pack(docs.limit(20))).collect()
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("q207 split matrix accounts for exactly q30's near-dup pairs") {
+    // The leakage audit partitions the SAME pair set q30 gates — its
+    // matrix must sum to q30's pair count, and no split name outside
+    // the q98 vocabulary may appear.
+    val matrix = SparkEntry.queries("q207_split_leakage")(
+      spark, TestSession.sfDir).collect()
+    val pairTotal = matrix.map(_.getLong(2)).sum
+    val q30 = SparkEntry.queries("q30_dedup_minhash")(
+      spark, TestSession.sfDir).count()
+    assert(pairTotal == q30, s"matrix pairs $pairTotal != q30 pairs $q30")
+    val names = Set("train", "val", "test")
+    matrix.foreach { r =>
+      assert(names(r.getString(0)) && names(r.getString(1)),
+        s"unexpected split label: $r")
+      assert(r.getLong(3) <= 2 * r.getLong(2),
+        s"docs involved exceeds pair endpoints: $r")
+    }
+  }
 }
