@@ -170,6 +170,35 @@ object QualityQueries {
         .orderBy(col("lang"))
     }),
 
+    // The training-data pipeline end-to-end in ONE query: ingest → exact
+    // dedup (canonical-whitespace md5, min-id survivor — q29's rule) →
+    // structural quality screen (q203's word-count rule) → GPT-style
+    // concat-and-chunk packing (all surviving tokens concatenated and cut
+    // into 2048-token blocks, so the sequence count is exactly
+    // ceil(tokens/2048) — no per-doc window, no first-fit state). One
+    // accounting row out: the funnel a pipeline report prints after every
+    // run. Scale: one groupBy on the 16-byte fingerprint (min-id partial
+    // agg), one id semi-join back for survivor texts, then pure
+    // aggregates — nothing wider than (id, fp) ever shuffles.
+    "q208_pipeline_e2e" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val canon = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val survivors = docs.select(canon.as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val s1 = docs.join(survivors.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("long").as("nw"))
+      val kept = s1.where(col("nw") >= 50 && col("nw") <= 100000)
+      val tot = docs.agg(count(lit(1)).as("n_ingested"))
+      val st1 = s1.agg(count(lit(1)).as("n_exact_survivors"))
+      val st2 = kept.agg(count(lit(1)).as("n_after_rules"),
+        sum(col("nw")).as("total_tokens"))
+      tot.crossJoin(broadcast(st1)).crossJoin(broadcast(st2))
+        .select(col("n_ingested"), col("n_exact_survivors"),
+          col("n_after_rules"), col("total_tokens"),
+          expr("(total_tokens + 2047) div 2048").as("n_sequences"))
+    }),
+
     // Gopher structural quality rules: word count in [50, 100000], mean
     // word length in [3, 10], >= 90% of words starting alphabetic,
     // >= 2 stopwords, and a distinct-word ratio above 30% (the paper's
@@ -273,6 +302,27 @@ object QualityQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
         |  CAST(SUM(dwt) AS BIGINT) AS sum_weight
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+
+    "q208_pipeline_e2e" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |            AS fp
+        |        FROM documents)
+        |  GROUP BY fp),
+        |s1 AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS nw
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |kept AS (SELECT * FROM s1 WHERE nw >= 50 AND nw <= 100000)
+        |SELECT
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_ingested,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_exact_survivors,
+        |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_after_rules,
+        |  CAST((SELECT SUM(nw) FROM kept) AS BIGINT) AS total_tokens,
+        |  CAST(((SELECT SUM(nw) FROM kept) + 2047) // 2048 AS BIGINT)
+        |    AS n_sequences""".stripMargin,
 
     "q206_bigram_backoff" ->
       """WITH raw AS (

@@ -72,6 +72,18 @@ class QualitySpec extends AnyFunSuite {
       s"bigram stream must not sort-merge join:\n$p")
   }
 
+  test("q208 pipeline funnel is monotone and agrees with q29's dedup") {
+    val r = run("q208_pipeline_e2e").collect()(0)
+    val (ing, surv, kept, toks, seqs) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ing >= surv && surv >= kept, s"funnel not monotone: $r")
+    assert(seqs == (toks + 2047) / 2048, s"chunk count wrong: $r")
+    // the exact-dedup stage must keep exactly q29's distinct count
+    val q29 = run("q29_dedup_exact").collect()(0)
+    assert(surv == q29.getLong(1),
+      s"survivors $surv != q29 n_distinct ${q29.getLong(1)}")
+  }
+
   test("quality queries prune the documents scan to the used columns") {
     // documents has 5 columns; none of these queries touches n_chars, and
     // the rule battery needs ONLY text — Catalyst must push the pruned
