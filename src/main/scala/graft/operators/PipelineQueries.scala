@@ -366,6 +366,34 @@ object PipelineQueries {
         .agg(expr("count(*) div 2").as("n_pairs"),
           count_distinct(col("doc")).as("n_docs_involved"))
         .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Soft dedup: instead of dropping near-duplicates, weight every
+    // document by 1/|its near-dup cluster| (integer micro-units) so a
+    // 10-copy boilerplate page contributes ONE document of training
+    // signal spread across its copies — the modern alternative to hard
+    // dedup when provenance diversity matters. Per-source effective
+    // sample size = sum of weights; the gap between n_docs and
+    // ess_micro/1e6 is exactly each source's duplication burden. Gate
+    // equivalence is fixture-dependent the same way q30/q65 are (LSH
+    // candidate recall = 1 at j >= 0.8 on this corpus). Scale: CC over
+    // the sparse pair graph (edge-sized rounds), one comp-keyed size
+    // aggregate, and id-only (doc, comp, source) rows in every exchange.
+    "q209_soft_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val labeled = Clusters.survivors(
+        docs.select(col("doc_id"), col("source")), pairs)
+      val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("csz"))
+      labeled.join(sizes, "comp")
+        .select(col("source"), col("csz"),
+          expr("1000000 div csz").as("w_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w_micro")).as("ess_micro"),
+          sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
+        .orderBy(col("source"))
     })
   )
 
@@ -722,6 +750,34 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN id = comp THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_kept,
          |  MAX(id) AS max_id
-         |FROM lab GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""".stripMargin
+         |FROM lab GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""".stripMargin,
+
+    "q209_soft_dedup" ->
+      s"""WITH RECURSIVE
+         |sh AS (${sqlShingles("documents")}),
+         |e AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         |cc AS (
+         |  SELECT u AS id, u AS comp FROM sym
+         |  UNION
+         |  SELECT s.v AS id, c.comp FROM cc c JOIN sym s ON s.u = c.id
+         |  WHERE c.comp < s.v),
+         |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, d.source, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS csz
+         |       FROM labeled GROUP BY comp)
+         |SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(1000000 // s.csz) AS BIGINT) AS ess_micro,
+         |  CAST(SUM(CASE WHEN s.csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_clusters
+         |FROM labeled f JOIN sz s USING (comp)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
@@ -155,6 +155,22 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic: same input → same output
     val again = Multimodal.decodeMeta(Multimodal.pack(docs.limit(20))).collect()
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("q209 effective sample size sums to the cluster count") {
+    // Each cluster's members carry 1e6 div csz micro-units apiece, so the
+    // corpus ESS must land within integer-floor error of (number of
+    // clusters) x 1e6 — computed here independently from the CC labels.
+    val rows = SparkEntry.queries("q209_soft_dedup")(
+      spark, TestSession.sfDir).collect()
+    val ess = rows.map(_.getLong(2)).sum
+    val nDocs = rows.map(_.getLong(1)).sum
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val nComp = Clusters.survivors(docs.select(col("doc_id")), pairs)
+      .select(col("comp")).distinct().count()
+    assert(ess <= nComp * 1000000L && ess > nComp * 1000000L - nDocs,
+      s"ESS $ess outside floor envelope of $nComp clusters ($nDocs docs)")
   }
 
   test("q207 split matrix accounts for exactly q30's near-dup pairs") {
