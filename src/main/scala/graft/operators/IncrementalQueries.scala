@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalQueries {
 
+  /** Documents split into three parquet files so `maxFilesPerTrigger = 1`
+    * yields a genuinely multi-batch bounded stream for the continuous-dedup
+    * entry. The found-pair set is arrival-order-independent (a pair is
+    * found exactly when its second member arrives), so the file order
+    * needs no pinning. */
+  private[graft] def docsSplitFixture(s: SparkSession, d: String): String = {
+    val out = Scratch.fixtureDir(d, "docs_split3")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** History-side MinHash band index + shingle store, built ONCE per sf and
     * persisted (the incremental-dedup contract: index build is amortized,
     * per-batch work never touches history text again). History = doc_id
@@ -283,6 +297,82 @@ object IncrementalQueries {
           precomputedSizes = Some(sizes))
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          col("common"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CONTINUOUS near-dup dedup: q117's incremental contract inside the
+    // streaming engine. Documents arrive in micro-batches; each batch is
+    // shingled and signed ONCE, candidates come from (a) intra-batch LSH
+    // buckets and (b) one equi-join against the band index persisted by
+    // the EARLIER batches, pairs verify by exact Jaccard, and the batch
+    // then appends its own bands/shingles/sizes to the index — O(batch)
+    // work per trigger, history text never re-read. Every state write is
+    // batch_id-partitioned with dynamic overwrite, so a replayed batch
+    // rewrites its own partition (exactly-once under retries). A pair is
+    // found exactly when its SECOND member arrives, so the result set is
+    // arrival-order-independent; outputs normalize to id_a < id_b and
+    // the oracle is q30's exhaustive full-corpus pairwise scan — the
+    // streaming decomposition must find EXACTLY the batch pipeline's
+    // pairs.
+    "q210_stream_neardup" -> ((s, d) => {
+      val src = docsSplitFixture(s, d)
+      val base = s"${Scratch.root}/graft_streamdedup/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bsh = Dedup.shingles(batch).localCheckpoint()
+          val bBands = Dedup.minhashSignatures(bsh)
+            .select(col("id"), explode(expr(
+              "transform(sequence(0, 15), b -> named_struct(" +
+                "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
+              .as("bk"))
+            .select(col("id"), col("bk.band").as("band"),
+              col("bk.bh").as("bh"))
+          val bSizes = bsh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+          val intra = Dedup.lshCandidates(
+            Dedup.minhashSignatures(bsh), Dedup.DefaultBucketCap)
+          val hasHist = new java.io.File(s"$base/bands").exists()
+          val cands = (if (hasHist)
+            intra.unionByName(Dedup.cappedIndexJoinPairs(
+              s.read.parquet(s"$base/bands")
+                .select(col("id"), col("band"), col("bh")),
+              bBands, Seq("band", "bh"), Dedup.DefaultBucketCap))
+          else intra).distinct()
+          val allSh = if (hasHist)
+            s.read.parquet(s"$base/shingles").select(col("id"), col("sh"))
+              .unionByName(bsh) else bsh
+          val allSizes = if (hasHist)
+            s.read.parquet(s"$base/sizes").select(col("id"), col("sz"))
+              .unionByName(bSizes) else bSizes
+          Dedup.jaccardVerify(cands, allSh, Some(allSizes))
+            .where(col("jaccard") >= 0.8)
+            .withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/pairs")
+          bBands.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/bands")
+          bsh.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/shingles")
+          bSizes.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/sizes")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val raw = s.read.parquet(s"$base/pairs")
+      raw.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          when(col("id_a") <= col("id_b"), col("sz_a")).otherwise(col("sz_b"))
+            .as("sz_a"),
+          when(col("id_a") <= col("id_b"), col("sz_b")).otherwise(col("sz_a"))
+            .as("sz_b"),
           col("common"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -604,6 +694,27 @@ object IncrementalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // The streaming decomposition must find exactly the batch pipeline's
+    // pair set — the oracle is the same exhaustive full-corpus scan that
+    // gates q30.
+    "q210_stream_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(a.s) > 0 AND len(b.s) > 0
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q117_incremental_dedup" ->
       """WITH sh AS (

@@ -157,6 +157,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("q210 streaming dedup finds exactly the batch pipeline's pairs") {
+    // Continuous dedup decomposes pair-finding across micro-batches
+    // (intra-batch LSH + index join against earlier batches); the union
+    // must equal the single-pass batch pipeline row for row — a pair
+    // found twice (replayed batch appending instead of overwriting) or
+    // missed (index written before the join) both break equality.
+    val streamed = SparkEntry.queries("q210_stream_neardup")(
+      spark, TestSession.sfDir).collect()
+    val batch = SparkEntry.queries("q30_dedup_minhash")(
+      spark, TestSession.sfDir).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"streamed ${streamed.length} pairs != batch ${batch.length}")
+  }
+
   test("q209 effective sample size sums to the cluster count") {
     // Each cluster's members carry 1e6 div csz micro-units apiece, so the
     // corpus ESS must land within integer-floor error of (number of
