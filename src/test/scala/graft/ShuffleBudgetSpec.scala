@@ -112,6 +112,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       .agg(count("*")).collect()(0).getLong(0)
   }
 
+  test("q207/q209 dedup derivatives stay within the hashed-shingle budget") {
+    // Both ride q30's minhash machinery plus id-only labeling joins
+    // (split tags / component ids) — a constant factor over q30's
+    // measured ~7.3 B/char, nowhere near a text payload. Budget 16 B/char
+    // (q30's 12 plus the labeling joins' id traffic).
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    Seq("q207_split_leakage", "q209_soft_dedup").foreach { q =>
+      val bytes = run(q)
+      info(s"$q shuffle write: $bytes B for $chars corpus chars")
+      assert(bytes > 0, "expected at least one shuffle")
+      assert(bytes < 16L * chars,
+        s"$q shuffled $bytes B for a $chars-char corpus — text leaked " +
+          "into a labeling exchange?")
+    }
+  }
+
   test("q204 LM scoring shuffles doc-sized rows, never the token stream") {
     val budget = docBudget()
     val bytes = run("q204_lm_surprisal")
