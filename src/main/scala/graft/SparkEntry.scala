@@ -29,7 +29,8 @@ object SparkEntry {
     (operators.ScaleQueries.queries, operators.ScaleQueries.oracleSql),
     (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql),
     (operators.AnalyticsQueries.queries, operators.AnalyticsQueries.oracleSql),
-    (operators.QualityQueries.queries, operators.QualityQueries.oracleSql)
+    (operators.QualityQueries.queries, operators.QualityQueries.oracleSql),
+    (operators.CorpusQueries.queries, operators.CorpusQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

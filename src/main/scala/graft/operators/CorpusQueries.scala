@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.{Tables => T}
+import graft.similarity.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval + curation — the lexical-retrieval and cluster-curation
+  * shapes that sit beside the model-based filters (QualityQueries) in a
+  * pretraining pipeline:
+  *
+  *  - q211: BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+  *    relevance; k1 = 1.2, b = 0.75) over the corpus for a fixed query —
+  *    the lexical-search counterpart to q165's postings and q180's
+  *    retrieval metrics.
+  *  - q212: the Lloyd assignment step (E-step) of spherical k-means over
+  *    the embedding corpus against fixed seed centroids — the clustering
+  *    primitive under IVF (q91), SemDeDup (q194), and cluster-balanced
+  *    curation.
+  *  - q213: per-source quantile quality gate — keep the top 30% of each
+  *    source by a structural quality score (the per-source percentile
+  *    thresholding FineWeb/RefinedWeb apply instead of one global cutoff).
+  *  - q214: cluster-prototype selection — within each k-means cluster keep
+  *    the 3 most prototypical members (highest cosine to the centroid),
+  *    the "keep the exemplars" half of cluster-based pruning (SemDeDup /
+  *    SSL-prototypes keep-or-drop decisions).
+  *  - q215: bigram vocabulary-growth curve (Heaps' law probe) — new bigram
+  *    types per corpus octile, the saturation diagnostic that tells a
+  *    pipeline when more raw data stops buying new phrasing.
+  *
+  * Quantization convention (same as QualityQueries): anything log-shaped
+  * uses engine-exact floor-log2 bits (length(bin(x)) - 1); anything
+  * rational uses milli-units via integer `div`, so the DuckDB oracle
+  * hash-matches bit for bit. Cosine comparisons ride the same
+  * double-kernel equivalence q33/q91 already prove green.
+  */
+object CorpusQueries {
+
+  /** floor(log2(x)) for x >= 1, engine-exact (DuckDB: length(bin(x)) - 1). */
+  private def ilog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+
+  /** Seed centroids for q212/q214: the first 8 corpus vectors — a fixed,
+    * reproducible init (k-means++ would be data-order-dependent across
+    * engines). Broadcast 8 rows; never a driver collect of the corpus. */
+  private def seedCentroids(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Nearest-seed assignment: argmax cosine, ties to the lowest centroid
+    * id. The 8-row centroid table broadcasts into a map-side expansion
+    * (8 rows per vector), and the argmax is a vec_id-partitioned window —
+    * per-vector work, no unbounded-window task. */
+  private def assign(emb: DataFrame): DataFrame = {
+    val cents = seedCentroids(emb)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") === 1)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 ranked retrieval for the fixed query {dup, spark, vector}:
+    //   idf(w)   = floor(log2((2N) div (2·df + 1)))          [whole bits —
+    //              terms in most documents correctly score ~0]
+    //   tf-part  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) in
+    //              milli-units with k1 = 1.2, b = 0.75, every division an
+    //              integer div over positive operands.
+    //   score    = Σ idf_bits · tf_milli; top 20 by (score desc, doc_id).
+    // Scale shape: tokens filter to query terms BEFORE any shuffle (the
+    // per-(doc,term) tf groupBy only sees matching tokens), df and the
+    // corpus stats are term-/scalar-sized and broadcast back, and the
+    // top-20 is TakeOrdered (per-partition heaps), never a global sort
+    // or window.
+    "q211_bm25" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          size(col("ws")).cast("long").as("dl"))
+      val st = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .select(col("n"), expr("sumdl * 1000 div n").as("avgdl_milli"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+        .where(col("w").isin("dup", "spark", "vector"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("w"))
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          (ilog2(expr("(2 * n) div (2 * df + 1)")) *
+            expr("(tf * 2200 * 1000) div (tf * 1000 + " +
+              "(1200 * (250 + (750 * dl * 1000) div avgdl_milli)) " +
+              "div 1000)")).as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("score_milli"))
+        .orderBy(col("score_milli").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Spherical k-means Lloyd assignment (E-step) against the 8 seed
+    // centroids: per-cluster population + label mass + id range — the
+    // cluster census a curation pipeline prints after every refinement
+    // round. The M-step (mean of assigned vectors) is IVF's
+    // kmeansCentroids (q91) territory; this gate pins the assignment
+    // semantics those build on.
+    "q212_kmeans_assign" -> ((s, d) => {
+      assign(T.embeddings(s, d))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("label")).cast("long").as("label_mass"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("cid"))
+    }),
+
+    // Per-source quantile quality gate: score = distinct-word ratio in
+    // permille (integer-exact), keep rank·10 <= 3·count within each
+    // source (top 30%, ties to the lower doc_id). Emits per source the
+    // kept count and the realized threshold (min kept score) — the
+    // numbers a per-source percentile filter reports. The window sorts
+    // (source, score) pairs only; nothing wider shuffles.
+    "q213_quantile_gate" -> ((s, d) => {
+      val m = T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(trim(lower(col("text"))), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          expr("(1000 * size(array_distinct(ws))) div size(ws)")
+            .cast("long").as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      m.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("kept", col("rn") * 10 <= col("cnt") * 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("kept"), col("score"))).as("threshold_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("source"))
+    }),
+
+    // Cluster-prototype selection: the 3 non-seed members of each k-means
+    // cluster closest to the centroid (cosine desc, ties to the lower
+    // vec_id) — the exemplar set cluster-based pruning keeps. Rides q212's
+    // assignment; the prototype rank is a cid-partitioned window over
+    // (cid, cos, vec_id) triples.
+    "q214_prototypes" -> ((s, d) => {
+      assign(T.embeddings(s, d))
+        .where(col("vec_id") >= 8)
+        .withColumn("prank", row_number().over(
+          Window.partitionBy(col("cid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("prank") <= 3)
+        .select(col("cid"), col("prank"), col("vec_id"))
+        .orderBy(col("cid"), col("prank"))
+    }),
+
+    // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
+    // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
+    // bigram type charges its FIRST occurrence's octile; the curve is
+    // (octile, new types, cumulative types). Scale shape: one
+    // bigram-stream groupBy collapsing to min(doc_id) per type
+    // (vocabulary-bounded), an 8-row bucket aggregate, and the cumulative
+    // sum is an 8x8 triangle join over the broadcast bucket table — no
+    // global window anywhere. The octile frame is a constant ascending
+    // sequence(0, 7), so empty octiles still report.
+    "q215_vocab_growth" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val st = docs.agg(count(lit(1)).as("n"))
+        .select(expr("(n + 7) div 8").as("step"))
+      val bi = docs
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(when(size(col("ws")) >= 2,
+            expr("transform(sequence(2, size(ws)), i -> " +
+              "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+      val firsts = bi.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      val buckets = firsts.crossJoin(broadcast(st))
+        .select(least(expr("fd div step"), lit(7L)).as("octile"))
+        .groupBy(col("octile")).agg(count(lit(1)).as("n_new"))
+      val frame = docs.sparkSession.range(0, 8)
+        .select(col("id").as("octile"))
+      val filled = frame.join(broadcast(buckets), Seq("octile"), "left")
+        .select(col("octile"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      filled.as("a")
+        .join(broadcast(filled.as("b")),
+          col("b.octile") <= col("a.octile"))
+        .groupBy(col("a.octile").as("octile"))
+        .agg(max(col("a.n_new")).as("n_new"),
+          sum(col("b.n_new")).as("cum_vocab"))
+        .orderBy(col("octile"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q211_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n,
+        |         SUM(dl) * 1000 // COUNT(*) AS avgdl_milli FROM docs),
+        |tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, dl, unnest(ws) AS w FROM docs)
+        |  WHERE w IN ('dup', 'spark', 'vector')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  CAST(SUM((length(bin((2 * n) // (2 * df + 1))) - 1) *
+        |    ((tf * 2200 * 1000) // (tf * 1000 +
+        |      (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000)))
+        |    AS BIGINT) AS score_milli
+        |FROM tf JOIN df USING (w) CROSS JOIN st
+        |GROUP BY doc_id
+        |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q212_kmeans_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, e.label, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c)
+        |SELECT cid, COUNT(*) AS n_vecs,
+        |  CAST(SUM(label) AS BIGINT) AS label_mass,
+        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "q213_quantile_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST((1000 * len(list_distinct(string_split(trim(lower(text)),
+        |      ' ')))) // len(string_split(trim(lower(text)), ' '))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn * 10 <= cnt * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN rn * 10 <= cnt * 3 THEN score END)
+        |    AS threshold_score,
+        |  MAX(score) AS max_score
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q214_prototypes" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(c.cvec AS DOUBLE[])) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |p AS (
+        |  SELECT cid, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY cos DESC, vec_id) AS prank
+        |  FROM a WHERE rn = 1 AND vec_id >= 8)
+        |SELECT cid, prank, vec_id FROM p WHERE prank <= 3
+        |ORDER BY cid, prank""".stripMargin,
+
+    "q215_vocab_growth" ->
+      """WITH st AS (
+        |  SELECT (COUNT(*) + 7) // 8 AS step FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[i - 1] || ' ' || w[i] AS g FROM (
+        |    SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |    FROM documents), range(2, 1000000) t(i)
+        |  WHERE len(w) >= 2 AND i <= len(w)),
+        |firsts AS (SELECT g, MIN(doc_id) AS fd FROM bi GROUP BY g),
+        |buckets AS (
+        |  SELECT LEAST(fd // step, 7) AS octile, COUNT(*) AS n_new
+        |  FROM firsts CROSS JOIN st GROUP BY 1),
+        |frame AS (
+        |  SELECT CAST(o.octile AS BIGINT) AS octile,
+        |    CAST(COALESCE(b.n_new, 0) AS BIGINT) AS n_new
+        |  FROM range(0, 8) o(octile) LEFT JOIN buckets b
+        |    ON b.octile = o.octile)
+        |SELECT a.octile, MAX(a.n_new) AS n_new,
+        |  CAST(SUM(b.n_new) AS BIGINT) AS cum_vocab
+        |FROM frame a JOIN frame b ON b.octile <= a.octile
+        |GROUP BY a.octile ORDER BY a.octile""".stripMargin
+  )
+}

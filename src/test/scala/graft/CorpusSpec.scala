@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value- and plan-level checks for the corpus retrieval + curation queries
+  * (CorpusQueries). The DuckDB gate proves engine equivalence; these prove
+  * the SEMANTICS (BM25 monotonicity, assignment optimality, quantile-gate
+  * arithmetic, growth-curve coherence) and the scale shape (broadcast
+  * model/centroid joins, TakeOrdered top-k). */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSession.sfDir)
+
+  test("q211 BM25 scores are nonnegative, sorted, and capped at 20 rows") {
+    val rows = run("q211_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getLong(1))
+    assert(scores.forall(_ >= 0))
+    assert(scores.sameElements(scores.sortBy(-_)),
+      "top-20 must come back score-descending")
+  }
+
+  test("q211 rare-term docs outrank common-term-only docs") {
+    // 'dup' is the only query term with positive floor-log2 idf on the
+    // fixture (df 25/500 vs ~385/500 for spark/vector), so every doc
+    // containing it must beat every doc without it.
+    val sf = "/root/testdata/sf0.01"
+    val top = SparkEntry.queries("q211_bm25")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val dupDocs = Tables.documents(spark, sf)
+      .where(expr("array_contains(split(trim(lower(text)), ' '), 'dup')"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(dupDocs),
+      s"non-'dup' docs in the top-20: ${top.diff(dupDocs)}")
+  }
+
+  test("q211 top-k is TakeOrdered and the df/stats joins broadcast") {
+    val p = run("q211_bm25").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the top-20:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"df join must broadcast, never SMJ:\n$p")
+  }
+
+  test("q212 assignment is exhaustive and the E-step is cosine-optimal") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q212_kmeans_assign")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sf).count(),
+      "every vector is assigned exactly once")
+    // independent optimality check on a slice: the chosen centroid's
+    // cosine is the max over all 8 for each of the first 50 vectors
+    val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 58)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val best = emb.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        graft.similarity.Similarity.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("mx"))
+    val chosen = emb.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        graft.similarity.Similarity.cosine(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") === 1).select(col("vec_id"), col("cos"))
+    val j = chosen.join(best, "vec_id")
+      .where(col("cos") < col("mx")).count()
+    assert(j == 0, "a vector was assigned to a non-optimal centroid")
+  }
+
+  test("q213 per-source gate keeps exactly floor(3n/10) docs per source") {
+    val rows = run("q213_quantile_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == n * 3 / 10, s"gate arithmetic broken: $r")
+      if (kept > 0)
+        assert(r.getLong(3) <= r.getLong(4),
+          s"threshold above max score: $r")
+    }
+  }
+
+  test("q214 emits at most 3 non-seed prototypes per cluster") {
+    val rows = run("q214_prototypes").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
+      assert(rs.length <= 3, s"cluster $cid has ${rs.length} prototypes")
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"cluster $cid ranks not contiguous")
+    }
+    assert(rows.forall(_.getLong(2) >= 8), "a seed leaked into prototypes")
+  }
+
+  test("q215 growth curve is cumulative-coherent over all 8 octiles") {
+    val rows = run("q215_vocab_growth").collect()
+    assert(rows.length == 8, "empty octiles must still report")
+    assert(rows.map(_.getLong(0)).sameElements(0L until 8L))
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum, s"cum_vocab mismatch at $r")
+    }
+    assert(cum > 0)
+  }
+
+  test("q215 bigram growth matches an independent distinct-count probe") {
+    val sf = "/root/testdata/sf0.01"
+    val last = SparkEntry.queries("q215_vocab_growth")(spark, sf)
+      .collect().last.getLong(2)
+    val total = Tables.documents(spark, sf)
+      .select(split(trim(lower(col("text"))), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr("transform(sequence(2, size(ws)), i -> " +
+        "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))")).as("g"))
+      .distinct().count()
+    assert(last == total,
+      s"cumulative vocab $last != corpus bigram types $total")
+  }
+}
