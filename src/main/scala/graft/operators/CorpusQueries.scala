@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Tables => T}
-import graft.similarity.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,31 +33,45 @@ import org.apache.spark.sql.functions._
   * rational uses milli-units via integer `div`, so the DuckDB oracle
   * hash-matches bit for bit. Cosine comparisons ride the same
   * double-kernel equivalence q33/q91 already prove green.
+  *
+  * Scale shapes worth naming: the k-means assignment is a single
+  * codegen'd greatest-of-structs projection (no join, no window, no 8×
+  * expansion); the quantile gate reads its percentile off a bounded
+  * (source, score-permille) histogram instead of ranking documents; the
+  * prototype top-3 is the bounded-heap TopKAgg. None of the five shuffles
+  * anything wider than ids + small integers.
   */
 object CorpusQueries {
 
   /** floor(log2(x)) for x >= 1, engine-exact (DuckDB: length(bin(x)) - 1). */
   private def ilog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
 
-  /** Seed centroids for q212/q214: the first 8 corpus vectors — a fixed,
-    * reproducible init (k-means++ would be data-order-dependent across
-    * engines). Broadcast 8 rows; never a driver collect of the corpus. */
-  private def seedCentroids(emb: DataFrame): DataFrame =
-    emb.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-
-  /** Nearest-seed assignment: argmax cosine, ties to the lowest centroid
-    * id. The 8-row centroid table broadcasts into a map-side expansion
-    * (8 rows per vector), and the argmax is a vec_id-partitioned window —
-    * per-vector work, no unbounded-window task. */
+  /** Nearest-seed assignment: argmax cosine over the first 8 corpus
+    * vectors (a fixed, reproducible init — k-means++ would be data-order-
+    * dependent across engines), ties to the lowest centroid id. The
+    * 8-row centroid collect is bounded (the ivfCentroids pattern); the
+    * argmax is then ONE codegen'd greatest-of-structs projection per row
+    * (struct compares cos first, then the negated id, so equal cosines
+    * resolve to the LOWEST cid) — zero shuffle, zero window, no 8×
+    * row expansion. The same kernel [[graft.functions.VectorOps.dotF]]
+    * backs q33/q91, whose gates prove it bitwise-equal to DuckDB's
+    * list_cosine_similarity. */
   private def assign(emb: DataFrame): DataFrame = {
-    val cents = seedCentroids(emb)
-    emb.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cosine(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cid"))))
-      .where(col("rn") === 1)
+    val cents = emb.where(col("vec_id") < 8) // bounded: 8 seed centroids
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cells = cents.map { case (cid, cvec) =>
+      val c = typedlit(cvec)
+      struct(
+        (graft.functions.VectorOps.dotF(col("embedding"), c) /
+          (graft.functions.VectorOps.normF(col("embedding")) *
+            graft.functions.VectorOps.normF(c))).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    val g = greatest(cells.toSeq: _*)
+    emb.select(col("vec_id"), col("label"),
+      (-g.getField("ncid")).cast("long").as("cid"),
+      g.getField("cos").as("cos"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,28 +132,34 @@ object CorpusQueries {
     }),
 
     // Per-source quantile quality gate: score = distinct-word ratio in
-    // permille (integer-exact), keep rank·10 <= 3·count within each
-    // source (top 30%, ties to the lower doc_id). Emits per source the
-    // kept count and the realized threshold (min kept score) — the
-    // numbers a per-source percentile filter reports. The window sorts
-    // (source, score) pairs only; nothing wider shuffles.
+    // permille (integer-exact); keep the top 30% of each source (ties to
+    // the lower doc_id). Emits per source the kept count and the realized
+    // threshold (min kept score). Scale shape: the score domain is
+    // BOUNDED (0..1000 permille), so the quantile comes from a
+    // (source, score) HISTOGRAM — one partial-aggregated groupBy onto
+    // ≤ 1001 rows per source — never a per-document rank: the k-th doc's
+    // score is the first histogram bucket (score desc) whose running
+    // count reaches k = 3n div 10. A per-doc window here would sort
+    // n/|sources| rows in ONE task per source at 100 TB; the histogram
+    // window sorts ≤ 1001.
     "q213_quantile_gate" -> ((s, d) => {
-      val m = T.documents(s, d)
-        .select(col("doc_id"), col("source"),
+      val hist = T.documents(s, d)
+        .select(col("source"),
           split(trim(lower(col("text"))), " ").as("ws"))
-        .select(col("doc_id"), col("source"),
+        .select(col("source"),
           expr("(1000 * size(array_distinct(ws))) div size(ws)")
             .cast("long").as("score"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id"))
-      m.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(
+        .groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+      hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("score").desc)))
+        .withColumn("n", sum(col("c")).over(
           Window.partitionBy(col("source"))))
-        .withColumn("kept", col("rn") * 10 <= col("cnt") * 3)
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          min(when(col("kept"), col("score"))).as("threshold_score"),
+        .agg(max(col("n")).as("n_docs"),
+          expr("max(n) * 3 div 10").as("n_kept"),
+          min(when(col("cum") - col("c") < expr("n * 3 div 10"),
+            col("score"))).as("threshold_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("source"))
     }),
@@ -148,16 +167,19 @@ object CorpusQueries {
     // Cluster-prototype selection: the 3 non-seed members of each k-means
     // cluster closest to the centroid (cosine desc, ties to the lower
     // vec_id) — the exemplar set cluster-based pruning keeps. Rides q212's
-    // assignment; the prototype rank is a cid-partitioned window over
-    // (cid, cos, vec_id) triples.
+    // assignment; the per-cluster top-3 is the bounded-heap [[TopKAgg]]
+    // (identical ordering contract: score desc, id asc), so each map task
+    // ships ≤ 3 entries per cluster — a cid-partitioned window would
+    // instead sort n/k rows in ONE task per cluster at 100 TB.
     "q214_prototypes" -> ((s, d) => {
       assign(T.embeddings(s, d))
         .where(col("vec_id") >= 8)
-        .withColumn("prank", row_number().over(
-          Window.partitionBy(col("cid"))
-            .orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("prank") <= 3)
-        .select(col("cid"), col("prank"), col("vec_id"))
+        .groupBy(col("cid"))
+        .agg(graft.functions.TopKAgg.topkAgg(
+          col("cos"), col("vec_id"), 3).as("top"))
+        .select(col("cid"), posexplode(col("top")))
+        .select(col("cid"), (col("pos") + 1).as("prank"),
+          col("col.id").as("vec_id"))
         .orderBy(col("cid"), col("prank"))
     }),
 

@@ -72,6 +72,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(j == 0, "a vector was assigned to a non-optimal centroid")
   }
 
+  test("q212/q214 assignment is a projection: no join, no window, no 8x") {
+    Seq("q212_kmeans_assign", "q214_prototypes").foreach { n =>
+      val plan = run(n).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => W}
+      assert(plan.collect { case j: Join => j }.isEmpty,
+        s"$n: assignment must not join the centroid table")
+      assert(plan.collect { case w: W => w }.isEmpty,
+        s"$n: assignment must not rank through a window")
+    }
+  }
+
+  test("q214 per-cluster top-3 goes through the bounded-heap TopKAgg") {
+    val p = run("q214_prototypes").queryExecution.executedPlan.toString
+    assert(p.contains("topkagg") || p.contains("TopKAgg"),
+      s"expected the bounded-heap aggregate, not a sort:\n$p")
+  }
+
+  test("q213 windows over the bounded score histogram, not raw documents") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => W}
+    val plan = run("q213_quantile_gate").queryExecution.optimizedPlan
+    val wins = plan.collect { case w: W => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 2 => a
+      }.nonEmpty,
+        s"q213 window must sit on the (source, score) histogram:\n$w")
+    }
+  }
+
   test("q213 per-source gate keeps exactly floor(3n/10) docs per source") {
     val rows = run("q213_quantile_gate").collect()
     assert(rows.nonEmpty)
