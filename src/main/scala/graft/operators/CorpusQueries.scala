@@ -69,7 +69,7 @@ object CorpusQueries {
         lit(-cid).as("ncid"))
     }
     val g = greatest(cells.toSeq: _*)
-    emb.select(col("vec_id"), col("label"),
+    emb.select(col("vec_id"), col("label"), col("embedding"),
       (-g.getField("ncid")).cast("long").as("cid"),
       g.getField("cos").as("cos"))
   }
@@ -181,6 +181,53 @@ object CorpusQueries {
         .select(col("cid"), (col("pos") + 1).as("prank"),
           col("col.id").as("vec_id"))
         .orderBy(col("cid"), col("prank"))
+    }),
+
+    // The Lloyd M-step completing q212's E-step — one FULL k-means
+    // iteration, engine-exact: each cluster's new centroid is the
+    // per-dimension mean of its members, computed through Det's
+    // decimal-routed sums (double SUM is partition-order-dependent;
+    // DECIMAL(38,6) addition is exact and order-free, and both engines
+    // cast each component to the same decimal), then quantized to
+    // micro-units. Scale shape: posexplode fans each vector into 64
+    // (cid, dim, v) rows, and the groupBy's partial aggregation
+    // collapses every map task to ≤ 8×64 decimal sums before the
+    // exchange — the shuffle carries 512 rows per task regardless of
+    // corpus size. Output: the 512 new centroid components.
+    "q216_lloyd_round" -> ((s, d) => {
+      assign(T.embeddings(s, d))
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor(graft.Det.davg(col("v")) * lit(1000000L))
+          .as("comp_micro"))
+        .orderBy(col("cid"), col("dim"))
+    }),
+
+    // Incremental inverted-index maintenance (q117's incremental
+    // contract applied to q165/q211's index): the corpus splits into a
+    // base (doc_id % 10 <> 9) and an arriving batch (doc_id % 10 = 9);
+    // the base document-frequency index is built once, the batch
+    // contributes ONLY its own token stream (O(batch), never a corpus
+    // rescan), and the merged index must equal a from-scratch rebuild
+    // over the full corpus — which is exactly what the oracle computes.
+    // The merge is a vocabulary-sized full outer join (word, df) +
+    // (word, df_delta); nothing proportional to the base corpus moves.
+    "q217_incremental_index" -> ((s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("word"))
+        .distinct()
+      val base = toks.where(col("doc_id") % 10 =!= 9)
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val delta = toks.where(col("doc_id") % 10 === 9)
+        .groupBy(col("word")).agg(count(lit(1)).as("dfd"))
+      base.join(delta, Seq("word"), "full_outer")
+        .select(col("word"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("dfd"), lit(0L))).as("df"))
+        .orderBy(col("word"))
     }),
 
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
@@ -304,6 +351,35 @@ object CorpusQueries {
         |  FROM a WHERE rn = 1 AND vec_id >= 8)
         |SELECT cid, prank, vec_id FROM p WHERE prank <= 3
         |ORDER BY cid, prank""".stripMargin,
+
+    "q216_lloyd_round" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |x AS (
+        |  SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)) AS v
+        |  FROM a, range(1, 65) t(i) WHERE rn = 1)
+        |SELECT cid, dim,
+        |  CAST(FLOOR((CAST(SUM(v) AS DOUBLE) / COUNT(v)) * 1000000)
+        |    AS BIGINT) AS comp_micro
+        |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    "q217_incremental_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(lower(text)), ' ')) AS word
+        |    FROM documents))
+        |SELECT word, COUNT(*) AS df FROM t
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

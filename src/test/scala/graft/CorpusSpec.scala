@@ -126,6 +126,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 8), "a seed leaked into prototypes")
   }
 
+  test("q216 emits all 8x64 centroid components, means independently right") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q216_lloyd_round")(spark, sf).collect()
+    assert(rows.length == 8 * 64)
+    rows.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(0L until 64L),
+        s"cluster $cid missing dims")
+    }
+    // independent mean probe: cluster of vec 0's dim 0 via plain doubles
+    // must land within one micro-unit of the decimal-routed value
+    // (the decimal route differs from naive double sums only in ulps)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val members0 = all.filter { case (_, v) =>
+      val best = cents.map { case (c, cv) => (cos(v, cv), -c) }.max
+      -best._2 == 0L
+    }
+    val mean0 = members0.map(_._2.head.toDouble).sum / members0.length
+    val got = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 0L)
+      .get.getLong(2)
+    assert(math.abs(got - math.floor(mean0 * 1e6).toLong) <= 1,
+      s"dim-0 mean of cluster 0: got $got micro, probe ${mean0 * 1e6}")
+  }
+
+  test("q217 incremental merge equals a from-scratch rebuild") {
+    val sf = "/root/testdata/sf0.01"
+    val merged = SparkEntry.queries("q217_incremental_index")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rebuilt = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("word"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.sameElements(rebuilt))
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
