@@ -149,4 +149,36 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q205 shuffled $bytes B for a ${budget / 64} doc corpus — text " +
         "or unaggregated tokens leaked into an exchange?")
   }
+
+  test("q212/q216 k-means E/M steps never shuffle a vector payload") {
+    // The assignment is a per-row projection and both aggregates are
+    // group-bounded (8 clusters / 512 (cid, dim) sums with partial
+    // aggregation), so total shuffle must stay far under ONE corpus
+    // vector payload — an embedding column riding any exchange (e.g. a
+    // window-based argmax or an unaggregated M-step) adds the full
+    // n×dim×4 B and overshoots.
+    val budget = vectorBudget() / 2
+    Seq("q212_kmeans_assign", "q216_lloyd_round").foreach { n =>
+      val bytes = run(n)
+      info(s"$n shuffle write: $bytes B (budget $budget)")
+      assert(bytes < budget,
+        s"$n shuffled $bytes B — a vector payload leaked into an " +
+          "exchange?")
+    }
+  }
+
+  test("q211 BM25 shuffles matched-term rows, never the token stream") {
+    // Only tokens matching the 3 query terms reach the (doc, term) tf
+    // groupBy, and everything after is vocabulary-/scalar-sized
+    // broadcast + a TakeOrdered — so the doc-sized budget (64 B/doc)
+    // holds with the corpus' ~80% term-hit rate. The full token stream
+    // (~60 tokens/doc) keyed by anything else overshoots immediately.
+    val budget = docBudget()
+    val bytes = run("q211_bm25")
+    info(s"q211 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q211 shuffled $bytes B for a ${budget / 64} doc corpus — the " +
+        "unfiltered token stream leaked into an exchange?")
+  }
 }
