@@ -230,6 +230,77 @@ object CorpusQueries {
         .orderBy(col("word"))
     }),
 
+    // Cluster-balanced sampling (the DataComp/SSL-curation shape: equal
+    // picks per embedding cluster, not per source): each k-means cluster
+    // contributes its 2 deterministically-"random" documents — the two
+    // smallest md5(doc_id) draws, q158's reservoir semantic. The
+    // embedding table joins documents on vec_id = doc_id (the fixture's
+    // contract: one vector per document). Scale shape: NO per-cluster
+    // window — pick 1 is a min-of-struct aggregate (8 groups, partial
+    // agg), pick 2 re-aggregates with the 8-row winners broadcast back;
+    // two bounded passes, never a per-cluster sort.
+    "q218_cluster_sample" -> ((s, d) => {
+      val base = assign(T.embeddings(s, d))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+        .join(T.documents(s, d).select(col("doc_id")), "doc_id")
+        .select(col("cid"), col("doc_id"),
+          md5(concat(lit("s1:"), col("doc_id"))).as("h"))
+      val p1 = base.groupBy(col("cid"))
+        .agg(min(struct(col("h"), col("doc_id"))).as("w"))
+        .select(col("cid"), col("w.h").as("h1"),
+          col("w.doc_id").as("doc_id"))
+      val p2 = base
+        .join(broadcast(p1.select(col("cid"), col("h1"))), "cid")
+        .where(col("h") > col("h1"))
+        .groupBy(col("cid"))
+        .agg(min(struct(col("h"), col("doc_id"))).as("w"))
+        .select(col("cid"), col("w.doc_id").as("doc_id"))
+      p1.select(col("cid"), lit(1L).as("rnk"), col("doc_id"))
+        .union(p2.select(col("cid"), lit(2L).as("rnk"), col("doc_id")))
+        .orderBy(col("cid"), col("rnk"))
+    }),
+
+    // Lexical TF-IDF cosine near-dup pairs — the sparse-vector
+    // counterpart to q32's embedding cosine: candidate pairs come ONLY
+    // from the rare-term postings (df <= N div 10 — the df cap that keeps
+    // posting-list self-joins linear; stop-word-frequency terms never
+    // generate candidates), then the EXACT integer tf-vector cosine over
+    // the full vocabulary qualifies each pair with a cross-multiplied
+    // comparison (4·dot² >= na·nb ⇔ cos >= 0.5) — no sqrt, no doubles.
+    // Scale shape: the candidate exchange carries bare (a, b) id pairs;
+    // the tf re-join brings integer term weights, never text.
+    "q219_tfidf_pairs" -> ((s, d) => {
+      val tf = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("nn"))
+      val st = T.documents(s, d).agg(count(lit(1)).as("n"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val rare = df.crossJoin(broadcast(st))
+        .where(col("df") <= expr("n div 10")).select(col("w"))
+      val post = tf.join(broadcast(rare), "w")
+        .select(col("w"), col("doc_id"))
+      val cand = post.as("x").join(post.as("y"), "w")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val dots = cand
+        .join(tf.select(col("doc_id").as("a"), col("w"),
+          col("tf").as("ta")), "a")
+        .join(tf.select(col("doc_id").as("b"), col("w"),
+          col("tf").as("tb")), Seq("b", "w"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("ta") * col("tb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
+        .where(lit(4) * col("dot") * col("dot") >= col("na") * col("nb"))
+        .select(col("a"), col("b"), col("dot"), col("na"), col("nb"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -380,6 +451,58 @@ object CorpusQueries {
         |    FROM documents))
         |SELECT word, COUNT(*) AS df FROM t
         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q218_cluster_sample" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |base AS (
+        |  SELECT d.doc_id, a.cid,
+        |    md5('s1:' || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d JOIN a ON a.vec_id = d.doc_id AND a.rn = 1),
+        |r AS (
+        |  SELECT cid, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h, doc_id)
+        |      AS rnk
+        |  FROM base)
+        |SELECT cid, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r
+        |WHERE rnk <= 2 ORDER BY cid, rnk""".stripMargin,
+
+    "q219_tfidf_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nn
+        |  FROM tf GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n FROM documents),
+        |rare AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        |  CROSS JOIN st WHERE df <= n // 10),
+        |post AS (SELECT t.w, t.doc_id FROM tf t JOIN rare r ON t.w = r.w),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM post x JOIN post y ON x.w = y.w AND x.doc_id < y.doc_id),
+        |dots AS (
+        |  SELECT c.a, c.b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN tf ta ON ta.doc_id = c.a
+        |  JOIN tf tb ON tb.doc_id = c.b AND tb.w = ta.w
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, dot, na.nn AS na, nb.nn AS nb
+        |FROM dots JOIN norms na ON na.doc_id = a
+        |JOIN norms nb ON nb.doc_id = b
+        |WHERE 4 * dot * dot >= na.nn * nb.nn
+        |ORDER BY a, b""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

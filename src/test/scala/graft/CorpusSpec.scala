@@ -173,6 +173,57 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged.sameElements(rebuilt))
   }
 
+  test("q218 picks exactly 2 docs per cluster, window-free and stable") {
+    val a = run("q218_cluster_sample").collect()
+    val b = run("q218_cluster_sample").collect()
+    assert(a.length == 16, s"expected 8 clusters x 2 picks, got ${a.length}")
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    a.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(Seq(1L, 2L)),
+        s"cluster $cid ranks: ${rs.map(_.getLong(1)).toSeq}")
+      assert(rs.map(_.getLong(2)).distinct.length == 2,
+        s"cluster $cid picked the same doc twice")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => W}
+    val plan = run("q218_cluster_sample").queryExecution.optimizedPlan
+    assert(plan.collect { case w: W => w }.isEmpty,
+      "q218 must pick through bounded aggregates, not a per-cluster window")
+  }
+
+  test("q219 qualified pairs satisfy the exact integer cosine bound") {
+    val rows = run("q219_tfidf_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, dot, na, nb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(a < b, s"pair not ordered: $r")
+      assert(4 * dot * dot >= na * nb, s"cos >= 0.5 bound violated: $r")
+      val cos = dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      assert(cos >= 0.5 && cos <= 1.0 + 1e-9,
+        s"double probe disagrees: cos=$cos for $r")
+    }
+  }
+
+  test("q219 candidates come only from rare-term postings") {
+    // every emitted pair must share at least one term with df <= N/10 —
+    // recomputed independently from the raw corpus
+    val sf = TestSession.sfDir
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= n / 10).select(col("w")).collect()
+      .map(_.getString(0)).toSet
+    val byDoc = tf.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    run("q219_tfidf_pairs").collect().foreach { r =>
+      val shared = byDoc(r.getLong(0)).intersect(byDoc(r.getLong(1)))
+      assert(shared.exists(rare), s"pair $r shares no rare term")
+    }
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
