@@ -301,6 +301,62 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (the RAG-stack shape:
+    // a lexical ranking and a vector ranking over the same corpus, fused
+    // as Σ 1e6 div (60 + rank) — RRF's k=60, integer-exact in
+    // micro-units). Query = document/vector 0. Scale shape: the lexical
+    // arm broadcasts doc 0's tf vector into one integer-dot aggregate;
+    // the vector arm is the same codegen'd cosine projection as q212;
+    // each arm's top-20 is TakeOrdered; ranks derive from a 20×20
+    // triangle join over the bounded heads (count of strictly-better
+    // rows + 1) — no window anywhere, bounded or not.
+    "q220_hybrid_rrf" -> ((s, d) => {
+      // lexical arm: integer tf dot against doc 0
+      val tf = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val q0 = tf.where(col("doc_id") === 0)
+        .select(col("w"), col("tf").as("qtf"))
+      val lexTop = tf.where(col("doc_id") =!= 0)
+        .join(broadcast(q0), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("qtf")).as("dot"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(20)
+      val lrank = lexTop.as("x")
+        .join(broadcast(lexTop.as("y")),
+          col("y.dot") > col("x.dot") ||
+            (col("y.dot") === col("x.dot") &&
+              col("y.doc_id") < col("x.doc_id")),
+          "left")
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg((count(col("y.doc_id")) + 1L).as("lrank"))
+      // vector arm: codegen'd cosine against vector 0
+      val emb = T.embeddings(s, d)
+      val v0 = typedlit(emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0))
+      val vecTop = emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          (graft.functions.VectorOps.dotF(col("embedding"), v0) /
+            (graft.functions.VectorOps.normF(col("embedding")) *
+              graft.functions.VectorOps.normF(v0))).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      val vrank = vecTop.as("x")
+        .join(broadcast(vecTop.as("y")),
+          col("y.cos") > col("x.cos") ||
+            (col("y.cos") === col("x.cos") &&
+              col("y.doc_id") < col("x.doc_id")),
+          "left")
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg((count(col("y.doc_id")) + 1L).as("vrank"))
+      lrank.join(vrank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lrank"), col("vrank"),
+          (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + vrank)"), lit(0L)))
+            .as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -503,6 +559,40 @@ object CorpusQueries {
         |JOIN norms nb ON nb.doc_id = b
         |WHERE 4 * dot * dot >= na.nn * nb.nn
         |ORDER BY a, b""".stripMargin,
+
+    "q220_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |q0 AS (SELECT w, tf AS qtf FROM tf WHERE doc_id = 0),
+        |lex AS (
+        |  SELECT t.doc_id, CAST(SUM(t.tf * q.qtf) AS BIGINT) AS dot
+        |  FROM tf t JOIN q0 q ON t.w = q.w WHERE t.doc_id <> 0
+        |  GROUP BY t.doc_id ORDER BY dot DESC, doc_id LIMIT 20),
+        |lr AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id)
+        |      AS BIGINT) AS lrank
+        |  FROM lex),
+        |v0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(v0.qv AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN v0 WHERE e.vec_id <> 0
+        |  ORDER BY cos DESC, doc_id LIMIT 20),
+        |vr AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+        |      AS BIGINT) AS vrank
+        |  FROM vec)
+        |SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id, lrank, vrank,
+        |  COALESCE(1000000 // (60 + lrank), 0) +
+        |    COALESCE(1000000 // (60 + vrank), 0) AS rrf_micro
+        |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

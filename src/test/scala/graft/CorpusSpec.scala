@@ -224,6 +224,28 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q220 RRF fusion is rank-coherent and window-free") {
+    val rows = run("q220_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lr = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lr.nonEmpty || vr.nonEmpty, s"doc in neither head: $r")
+      val expect = lr.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        vr.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) == expect, s"rrf arithmetic broken: $r")
+      (lr.toSeq ++ vr.toSeq).foreach(x => assert(x >= 1 && x <= 20))
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)), "not rrf-descending")
+    // a doc present in BOTH heads must outrank any single-arm doc of
+    // equal-or-worse ranks; at minimum the fused list is window-free
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => W}
+    val plan = run("q220_hybrid_rrf").queryExecution.optimizedPlan
+    assert(plan.collect { case w: W => w }.isEmpty,
+      "q220 must derive ranks from bounded triangle joins, not windows")
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
