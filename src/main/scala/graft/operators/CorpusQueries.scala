@@ -74,6 +74,40 @@ object CorpusQueries {
       g.getField("cos").as("cos"))
   }
 
+  /** q213/q221's structural quality score: distinct-word ratio in
+    * permille, integer-exact. ONE definition for the batch gate and the
+    * streaming decomposition so the two can never drift. */
+  private def permilleScore: Column =
+    expr("(1000 * size(array_distinct(split(trim(lower(text)), ' ')))) " +
+      "div size(split(trim(lower(text)), ' '))").cast("long")
+
+  /** Per-source quantile summary off a merged (source, score) histogram —
+    * the shared tail of q213 (one-shot) and q221 (streamed increments). */
+  private def quantileSummary(hist: DataFrame): DataFrame =
+    hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("score").desc)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        expr("max(n) * 3 div 10").as("n_kept"),
+        min(when(col("cum") - col("c") < expr("n * 3 div 10"),
+          col("score"))).as("threshold_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("source"))
+
+  /** documents as 3 parquet files (doc_id, text, source) — the streaming
+    * fixture for q221's per-file triggers; built once per sf. */
+  private def docsSourceSplitFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_split3src")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 ranked retrieval for the fixed query {dup, spark, vector}:
@@ -143,25 +177,49 @@ object CorpusQueries {
     // n/|sources| rows in ONE task per source at 100 TB; the histogram
     // window sorts ≤ 1001.
     "q213_quantile_gate" -> ((s, d) => {
-      val hist = T.documents(s, d)
-        .select(col("source"),
-          split(trim(lower(col("text"))), " ").as("ws"))
-        .select(col("source"),
-          expr("(1000 * size(array_distinct(ws))) div size(ws)")
-            .cast("long").as("score"))
-        .groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
-      hist
-        .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("source")).orderBy(col("score").desc)))
-        .withColumn("n", sum(col("c")).over(
-          Window.partitionBy(col("source"))))
-        .groupBy(col("source"))
-        .agg(max(col("n")).as("n_docs"),
-          expr("max(n) * 3 div 10").as("n_kept"),
-          min(when(col("cum") - col("c") < expr("n * 3 div 10"),
-            col("score"))).as("threshold_score"),
-          max(col("score")).as("max_score"))
-        .orderBy(col("source"))
+      quantileSummary(
+        T.documents(s, d)
+          .select(col("source"), permilleScore.as("score"))
+          .groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("c")))
+    }),
+
+    // q213 inside the streaming engine (q210's streaming-equals-batch
+    // contract applied to the quantile gate): each micro-batch reduces
+    // to ITS OWN (source, score) histogram increment — O(batch) rows,
+    // bounded by |sources| × 1001 — persisted under its batch_id with
+    // dynamic partition overwrite (a replayed trigger rewrites, never
+    // double-counts). The final summary merges the bounded increments
+    // and must equal the one-shot batch gate exactly, which is what the
+    // oracle (q213's per-doc window SQL) checks. Histograms are the
+    // canonical mergeable quantile state: increments sum, order never
+    // matters.
+    "q221_stream_quantile" -> ((s, d) => {
+      val src = docsSourceSplitFixture(s, d)
+      val base = s"${graft.Scratch.root}/graft_streamq/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.select(col("source"), permilleScore.as("score"))
+            .groupBy(col("source"), col("score"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/hist")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      quantileSummary(
+        s.read.parquet(s"$base/hist")
+          .groupBy(col("source"), col("score"))
+          .agg(sum(col("c")).as("c")))
     }),
 
     // Cluster-prototype selection: the 3 non-seed members of each k-means
@@ -438,6 +496,28 @@ object CorpusQueries {
         |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q213_quantile_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST((1000 * len(list_distinct(string_split(trim(lower(text)),
+        |      ' ')))) // len(string_split(trim(lower(text)), ' '))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn * 10 <= cnt * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN rn * 10 <= cnt * 3 THEN score END)
+        |    AS threshold_score,
+        |  MAX(score) AS max_score
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // streaming must equal the one-shot batch gate exactly
+    "q221_stream_quantile" ->
       """WITH m AS (
         |  SELECT doc_id, source,
         |    CAST((1000 * len(list_distinct(string_split(trim(lower(text)),

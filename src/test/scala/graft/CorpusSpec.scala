@@ -246,6 +246,13 @@ class CorpusSpec extends AnyFunSuite {
       "q220 must derive ranks from bounded triangle joins, not windows")
   }
 
+  test("q221 streamed quantile gate equals the one-shot batch gate") {
+    val batch = run("q213_quantile_gate").collect().map(_.toString)
+    val streamed = run("q221_stream_quantile").collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "streaming histogram increments must merge to the batch result")
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
