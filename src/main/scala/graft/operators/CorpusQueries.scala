@@ -415,6 +415,51 @@ object CorpusQueries {
         .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
     }),
 
+    // Group-aware train/val/test split: q98 splits per DOCUMENT by
+    // content hash; this splits per DUPLICATE GROUP — the group key is
+    // the bag-of-words signature (sorted distinct vocabulary, i.e.
+    // unigram-set Jaccard = 1.0 — a strictly coarser grouping than q29's
+    // canonical text, with real multi-member groups on this corpus), so
+    // a duplicate group can never straddle a split boundary — the
+    // structural fix for the leakage q207 audits. Assignment hashes the
+    // GROUP key (first md5 nibble: 0-b train 12/16, c-d val, e-f test),
+    // and every member inherits it. One fingerprint groupBy + one row
+    // per split out; nothing wider than (fp, count) shuffles.
+    "q222_group_split" -> ((s, d) => {
+      val fp = md5(concat_ws(",",
+        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+      val groups = T.documents(s, d).select(fp.as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      val nib = substring(md5(concat(lit("split:"), col("fp"))), 1, 1)
+      groups
+        .select(col("n"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"))
+        .orderBy(col("split"))
+    }),
+
+    // Sequence-packing efficiency report: the padding account that
+    // decides between per-document packing (each doc padded to its own
+    // ceil(nw/2048) blocks) and GPT-style concat packing (q69/q208's
+    // ceil(total/2048)). Integer-exact; one aggregate pass over per-row
+    // token counts, one row out.
+    "q223_packing_efficiency" -> ((s, d) => {
+      T.documents(s, d)
+        .select(size(split(trim(col("text")), " ")).cast("long").as("nw"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("total_tokens"),
+          expr("(sum(nw) + 2047) div 2048").as("seqs_concat"),
+          sum(expr("(nw + 2047) div 2048")).as("seqs_perdoc"))
+        .select(col("n_docs"), col("total_tokens"), col("seqs_concat"),
+          col("seqs_perdoc"),
+          (col("seqs_perdoc") * 2048 - col("total_tokens"))
+            .as("pad_tokens"),
+          expr("((seqs_perdoc * 2048 - total_tokens) * 1000) div " +
+            "(seqs_perdoc * 2048)").as("waste_permille"))
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -673,6 +718,38 @@ object CorpusQueries {
         |    COALESCE(1000000 // (60 + vrank), 0) AS rrf_micro
         |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q222_group_split" ->
+      """WITH g AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ',')) AS fp,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT n, CASE
+        |    WHEN substr(md5('split:' || fp), 1, 1) <= 'b' THEN 'train'
+        |    WHEN substr(md5('split:' || fp), 1, 1) <= 'd' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, COUNT(*) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+
+    "q223_packing_efficiency" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nw
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS total_tokens,
+        |  (CAST(SUM(nw) AS BIGINT) + 2047) // 2048 AS seqs_concat,
+        |  CAST(SUM((nw + 2047) // 2048) AS BIGINT) AS seqs_perdoc,
+        |  CAST(SUM((nw + 2047) // 2048) AS BIGINT) * 2048 -
+        |    CAST(SUM(nw) AS BIGINT) AS pad_tokens,
+        |  ((CAST(SUM((nw + 2047) // 2048) AS BIGINT) * 2048 -
+        |    CAST(SUM(nw) AS BIGINT)) * 1000) //
+        |    (CAST(SUM((nw + 2047) // 2048) AS BIGINT) * 2048)
+        |    AS waste_permille
+        |FROM t""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

@@ -253,6 +253,40 @@ class CorpusSpec extends AnyFunSuite {
       "streaming histogram increments must merge to the batch result")
   }
 
+  test("q222 split is exhaustive and no duplicate group straddles splits") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q222_group_split")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "every document lands in exactly one split")
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    // independent leakage probe: per-group split assignment recomputed
+    // from raw text must be single-valued per group
+    val fp = md5(concat_ws(",",
+      array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+    val perGroup = Tables.documents(spark, sf)
+      .select(fp.as("fp"))
+      .select(col("fp"),
+        substring(md5(concat(lit("split:"), col("fp"))), 1, 1).as("nib"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("nib")).as("k")).where(col("k") > 1).count()
+    assert(perGroup == 0)
+    // the grouping is non-trivial on this corpus (real multi-member groups)
+    val nGroups = rows.map(_.getLong(1)).sum
+    assert(nGroups < total, s"expected multi-member groups: $nGroups/$total")
+  }
+
+  test("q223 packing account is internally consistent") {
+    val r = run("q223_packing_efficiency").collect()(0)
+    val (n, tot, concat, perdoc, pad, waste) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(concat <= perdoc, "concat packing never uses more sequences")
+    assert(concat == (tot + 2047) / 2048)
+    assert(pad == perdoc * 2048 - tot && pad >= 0)
+    assert(waste == pad * 1000 / (perdoc * 2048))
+    assert(perdoc >= n, "each doc needs at least one block")
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
