@@ -121,6 +121,7 @@ object Bench {
       operators.ScaleQueries.ivfAppendFixture(spark, sfDir)
       operators.StreamCatalogQueries.manifestFixture(spark, sfDir)
       operators.IncrementalQueries.lateFixture(spark, sfDir)
+      operators.CorpusQueries.docsSourceSplitFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -99,7 +99,8 @@ object CorpusQueries {
 
   /** documents as 3 parquet files (doc_id, text, source) — the streaming
     * fixture for q221's per-file triggers; built once per sf. */
-  private def docsSourceSplitFixture(s: SparkSession, d: String): String = {
+  private[graft] def docsSourceSplitFixture(s: SparkSession, d: String)
+      : String = {
     val out = graft.Scratch.fixtureDir(d, "docs_split3src")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T.documents(s, d).select(col("doc_id"), col("text"), col("source"))
@@ -460,6 +461,69 @@ object CorpusQueries {
             "(seqs_perdoc * 2048)").as("waste_permille"))
     }),
 
+    // Count-min join-size estimation — the sketch-based cardinality
+    // primitive under cost-based join planning (the estimate an
+    // optimizer consults before picking broadcast vs shuffle): the exact
+    // size of events ⋈ orders on (user_id = o_custkey) vs the CM inner-
+    // product estimate Σ_j a[j]·b[j] over two independent 256-bucket
+    // hash rows (md5 hex pairs 1-2 and 3-4 — engine-identical; W scales
+    // to 2^20 in production, the fixture keeps the table readable),
+    // taking the
+    // row-wise min. The estimate is a PROVEN upper bound (CM inner
+    // products only over-count), which the output exposes as err
+    // permille. Scale shape: each sketch row is a 256-bucket aggregate
+    // (map-side combine onto 256 rows per side), the join of two
+    // 256-row sketches is trivial, and the exact side shuffles only
+    // (key, count) pairs.
+    "q224_join_size_estimate" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id").cast("long").as("k"))
+      val od = T.orders(s, d).select(col("o_custkey").cast("long").as("k"))
+      def cm(side: DataFrame, off: Int, name: String): DataFrame =
+        side.select(
+            substring(md5(col("k").cast("string")), off, 2).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as(name))
+      def est(off: Int, name: String): DataFrame =
+        cm(ev, off, "ca").join(cm(od, off, "cb"), "b")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as(name))
+      val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("na"))
+        .join(od.groupBy(col("k")).agg(count(lit(1)).as("nb")), "k")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
+      exact
+        .crossJoin(broadcast(est(1, "est_row1")))
+        .crossJoin(broadcast(est(3, "est_row2")))
+        .select(col("exact"), col("est_row1"), col("est_row2"),
+          least(col("est_row1"), col("est_row2")).as("est_min"))
+        .select(col("exact"), col("est_row1"), col("est_row2"),
+          col("est_min"),
+          expr("((est_min - exact) * 1000) div exact").as("err_permille"))
+    }),
+
+    // Quality-decile × duplication-rate matrix — the cross-signal audit
+    // a curation pipeline runs before composing filters ("are low-
+    // quality documents also the duplicated ones?"): per permille-score
+    // bucket (score div 100, 11 bounded buckets), the share of documents
+    // whose bag-of-words group (q222's key) has more than one member.
+    // Scale shape: one fingerprint groupBy (map-side combined), the
+    // >1-member groups broadcast back as a semi-joinable set, and the
+    // matrix is an 11-row aggregate.
+    "q225_quality_dup_matrix" -> ((s, d) => {
+      val fp = md5(concat_ws(",",
+        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"), permilleScore.as("score"))
+      val dupFps = docs.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select(col("fp"))
+      docs
+        .join(broadcast(dupFps.withColumn("isdup", lit(1L))),
+          Seq("fp"), "left")
+        .select(expr("score div 100").as("bucket"),
+          coalesce(col("isdup"), lit(0L)).as("isdup"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("isdup")).as("n_dup"),
+          expr("(sum(isdup) * 1000) div count(*)").as("dup_permille"))
+        .orderBy(col("bucket"))
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -750,6 +814,53 @@ object CorpusQueries {
         |    (CAST(SUM((nw + 2047) // 2048) AS BIGINT) * 2048)
         |    AS waste_permille
         |FROM t""".stripMargin,
+
+    "q224_join_size_estimate" ->
+      """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+        |od AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+        |e1 AS (
+        |  SELECT COALESCE(CAST(SUM(a.ca * b.cb) AS BIGINT), 0)
+        |    AS est_row1
+        |  FROM (SELECT substr(md5(CAST(k AS VARCHAR)), 1, 2) AS b,
+        |          COUNT(*) AS ca FROM ev GROUP BY 1) a
+        |  JOIN (SELECT substr(md5(CAST(k AS VARCHAR)), 1, 2) AS b,
+        |          COUNT(*) AS cb FROM od GROUP BY 1) b USING (b)),
+        |e2 AS (
+        |  SELECT COALESCE(CAST(SUM(a.ca * b.cb) AS BIGINT), 0)
+        |    AS est_row2
+        |  FROM (SELECT substr(md5(CAST(k AS VARCHAR)), 3, 2) AS b,
+        |          COUNT(*) AS ca FROM ev GROUP BY 1) a
+        |  JOIN (SELECT substr(md5(CAST(k AS VARCHAR)), 3, 2) AS b,
+        |          COUNT(*) AS cb FROM od GROUP BY 1) b USING (b)),
+        |ex AS (
+        |  SELECT COALESCE(CAST(SUM(a.na * b.nb) AS BIGINT), 0) AS exact
+        |  FROM (SELECT k, COUNT(*) AS na FROM ev GROUP BY k) a
+        |  JOIN (SELECT k, COUNT(*) AS nb FROM od GROUP BY k) b
+        |    USING (k))
+        |SELECT exact, est_row1, est_row2,
+        |  LEAST(est_row1, est_row2) AS est_min,
+        |  ((LEAST(est_row1, est_row2) - exact) * 1000) // exact
+        |    AS err_permille
+        |FROM ex CROSS JOIN e1 CROSS JOIN e2""".stripMargin,
+
+    "q225_quality_dup_matrix" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ',')) AS fp,
+        |    CAST((1000 * len(list_distinct(string_split(trim(lower(text)),
+        |      ' ')))) // len(string_split(trim(lower(text)), ' '))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |dupfps AS (
+        |  SELECT fp FROM docs GROUP BY fp HAVING COUNT(*) > 1)
+        |SELECT score // 100 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.fp IN (SELECT fp FROM dupfps)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST((SUM(CASE WHEN d.fp IN (SELECT fp FROM dupfps)
+        |    THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT)
+        |    AS dup_permille
+        |FROM docs d GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

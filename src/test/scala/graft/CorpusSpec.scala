@@ -287,6 +287,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(perdoc >= n, "each doc needs at least one block")
   }
 
+  test("q224 CM estimates upper-bound the exact join size") {
+    val r = run("q224_join_size_estimate").collect()(0)
+    val (exact, e1, e2, emin, err) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(e1 >= exact && e2 >= exact,
+      s"CM inner products must only over-count: $r")
+    assert(emin == math.min(e1, e2))
+    assert(err == (emin - exact) * 1000 / exact && err >= 0)
+    // independent exact probe through a real join
+    val sf = TestSession.sfDir
+    val real = Tables.events(spark, sf).select(col("user_id").as("k"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey").as("k")), "k")
+      .count()
+    val got = SparkEntry.queries("q224_join_size_estimate")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(got == real, s"exact side $got != real join count $real")
+  }
+
+  test("q225 matrix accounts every document and rates are permille") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q225_quality_dup_matrix")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, dup, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup >= 0 && dup <= n)
+      assert(pm == dup * 1000 / n, s"permille arithmetic broken: $r")
+    }
+    // the corpus-level signal: duplicated docs exist and concentrate
+    // somewhere (the matrix is not all zeros)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
