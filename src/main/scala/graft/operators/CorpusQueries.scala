@@ -321,9 +321,13 @@ object CorpusQueries {
 
     // Lexical TF-IDF cosine near-dup pairs — the sparse-vector
     // counterpart to q32's embedding cosine: candidate pairs come ONLY
-    // from the rare-term postings (df <= N div 10 — the df cap that keeps
-    // posting-list self-joins linear; stop-word-frequency terms never
-    // generate candidates), then the EXACT integer tf-vector cosine over
+    // from the rare-term postings (df <= least(N div 10, 100) — the
+    // proportional bound drops stop-word-frequency terms, and the
+    // ABSOLUTE ceiling bounds per-term pair fan-out at C(100,2) no
+    // matter the corpus: a proportional-only cap admits a df = N/10 term
+    // whose C(df,2) pairs grow quadratically with the corpus — the sf1
+    // probe measured exactly that blowup before the ceiling), then the
+    // EXACT integer tf-vector cosine over
     // the full vocabulary qualifies each pair with a cross-multiplied
     // comparison (4·dot² >= na·nb ⇔ cos >= 0.5) — no sqrt, no doubles.
     // Scale shape: the candidate exchange carries bare (a, b) id pairs;
@@ -338,7 +342,8 @@ object CorpusQueries {
       val st = T.documents(s, d).agg(count(lit(1)).as("n"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val rare = df.crossJoin(broadcast(st))
-        .where(col("df") <= expr("n div 10")).select(col("w"))
+        .where(col("df") <= least(expr("n div 10"), lit(100L)))
+        .select(col("w"))
       val post = tf.join(broadcast(rare), "w")
         .select(col("w"), col("doc_id"))
       val cand = post.as("x").join(post.as("y"), "w")
@@ -732,7 +737,7 @@ object CorpusQueries {
         |st AS (SELECT COUNT(*) AS n FROM documents),
         |rare AS (
         |  SELECT w FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
-        |  CROSS JOIN st WHERE df <= n // 10),
+        |  CROSS JOIN st WHERE df <= LEAST(n // 10, 100)),
         |post AS (SELECT t.w, t.doc_id FROM tf t JOIN rare r ON t.w = r.w),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -214,8 +214,8 @@ class CorpusSpec extends AnyFunSuite {
         explode(split(trim(lower(col("text"))), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val rare = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= n / 10).select(col("w")).collect()
-      .map(_.getString(0)).toSet
+      .where(col("df") <= math.min(n / 10, 100L)).select(col("w"))
+      .collect().map(_.getString(0)).toSet
     val byDoc = tf.collect().groupBy(_.getLong(0))
       .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
     run("q219_tfidf_pairs").collect().foreach { r =>
