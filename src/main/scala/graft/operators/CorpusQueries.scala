@@ -529,6 +529,87 @@ object CorpusQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Inter-source duplication flow: for every multi-member duplicate
+    // group (q222's bag-of-words key), the unordered source-pair
+    // incidence — "which sources copy from which", the provenance matrix
+    // a curation team reads before deciding which feed to drop. Scale
+    // shape: groups collapse to their distinct source sets (fingerprint
+    // groupBy, map-side combined), pair expansion happens per group on
+    // its ≤ |sources| distinct members, and the matrix is a bounded
+    // |sources|² aggregate.
+    "q226_source_copy_matrix" -> ((s, d) => {
+      val fp = md5(concat_ws(",",
+        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+      val groups = T.documents(s, d)
+        .select(fp.as("fp"), col("source"))
+        .groupBy(col("fp"))
+        .agg(collect_set(col("source")).as("srcs"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(array_sort(col("srcs")).as("srcs"))
+      groups
+        .select(explode(expr(
+          "flatten(transform(srcs, (x, i) -> " +
+            "transform(slice(srcs, i + 2, size(srcs)), y -> " +
+            "struct(x AS src_a, y AS src_b))))")).as("p"))
+        .select(col("p.src_a"), col("p.src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Length-bucketed batching account — the inference-efficiency cousin
+    // of q223's training-packing account: bucket documents by
+    // 32-token-ceiling length classes; per bucket, the padding cost of
+    // batching at the bucket ceiling vs the corpus-max ceiling. All
+    // integer; per-row bucketing + one bounded aggregate (≤ maxlen/32
+    // buckets), with the corpus max broadcast from a 1-row aggregate.
+    "q227_length_buckets" -> ((s, d) => {
+      val m = T.documents(s, d)
+        .select(size(split(trim(col("text")), " ")).cast("long").as("nw"))
+        .select(col("nw"), expr("((nw + 31) div 32) * 32").as("ceil32"))
+      val mx = m.agg(max(col("ceil32")).as("gmax"))
+      m.crossJoin(broadcast(mx))
+        .groupBy(col("ceil32"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"),
+          (sum(col("ceil32") - col("nw"))).as("pad_bucketed"),
+          sum(col("gmax") - col("nw")).as("pad_global"))
+        .orderBy(col("ceil32"))
+    }),
+
+    // Cross-source boilerplate detection: 3-grams appearing in 5+
+    // DISTINCT sources are template/boilerplate text (vs q64's
+    // intra-document repetition and q62's benchmark overlap); per
+    // source, the share of its 5-gram stream that is boilerplate — the
+    // signal behind header/footer stripping decisions. Scale shape: the
+    // boilerplate vocabulary is (gram, source)-distinct then
+    // gram-grouped (both map-side combined, vocabulary-bounded), and the
+    // per-source account joins the gram stream against the broadcast
+    // boilerplate set.
+    "q228_boilerplate" -> ((s, d) => {
+      val grams = T.documents(s, d)
+        .select(col("source"),
+          split(trim(lower(col("text"))), " ").as("ws"))
+        .select(col("source"),
+          explode(when(size(col("ws")) >= 3,
+            expr("transform(sequence(3, size(ws)), i -> " +
+              "concat_ws(' ', element_at(ws, i - 2), " +
+              "element_at(ws, i - 1), element_at(ws, i)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+      val boiler = grams.select(col("g"), col("source")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("ns"))
+        .where(col("ns") >= 5).select(col("g"))
+      grams
+        .join(broadcast(boiler.withColumn("isb", lit(1L))), Seq("g"),
+          "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("isb"), lit(0L))).as("n_boiler"),
+          expr("(sum(coalesce(isb, 0)) * 1000) div count(*)")
+            .as("boiler_permille"))
+        .orderBy(col("source"))
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -866,6 +947,53 @@ object CorpusQueries {
         |    THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT)
         |    AS dup_permille
         |FROM docs d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q226_source_copy_matrix" ->
+      """WITH g AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ',')) AS fp,
+        |    list_sort(list_distinct(list(source))) AS srcs,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY fp HAVING COUNT(*) > 1),
+        |p AS (
+        |  SELECT srcs[i] AS src_a, srcs[j] AS src_b
+        |  FROM g, range(1, 1000) i(i), range(1, 1000) j(j)
+        |  WHERE i < j AND j <= len(srcs))
+        |SELECT src_a, src_b, COUNT(*) AS n_groups
+        |FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    "q227_length_buckets" ->
+      """WITH m AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nw,
+        |    CAST(((len(string_split(trim(text), ' ')) + 31) // 32) * 32
+        |      AS BIGINT) AS ceil32
+        |  FROM documents),
+        |mx AS (SELECT MAX(ceil32) AS gmax FROM m)
+        |SELECT ceil32, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS tokens,
+        |  CAST(SUM(ceil32 - nw) AS BIGINT) AS pad_bucketed,
+        |  CAST(SUM(gmax - nw) AS BIGINT) AS pad_global
+        |FROM m CROSS JOIN mx
+        |GROUP BY ceil32 ORDER BY ceil32""".stripMargin,
+
+    "q228_boilerplate" ->
+      """WITH grams AS (
+        |  SELECT source,
+        |    unnest([w[i - 2] || ' ' || w[i - 1] || ' ' || w[i]
+        |      for i in range(3, len(w) + 1)]) AS g
+        |  FROM (SELECT source, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |boiler AS (
+        |  SELECT g FROM (SELECT DISTINCT g, source FROM grams)
+        |  GROUP BY g HAVING COUNT(*) >= 5)
+        |SELECT source, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN grams.g IN (SELECT g FROM boiler)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST((SUM(CASE WHEN grams.g IN (SELECT g FROM boiler)
+        |    THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT)
+        |    AS boiler_permille
+        |FROM grams GROUP BY source ORDER BY source""".stripMargin,
 
     "q215_vocab_growth" ->
       """WITH st AS (

@@ -321,6 +321,66 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("q226 matrix pairs are ordered and bounded by the group count") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q226_source_copy_matrix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) < r.getString(1),
+      s"pair not ordered: $r"))
+    // each group of k distinct sources contributes C(k,2) pairs; with
+    // sources distinct per pair row, total pairs >= number of
+    // multi-source groups (independent recount)
+    val fp = md5(concat_ws(",",
+      array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+    val multi = Tables.documents(spark, sf)
+      .select(fp.as("fp"), col("source"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("k"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .agg(sum(expr("k * (k - 1) div 2"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == multi,
+      "matrix total must equal sum of per-group C(k,2)")
+  }
+
+  test("q227 per-bucket account: ceilings, totals, and global dominance") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q227_length_buckets")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (c, n, tok, pb, pg) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(c % 32 == 0 && c > 0)
+      assert(pb == c * n - tok, s"bucket padding identity broken: $r")
+      assert(pg >= pb, s"global padding must dominate bucketed: $r")
+    }
+  }
+
+  test("q228 boilerplate grams really span 5+ sources") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q228_boilerplate")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "fixture must surface real boilerplate trigram mass")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+    }
+    // independent probe: recompute the boilerplate set and check one
+    // gram's source span
+    val grams = Tables.documents(spark, sf)
+      .select(col("source"), split(trim(lower(col("text"))), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(3, size(ws)), i -> concat_ws(' ', " +
+          "element_at(ws, i - 2), element_at(ws, i - 1), " +
+          "element_at(ws, i)))")).as("g"))
+    val spans = grams.distinct().groupBy(col("g"))
+      .agg(countDistinct(col("source")).as("ns"))
+    assert(spans.where(col("ns") >= 5).count() > 0)
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")
