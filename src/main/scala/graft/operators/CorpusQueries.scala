@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *  - q215: bigram vocabulary-growth curve (Heaps' law probe) — new bigram
   *    types per corpus octile, the saturation diagnostic that tells a
   *    pipeline when more raw data stops buying new phrasing.
+  *  - q216/q217: the Lloyd M-step (decimal-exact centroid means) and
+  *    incremental inverted-index maintenance (O(batch) delta = rebuild).
+  *  - q218-q220: cluster-balanced sampling, df-capped lexical TF-IDF
+  *    cosine pairs, and hybrid retrieval with reciprocal-rank fusion.
+  *  - q221-q223: the quantile gate inside the streaming engine
+  *    (histogram increments, replay-idempotent), group-aware
+  *    leakage-free splitting, and the packing-efficiency account.
+  *  - q224-q228: count-min join-size estimation, the quality×duplication
+  *    matrix, the inter-source duplication-flow matrix, length-bucketed
+  *    batching, and cross-source boilerplate detection.
   *
   * Quantization convention (same as QualityQueries): anything log-shaped
   * uses engine-exact floor-log2 bits (length(bin(x)) - 1); anything
@@ -610,6 +620,43 @@ object CorpusQueries {
         .orderBy(col("source"))
     }),
 
+    // Incremental index maintenance INSIDE the streaming engine (q217's
+    // merge contract + q221's trigger mechanics): each micro-batch
+    // reduces to its own (word, df) delta — O(batch) work, vocabulary-
+    // bounded rows — persisted under its batch_id with dynamic overwrite
+    // (replays rewrite, never double-count); the merged deltas must
+    // equal a from-scratch rebuild over the full corpus, which is
+    // exactly what the oracle computes. Deltas are the canonical
+    // mergeable index state: df increments sum, arrival order never
+    // matters.
+    "q229_stream_index" -> ((s, d) => {
+      val src = docsSourceSplitFixture(s, d)
+      val base = s"${graft.Scratch.root}/graft_streamidx/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.select(col("doc_id"),
+              explode(split(trim(lower(col("text"))), " ")).as("word"))
+            .distinct()
+            .groupBy(col("word")).agg(count(lit(1)).as("dfd"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/df")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/df")
+        .groupBy(col("word")).agg(sum(col("dfd")).as("df"))
+        .orderBy(col("word"))
+    }),
+
     // Bigram vocabulary-growth curve (Heaps' law probe): the corpus in
     // doc_id order is cut into 8 octiles (step = ceil(N/8) doc ids); each
     // bigram type charges its FIRST occurrence's octile; the curve is
@@ -775,6 +822,16 @@ object CorpusQueries {
         |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
     "q217_incremental_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(lower(text)), ' ')) AS word
+        |    FROM documents))
+        |SELECT word, COUNT(*) AS df FROM t
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    // streaming deltas must merge to the same from-scratch rebuild
+    "q229_stream_index" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id, word FROM (
         |    SELECT doc_id,

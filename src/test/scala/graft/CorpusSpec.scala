@@ -381,6 +381,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(spans.where(col("ns") >= 5).count() > 0)
   }
 
+  test("q229 streamed index deltas merge to q217's batch index") {
+    val streamed = run("q229_stream_index").collect().map(_.toString)
+    val batch = run("q217_incremental_index").collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "streaming df deltas must merge to the one-shot index")
+  }
+
   test("q215 growth curve is cumulative-coherent over all 8 octiles") {
     val rows = run("q215_vocab_growth").collect()
     assert(rows.length == 8, "empty octiles must still report")

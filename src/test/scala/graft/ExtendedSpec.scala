@@ -259,7 +259,8 @@ class ExtendedSpec extends AnyFunSuite {
   for (name <- Seq("q24_collect_job", "q39_catalog_tables",
       "q41_query_registry", "q53_jdbc_sink", "q54_nosql_put",
       "q74_bloom_join", "q86_partition_overwrite", "q87_bucketed_join",
-      "q90_lateral_topk", "q91_ivf_index", "q210_stream_neardup")) {
+      "q90_lateral_topk", "q91_ivf_index", "q210_stream_neardup",
+      "q221_stream_quantile")) {
     test(s"$name is idempotent across two invocations") {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect()
