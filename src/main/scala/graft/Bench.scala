@@ -122,6 +122,7 @@ object Bench {
       operators.StreamCatalogQueries.manifestFixture(spark, sfDir)
       operators.IncrementalQueries.lateFixture(spark, sfDir)
       operators.CorpusQueries.docsSourceSplitFixture(spark, sfDir)
+      operators.CalibrationQueries.embSplitFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -30,7 +30,9 @@ object SparkEntry {
     (operators.IncrementalQueries.queries, operators.IncrementalQueries.oracleSql),
     (operators.AnalyticsQueries.queries, operators.AnalyticsQueries.oracleSql),
     (operators.QualityQueries.queries, operators.QualityQueries.oracleSql),
-    (operators.CorpusQueries.queries, operators.CorpusQueries.oracleSql)
+    (operators.CorpusQueries.queries, operators.CorpusQueries.oracleSql),
+    (operators.CalibrationQueries.queries,
+      operators.CalibrationQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

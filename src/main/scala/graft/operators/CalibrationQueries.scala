@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-calibration + curriculum layer — the audits and schedules that sit
+  * ON TOP of the corpus operators: once a pipeline has filters (Quality),
+  * dedup (Pipeline/Scale), and indexes (Corpus), it needs to know how well
+  * the approximations track ground truth and how to schedule what survives:
+  *
+  *  - q230: hashed linear classifier scoring (the fastText shape CCNet /
+  *    FineWeb-Edu deploy as the model-based quality filter: bag of hashed
+  *    unigram+bigram features × a bucketed weight vector, threshold at
+  *    logit 0). The weight table is a 256-row broadcast — the same join
+  *    shape a trained .bin's quantized embedding matrix would use.
+  *  - q231: MinHash calibration — for exactly the candidate pairs the LSH
+  *    band index surfaces (q30's config: 16 hashes, 4 bands × 4 rows),
+  *    the signature-estimated Jaccard vs the exact shingle-set Jaccard,
+  *    bucketed by absolute error. The "measure, don't guess" audit that
+  *    justifies the dedup thresholds.
+  *  - q232: within-cell exact k-NN graph over the quantized index (q212's
+  *    8-cell assignment): per cell, each vector's top-3 neighbors and the
+  *    reciprocal-edge rate — the graph-connectivity audit behind
+  *    agglomerative semantic clustering and kNN-recall debugging.
+  *  - q233: annealed curriculum schedule — per-epoch per-source sampling
+  *    weights interpolating uniform (epoch 1) → quality-proportional
+  *    (epoch 4), the multi-epoch mixture account that turns q213/q61's
+  *    static mixes into a training schedule.
+  *  - q234: the k-means M-step INSIDE the streaming engine (q216's
+  *    decimal-exact centroid means as per-trigger mergeable increments,
+  *    q221/q229's replay-idempotent trigger mechanics) — merged must
+  *    equal the one-shot batch M-step bit for bit.
+  *
+  * Same quantization conventions as Quality/CorpusQueries: integer
+  * milli/permille units via `div` over positive operands, floor-log2 where
+  * log-shaped, decimal-routed sums where real-valued — so every gate
+  * hash-matches DuckDB exactly.
+  */
+object CalibrationQueries {
+
+  /** q25's tokenization convention (single-space split of trimmed lower). */
+  private def words: org.apache.spark.sql.Column =
+    split(trim(lower(col("text"))), " ")
+
+  /** Distinct 3-word shingles per document — q30's shingle convention,
+    * guarded for short documents (size < 3 → no shingles, both engines). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 3,
+          expr("transform(sequence(3, size(ws)), i -> " +
+            "concat_ws(' ', element_at(ws, i - 2), " +
+            "element_at(ws, i - 1), element_at(ws, i)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("sh"))
+      .distinct()
+
+  /** 16-component MinHash signatures over [[shingles]]: component k is the
+    * minimum md5(k ':' shingle) — min over hex strings is the same
+    * lexicographic min in both engines. Scale shape: the 16× seed
+    * expansion collapses to 16 rows per document in the map-side partial
+    * aggregation; the shuffle carries (doc, k, 32-byte sig), never the
+    * shingle stream. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .crossJoin(broadcast(s.range(0, 16).select(col("id").as("k"))))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("sh"))))
+        .as("sig"))
+
+  /** embeddings as 3 parquet files — the streaming fixture for q234's
+    * per-file triggers; built once per sf. */
+  private[graft] def embSplitFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "emb_split3")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.embeddings(s, d).repartition(3).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hashed linear classifier (fastText shape): features = unigrams +
+    // joined bigrams, hashed to 256 buckets (md5 first hex pair — q224's
+    // bucketing); the weight vector is a deterministic 256-row table
+    // (w(b) = (37b + 11) mod 15, centered at 7) standing in for trained
+    // weights — the BROADCAST JOIN is the real shape (a trained vector
+    // ships the same way); the fixture function just keeps the oracle
+    // able to rebuild it. Per doc: logit_milli = mean feature weight in
+    // milli-units, centered (− 7000); keep at logit ≥ 0. Scale shape:
+    // the feature stream never shuffles raw — groupBy(doc) partial-
+    // aggregates (count, Σw) within scan partitions; the per-source
+    // rollup moves 1 row per doc.
+    "q230_fasttext_score" -> ((s, d) => {
+      val feats = T.documents(s, d)
+        .select(col("doc_id"), col("source"), words.as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("ws"),
+            when(size(col("ws")) >= 2,
+              expr("transform(sequence(2, size(ws)), i -> " +
+                "concat(element_at(ws, i - 1), '_', element_at(ws, i)))"))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("f"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("f")), 1, 2).as("b"))
+      val weights = s.range(0, 256)
+        .select(format_string("%02x", col("id")).as("b"),
+          ((col("id") * 37 + 11) % 15).cast("long").as("w"))
+      feats.join(broadcast(weights), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("nf"), sum(col("w")).as("sw"))
+        .select(col("source"),
+          (expr("(sw * 1000) div nf") - lit(7000L)).as("logit_milli"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("logit_milli") >= 0, 1L).otherwise(0L)).as("n_kept"),
+          expr("(sum(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) * 1000)" +
+            " div count(*)").as("kept_permille"),
+          min(col("logit_milli")).as("min_logit"),
+          max(col("logit_milli")).as("max_logit"))
+        .orderBy(col("source"))
+    }),
+
+    // MinHash calibration: candidate pairs = docs sharing an LSH band
+    // key (4 bands × 4 signature rows, band key = md5 of the '|'-joined
+    // components in k order); for each pair, estimated Jaccard =
+    // matching components / 16 vs exact shingle-set Jaccard, both in
+    // permille; output = pair count + mean est/exact per absolute-error
+    // centile bucket. Scale shape: band keys aggregate map-side (4 rows
+    // per doc), the candidate exchange carries bare (a, b) id pairs, and
+    // the exact-Jaccard re-join touches only candidate docs' shingle
+    // streams — the same id-only contract as q30/q32, now auditing it.
+    "q231_minhash_calibration" -> ((s, d) => {
+      val sig = signatures(s, d)
+      val bands = sig.withColumn("band", expr("k div 4"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(expr("md5(array_join(transform(" +
+          "array_sort(collect_list(struct(k, sig))), x -> x.sig), '|'))")
+          .as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val agree = cand
+        .join(sig.select(col("doc_id").as("a"), col("k"),
+          col("sig").as("sa")), "a")
+        .join(sig.select(col("doc_id").as("b"), col("k"),
+          col("sig").as("sb")), Seq("b", "k"))
+        .groupBy(col("a"), col("b"))
+        .agg(expr("(1000 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)) " +
+          "div 16").as("est_permille"))
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+      agree.join(inter, Seq("a", "b"))
+        .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+        .select(col("est_permille"),
+          expr("(1000 * ni) div (na + nb - ni)").as("exact_permille"))
+        .select(col("est_permille"), col("exact_permille"),
+          expr("abs(est_permille - exact_permille) div 100").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_permille) div count(*)").as("avg_est_permille"),
+          expr("sum(exact_permille) div count(*)").as("avg_exact_permille"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Within-cell exact k-NN graph over the quantized index: q212's
+    // 8-cell assignment partitions the corpus; inside each cell, every
+    // vector's top-3 cosine neighbors (TopKAgg's score-desc/id-asc
+    // contract) form the directed graph; the reciprocal-edge rate per
+    // cell is the connectivity audit. Scale shape: pair generation is
+    // CELL-BLOCKED (the IVF contract bounds cell populations — at 100 TB
+    // cells subshard the same way q30 caps buckets), the per-vector
+    // top-3 is the bounded-heap aggregate so each map task ships ≤ 3
+    // edges per vector, and the reciprocity join moves bare id pairs.
+    "q232_knn_graph" -> ((s, d) => {
+      val m = CorpusQueries.assign(T.embeddings(s, d))
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      val mx = m.select(col("cid"), col("vec_id").as("src"),
+        col("embedding").as("ex"))
+      val my = m.select(col("cid"), col("vec_id").as("dst"),
+        col("embedding").as("ey"))
+      val edges = mx.join(my, Seq("cid"))
+        .where(col("src") =!= col("dst"))
+        .select(col("cid"), col("src"), col("dst"),
+          (graft.functions.VectorOps.dotF(col("ex"), col("ey")) /
+            (graft.functions.VectorOps.normF(col("ex")) *
+              graft.functions.VectorOps.normF(col("ey")))).as("cos"))
+        .groupBy(col("cid"), col("src"))
+        .agg(graft.functions.TopKAgg.topkAgg(col("cos"), col("dst"), 3)
+          .as("top"))
+        .select(col("cid"), col("src"), explode(col("top")).as("e"))
+        .select(col("cid"), col("src"), col("e.id").as("dst"))
+      val recip = edges.as("e1")
+        .join(edges.as("e2"),
+          col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"),
+          "left_semi")
+        .groupBy(col("e1.cid").as("cid")).agg(count(lit(1)).as("n_recip"))
+      val cells = m.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      val estats = edges.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
+      cells.join(estats, Seq("cid"), "left")
+        .join(recip, Seq("cid"), "left")
+        .select(col("cid"), col("n_vecs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+        .withColumn("recip_permille",
+          when(col("n_edges") > 0,
+            expr("(1000 * n_recip) div n_edges")).otherwise(lit(0L)))
+        .orderBy(col("cid"))
+    }),
+
+    // Annealed curriculum schedule: per-source quality q_s = mean
+    // distinct-word permille (q213's score); epoch e ∈ 1..4 samples
+    // source s with weight w(s,e) = ((4−e)·1000 + (e−1)·q_s) div 3 —
+    // uniform at epoch 1, quality-proportional at epoch 4 (the "anneal
+    // the high-quality upweighting toward the end of training" schedule).
+    // tokens_drawn = corpus tokens × w div 1000; share is within-epoch.
+    // Scale shape: ONE corpus aggregate to |sources| rows; the epoch
+    // cross product and per-epoch totals live on bounded frames.
+    "q233_curriculum" -> ((s, d) => {
+      val perSrc = T.documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("nw"),
+          CorpusQueries.permilleScore.as("score"))
+        .groupBy(col("source"))
+        .agg(sum(col("nw")).as("toks"),
+          expr("sum(score) div count(*)").as("qs"))
+      val sched = s.range(1, 5).select(col("id").as("epoch"))
+        .crossJoin(broadcast(perSrc))
+        .select(col("epoch"), col("source"),
+          expr("((4 - epoch) * 1000 + (epoch - 1) * qs) div 3")
+            .as("w_milli"))
+        .join(perSrc.select(col("source"), col("toks")), "source")
+        .select(col("epoch"), col("source"), col("w_milli"),
+          expr("(toks * w_milli) div 1000").as("tokens_drawn"))
+      val tot = sched.groupBy(col("epoch"))
+        .agg(sum(col("tokens_drawn")).as("etot"))
+      sched.join(broadcast(tot), "epoch")
+        .select(col("epoch"), col("source"), col("w_milli"),
+          col("tokens_drawn"),
+          expr("(tokens_drawn * 1000) div etot").as("share_permille"))
+        .orderBy(col("epoch"), col("source"))
+    }),
+
+    // The k-means M-step INSIDE the streaming engine: each micro-batch
+    // assigns ITS vectors against the full table's 8 seed centroids
+    // (collected once, bounded) and reduces to its own (cid, dim,
+    // decimal Σv, count) increment — 512 rows per trigger — persisted
+    // under its batch_id with dynamic overwrite (replays rewrite, never
+    // double-count). Decimal partial sums are exact and order-free, so
+    // the merged centroid means must equal q216's one-shot batch M-step
+    // bit for bit — which is exactly what the oracle computes.
+    "q234_stream_kmeans" -> ((s, d) => {
+      val cents = CorpusQueries.centroidsOf(T.embeddings(s, d))
+      val src = embSplitFixture(s, d)
+      val base = s"${graft.Scratch.root}/graft_streamkm/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          CorpusQueries.assignWith(batch, cents)
+            .select(col("cid"), posexplode(col("embedding")))
+            .select(col("cid"), col("pos").cast("long").as("dim"),
+              col("col").cast("double").as("v"))
+            .groupBy(col("cid"), col("dim"))
+            .agg(sum(col("v").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
+              .as("sdec"), count(col("v")).as("cnt"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/inc")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/inc")
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor((sum(col("sdec")).cast("double") / sum(col("cnt"))) *
+          lit(1000000L)).as("comp_micro"))
+        .orderBy(col("cid"), col("dim"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q230_fasttext_score" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, unnest(w) AS f FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest([w[i - 1] || '_' || w[i]
+        |      for i in range(2, len(w) + 1)]) AS f
+        |  FROM ws WHERE len(w) >= 2),
+        |wt AS (
+        |  SELECT printf('%02x', i) AS b, CAST((i * 37 + 11) % 15 AS BIGINT)
+        |    AS w
+        |  FROM range(0, 256) t(i)),
+        |doc AS (
+        |  SELECT doc_id, MAX(source) AS source, COUNT(*) AS nf,
+        |    CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM (SELECT doc_id, source, substr(md5(f), 1, 2) AS b FROM f)
+        |  JOIN wt USING (b) GROUP BY doc_id),
+        |sc AS (
+        |  SELECT source, (sw * 1000) // nf - 7000 AS logit_milli FROM doc)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  (CAST(SUM(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000) // COUNT(*) AS kept_permille,
+        |  MIN(logit_milli) AS min_logit, MAX(logit_milli) AS max_logit
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q231_minhash_calibration" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([w[i - 2] || ' ' || w[i - 1] || ' ' || w[i]
+        |      for i in range(3, len(w) + 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    MIN(md5(CAST(k AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN range(0, 16) t(k)
+        |  GROUP BY doc_id, k),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) AS bkey
+        |  FROM sig GROUP BY doc_id, k // 4),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.doc_id < y.doc_id),
+        |agree AS (
+        |  SELECT c.a, c.b,
+        |    (1000 * SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)) // 16
+        |      AS est_permille
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a
+        |  JOIN sig sb ON sb.doc_id = c.b AND sb.k = sa.k
+        |  GROUP BY c.a, c.b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS ni
+        |  FROM cand c
+        |  JOIN sh xa ON xa.doc_id = c.a
+        |  JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
+        |  GROUP BY c.a, c.b),
+        |pairs AS (
+        |  SELECT agree.est_permille,
+        |    (1000 * i.ni) // (na.nsh + nb.nsh - i.ni) AS exact_permille
+        |  FROM agree
+        |  JOIN inter i ON i.a = agree.a AND i.b = agree.b
+        |  JOIN sizes na ON na.doc_id = agree.a
+        |  JOIN sizes nb ON nb.doc_id = agree.b)
+        |SELECT abs(est_permille - exact_permille) // 100 AS bucket,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(est_permille) AS BIGINT) // COUNT(*)
+        |    AS avg_est_permille,
+        |  CAST(SUM(exact_permille) AS BIGINT) // COUNT(*)
+        |    AS avg_exact_permille
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q232_knn_graph" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |m AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+        |e AS (
+        |  SELECT x.cid, x.vec_id AS src, y.vec_id AS dst,
+        |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(y.embedding AS DOUBLE[])) DESC,
+        |      y.vec_id) AS rnk
+        |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+        |ed AS (SELECT cid, src, dst FROM e WHERE rnk <= 3),
+        |es AS (
+        |  SELECT cid, COUNT(*) AS n_edges,
+        |    CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ed e2
+        |      WHERE e2.src = ed.dst AND e2.dst = ed.src)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+        |  FROM ed GROUP BY cid),
+        |cells AS (SELECT cid, COUNT(*) AS n_vecs FROM m GROUP BY cid)
+        |SELECT cells.cid, n_vecs,
+        |  CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+        |  CAST(COALESCE(n_recip, 0) AS BIGINT) AS n_recip,
+        |  CASE WHEN COALESCE(n_edges, 0) > 0
+        |    THEN (1000 * n_recip) // n_edges ELSE 0 END AS recip_permille
+        |FROM cells LEFT JOIN es ON es.cid = cells.cid
+        |ORDER BY cells.cid""".stripMargin,
+
+    "q233_curriculum" ->
+      """WITH perSrc AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+        |      AS toks,
+        |    CAST(SUM((1000 * len(list_distinct(string_split(trim(lower(
+        |      text)), ' ')))) // len(string_split(trim(lower(text)), ' ')))
+        |      AS BIGINT) // COUNT(*) AS qs
+        |  FROM documents GROUP BY source),
+        |sched AS (
+        |  SELECT CAST(e.epoch AS BIGINT) AS epoch, source,
+        |    ((4 - e.epoch) * 1000 + (e.epoch - 1) * qs) // 3 AS w_milli,
+        |    (toks * (((4 - e.epoch) * 1000 + (e.epoch - 1) * qs) // 3))
+        |      // 1000 AS tokens_drawn
+        |  FROM perSrc CROSS JOIN range(1, 5) e(epoch)),
+        |tot AS (
+        |  SELECT epoch, CAST(SUM(tokens_drawn) AS BIGINT) AS etot
+        |  FROM sched GROUP BY epoch)
+        |SELECT s.epoch, s.source, s.w_milli, s.tokens_drawn,
+        |  (s.tokens_drawn * 1000) // t.etot AS share_permille
+        |FROM sched s JOIN tot t ON t.epoch = s.epoch
+        |ORDER BY s.epoch, s.source""".stripMargin,
+
+    // streaming increments must merge to the one-shot batch M-step
+    "q234_stream_kmeans" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cvec AS DOUBLE[])) DESC,
+        |      c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |x AS (
+        |  SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)) AS v
+        |  FROM a, range(1, 65) t(i) WHERE rn = 1)
+        |SELECT cid, dim,
+        |  CAST(FLOOR((CAST(SUM(v) AS DOUBLE) / COUNT(v)) * 1000000)
+        |    AS BIGINT) AS comp_micro
+        |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+  )
+}

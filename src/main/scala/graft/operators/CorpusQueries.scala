@@ -66,10 +66,19 @@ object CorpusQueries {
     * row expansion. The same kernel [[graft.functions.VectorOps.dotF]]
     * backs q33/q91, whose gates prove it bitwise-equal to DuckDB's
     * list_cosine_similarity. */
-  private def assign(emb: DataFrame): DataFrame = {
-    val cents = emb.where(col("vec_id") < 8) // bounded: 8 seed centroids
+  private[operators] def assign(emb: DataFrame): DataFrame =
+    assignWith(emb, centroidsOf(emb))
+
+  /** The 8 seed centroids (vec_id < 8) — a bounded collect (ivfCentroids
+    * pattern), shared by the batch assignment and q234's streaming M-step
+    * (whose micro-batches need the FULL table's seeds, not the batch's). */
+  private[operators] def centroidsOf(emb: DataFrame): Array[(Long, Seq[Float])] =
+    emb.where(col("vec_id") < 8) // bounded: 8 seed centroids
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+
+  private[operators] def assignWith(emb: DataFrame,
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
     val cells = cents.map { case (cid, cvec) =>
       val c = typedlit(cvec)
       struct(
@@ -87,7 +96,7 @@ object CorpusQueries {
   /** q213/q221's structural quality score: distinct-word ratio in
     * permille, integer-exact. ONE definition for the batch gate and the
     * streaming decomposition so the two can never drift. */
-  private def permilleScore: Column =
+  private[operators] def permilleScore: Column =
     expr("(1000 * size(array_distinct(split(trim(lower(text)), ' ')))) " +
       "div size(split(trim(lower(text)), ' '))").cast("long")
 

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value- and plan-level checks for the calibration + curriculum layer
+  * (CalibrationQueries). The DuckDB gate proves engine equivalence; these
+  * prove the SEMANTICS (logit bounds, estimate-vs-exact coherence, graph
+  * degree arithmetic, anneal endpoints, streaming-equals-batch) and the
+  * scale shape (broadcast weight table, no cartesian products).
+  */
+class CalibrationSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q230 covers every document and logits stay in the weight range") {
+    val rows = run("q230_fasttext_score").collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "per-source doc counts must partition the corpus")
+    // w ∈ [0, 14] ⇒ mean-milli ∈ [0, 14000] ⇒ centered logit ∈ ±7000
+    assert(rows.forall(r => r.getLong(4) >= -7000 && r.getLong(5) <= 7000))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept must not exceed docs")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+  }
+
+  test("q230 weight table joins as a broadcast, never SMJ") {
+    val p = run("q230_fasttext_score").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"256-row weight table must not SMJ:\n$p")
+  }
+
+  test("q231 estimates track exact Jaccard on LSH-surfaced pairs") {
+    val rows = run("q231_minhash_calibration").collect()
+    assert(rows.nonEmpty, "the band index must surface candidate pairs")
+    rows.foreach { r =>
+      val (bucket, n, est, exact) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0)
+      assert(est >= 0 && est <= 1000 && exact >= 0 && exact <= 1000)
+      // bucket b holds pairs with |est − exact| ∈ [100b, 100b+99]; means
+      // of the two sides can differ by at most the bucket ceiling
+      assert(math.abs(est - exact) <= 100 * bucket + 99)
+    }
+    // band collision ⇒ 4 matching components ⇒ est ≥ 250 permille
+    val minEst = rows.map(_.getLong(2)).min
+    assert(minEst >= 250,
+      s"banded pairs must share ≥ 4/16 components, got est $minEst")
+  }
+
+  test("q232 graph degrees follow the top-3 contract per cell") {
+    val rows = run("q232_knn_graph").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sf).count(),
+      "cells must partition the vector set")
+    rows.foreach { r =>
+      val (nv, ne, nr, pm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val expectedEdges = nv * math.min(3L, math.max(nv - 1L, 0L))
+      assert(ne == expectedEdges,
+        s"cell ${r.getLong(0)}: $nv vecs should emit $expectedEdges edges" +
+          s", got $ne")
+      assert(nr <= ne && pm >= 0 && pm <= 1000)
+      // a top-1-of-each-other pair always exists in a non-trivial cell
+      if (nv >= 2) assert(nr >= 2, "mutual nearest pair must be reciprocal")
+    }
+  }
+
+  test("q233 anneal endpoints: uniform at epoch 1, quality at epoch 4") {
+    val rows = run("q233_curriculum").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val epochs = rows.map(_._1).distinct.sorted
+    assert(epochs.sameElements(Seq(1L, 2L, 3L, 4L)))
+    assert(rows.filter(_._1 == 1L).forall(_._3 == 1000L),
+      "epoch 1 must be the uniform schedule")
+    // within an epoch the shares must sum to ~1000 (floor rounding loses
+    // at most one permille per source)
+    epochs.foreach { e =>
+      val shares = rows.filter(_._1 == e).map(_._5)
+      assert(shares.sum <= 1000 &&
+        shares.sum > 1000 - shares.length,
+        s"epoch $e shares sum ${shares.sum}")
+    }
+    // epoch-4 weight is exactly the per-source quality score: a source
+    // with higher quality must never get a lower epoch-4 weight
+    val e4 = rows.filter(_._1 == 4L).sortBy(_._2)
+    assert(e4.map(_._3).forall(w => w >= 0 && w <= 1000))
+  }
+
+  test("q234 streaming increments merge to exactly the batch M-step") {
+    val stream = run("q234_stream_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q216_lloyd_round")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch,
+      "streamed decimal increments must reproduce the one-shot M-step")
+  }
+
+  test("no cartesian products anywhere in the calibration layer") {
+    Seq("q230_fasttext_score", "q231_minhash_calibration",
+      "q232_knn_graph", "q233_curriculum").foreach { n =>
+      val p = run(n).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+}
