@@ -43,32 +43,6 @@ object CalibrationQueries {
   private def words: org.apache.spark.sql.Column =
     split(trim(lower(col("text"))), " ")
 
-  /** Distinct 3-word shingles per document — q30's shingle convention,
-    * guarded for short documents (size < 3 → no shingles, both engines). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), words.as("ws"))
-      .select(col("doc_id"),
-        explode(when(size(col("ws")) >= 3,
-          expr("transform(sequence(3, size(ws)), i -> " +
-            "concat_ws(' ', element_at(ws, i - 2), " +
-            "element_at(ws, i - 1), element_at(ws, i)))"))
-          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("sh"))
-      .distinct()
-
-  /** 16-component MinHash signatures over [[shingles]]: component k is the
-    * minimum md5(k ':' shingle) — min over hex strings is the same
-    * lexicographic min in both engines. Scale shape: the 16× seed
-    * expansion collapses to 16 rows per document in the map-side partial
-    * aggregation; the shuffle carries (doc, k, 32-byte sig), never the
-    * shingle stream. */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .crossJoin(broadcast(s.range(0, 16).select(col("id").as("k"))))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("sh"))))
-        .as("sig"))
-
   /** embeddings as 3 parquet files — the streaming fixture for q234's
     * per-file triggers; built once per sf. */
   private[graft] def embSplitFixture(s: SparkSession, d: String): String = {
@@ -131,35 +105,54 @@ object CalibrationQueries {
     // the exact-Jaccard re-join touches only candidate docs' shingle
     // streams — the same id-only contract as q30/q32, now auditing it.
     "q231_minhash_calibration" -> ((s, d) => {
-      val sig = signatures(s, d)
-      val bands = sig.withColumn("band", expr("k div 4"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(expr("md5(array_join(transform(" +
-          "array_sort(collect_list(struct(k, sig))), x -> x.sig), '|'))")
-          .as("bkey"))
+      // The per-document index — distinct 3-word shingle set + 16-component
+      // MinHash signature (component k = min md5(k ':' shingle)) — is one
+      // shuffle-free projection through the codegen'd [[MinHashShingles]]
+      // kernel, materialized ONCE (localCheckpoint, the persisted-index
+      // contract q117/q157 use) before field extraction so the kernel
+      // runs exactly one pass. Column-algebra equivalents measured 7-12 s
+      // at sf0.1 (interpreted transform() lambdas, or an explode +
+      // 16-aggregate groupBy shuffling the whole shingle stream); the
+      // kernel does the n-gram walk and MD5 loop inside the scan's
+      // codegen stage. Nothing shuffles until the band join, which
+      // carries (doc, 4 band digests) — never shingles.
+      val base = T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MinHashShingles(trim(lower(col("text")))).as("mh"))
+        .localCheckpoint()
+      val feat = base
+        .where(size(col("mh.shs")) > 0)
+        .select(col("doc_id"), col("mh.shs").as("shs"),
+          col("mh.sigs").as("sigs"),
+          size(col("mh.shs")).cast("long").as("nsh"))
+      // band j's key digests components 4j..4j+3 in k order — identical
+      // to the oracle's GROUP BY k div 4 + string_agg(sig ORDER BY k)
+      val bands = feat.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 3), j -> struct(" +
+          "j AS band, md5(array_join(slice(sigs, j * 4 + 1, 4), '|')) " +
+          "AS bkey))")).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
       val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+      // ONE pair-join pass computes the signature agreement AND the
+      // exact set Jaccard (array_intersect over the distinct shingle
+      // arrays) — the candidate exchange carries bare (a, b) ids, and
+      // the feature re-join touches only candidate docs
       val agree = cand
-        .join(sig.select(col("doc_id").as("a"), col("k"),
-          col("sig").as("sa")), "a")
-        .join(sig.select(col("doc_id").as("b"), col("k"),
-          col("sig").as("sb")), Seq("b", "k"))
-        .groupBy(col("a"), col("b"))
-        .agg(expr("(1000 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)) " +
-          "div 16").as("est_permille"))
-      val sh = shingles(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-      agree.join(inter, Seq("a", "b"))
-        .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
-        .select(col("est_permille"),
-          expr("(1000 * ni) div (na + nb - ni)").as("exact_permille"))
+        .join(feat.select(col("doc_id").as("a"), col("sigs").as("sa"),
+          col("shs").as("xa"), col("nsh").as("na")), "a")
+        .join(feat.select(col("doc_id").as("b"), col("sigs").as("sb"),
+          col("shs").as("xb"), col("nsh").as("nb")), "b")
+        .select(
+          expr("(1000 * size(filter(zip_with(sa, sb, (x, y) -> x = y), " +
+            "v -> v))) div 16").as("est_permille"),
+          expr("(1000 * size(array_intersect(xa, xb))) div " +
+            "(na + nb - size(array_intersect(xa, xb)))")
+            .as("exact_permille"))
+      agree
         .select(col("est_permille"), col("exact_permille"),
           expr("abs(est_permille - exact_permille) div 100").as("bucket"))
         .groupBy(col("bucket"))

@@ -101,6 +101,35 @@ class CalibrationSpec extends AnyFunSuite {
       "streamed decimal increments must reproduce the one-shot M-step")
   }
 
+  test("MinHashShingles kernel matches the column-algebra construction") {
+    import spark.implicits._
+    val docs = Seq("a b c d e", "x y", "dup dup dup dup", "", "a  b c d")
+      .toDF("text")
+    val kernel = docs.select(
+      graft.functions.MinHashShingles(trim(lower(col("text")))).as("mh"))
+      .select(col("mh.shs").as("shs"), col("mh.sigs").as("sigs"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toSet, r.getSeq[String](1)))
+    val algebra = docs
+      .select(split(trim(lower(col("text"))), " ").as("ws"))
+      .select(when(size(col("ws")) >= 3,
+        expr("array_distinct(transform(sequence(3, size(ws)), i -> " +
+          "concat_ws(' ', element_at(ws, i - 2), " +
+          "element_at(ws, i - 1), element_at(ws, i))))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("shs"))
+      .select(col("shs"), array((0 until 16).map(k =>
+        array_min(transform(col("shs"),
+          x => md5(concat(lit(s"$k:"), x))))): _*).as("sigs"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toSet,
+        Option(r.getSeq[String](1)).getOrElse(Seq.empty[String])
+          .filter(_ != null)))
+    kernel.zip(algebra).foreach { case ((ks, ksig), (as_, asig)) =>
+      assert(ks == as_, "shingle sets must agree")
+      assert(ksig == asig, "signature components must agree in k order")
+    }
+  }
+
   test("no cartesian products anywhere in the calibration layer") {
     Seq("q230_fasttext_score", "q231_minhash_calibration",
       "q232_knn_graph", "q233_curriculum").foreach { n =>
