@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   *    decimal-exact centroid means as per-trigger mergeable increments,
   *    q221/q229's replay-idempotent trigger mechanics) — merged must
   *    equal the one-shot batch M-step bit for bit.
+  *  - q235: dedup-threshold confusion sweep — tp/fp/fn + precision/
+  *    recall of the signature estimate against exact Jaccard at
+  *    thresholds 500..900, over the same LSH-surfaced pairs as q231;
+  *    the sweep that picks a production dedup threshold from data.
+  *  - q236: per-source lexical-diversity census — type-token ratio and
+  *    unigram/bigram Shannon entropy in floor-log2 millibits; the
+  *    template-detection signal beside q228's boilerplate share.
+  *  - q237: vocabulary stability across corpus halves — top-200 bigram
+  *    overlap, Jaccard, and rank displacement; the snapshot-drift probe.
   *
   * Same quantization conventions as Quality/CorpusQueries: integer
   * milli/permille units via `div` over positive operands, floor-log2 where
@@ -42,6 +51,59 @@ object CalibrationQueries {
   /** q25's tokenization convention (single-space split of trimmed lower). */
   private def words: org.apache.spark.sql.Column =
     split(trim(lower(col("text"))), " ")
+
+  /** Estimated-vs-exact Jaccard for exactly the pairs the LSH band index
+    * surfaces (q30's config: 16 hashes, 4 bands × 4 rows) — the shared
+    * core of q231 (error histogram) and q235 (threshold confusion sweep).
+    *
+    * The per-document index — distinct 3-word shingle set + 16-component
+    * MinHash signature (component k = min md5(k ':' shingle)) — is one
+    * shuffle-free projection through the codegen'd [[graft.functions
+    * .MinHashShingles]] kernel, materialized ONCE (localCheckpoint, the
+    * persisted-index contract q117/q157 use) before field extraction so
+    * the kernel runs exactly one pass. Column-algebra equivalents
+    * measured 7-12 s at sf0.1 (interpreted transform() lambdas, or an
+    * explode + 16-aggregate groupBy shuffling the whole shingle stream);
+    * the kernel does the n-gram walk and MD5 loop inside the scan's
+    * codegen stage. Nothing shuffles until the band join, which carries
+    * (doc, 4 band digests); the candidate exchange carries bare (a, b)
+    * ids; the feature re-join touches only candidate docs. ONE pair-join
+    * pass then computes the signature agreement AND the exact set
+    * Jaccard (array_intersect over the distinct shingle arrays). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = T.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashShingles(trim(lower(col("text")))).as("mh"))
+      .localCheckpoint()
+    val feat = base
+      .where(size(col("mh.shs")) > 0)
+      .select(col("doc_id"), col("mh.shs").as("shs"),
+        col("mh.sigs").as("sigs"),
+        size(col("mh.shs")).cast("long").as("nsh"))
+    // band j's key digests components 4j..4j+3 in k order — identical
+    // to the oracle's GROUP BY k div 4 + string_agg(sig ORDER BY k)
+    val bands = feat.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 3), j -> struct(" +
+        "j AS band, md5(array_join(slice(sigs, j * 4 + 1, 4), '|')) " +
+        "AS bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(feat.select(col("doc_id").as("a"), col("sigs").as("sa"),
+        col("shs").as("xa"), col("nsh").as("na")), "a")
+      .join(feat.select(col("doc_id").as("b"), col("sigs").as("sb"),
+        col("shs").as("xb"), col("nsh").as("nb")), "b")
+      .select(col("a"), col("b"),
+        expr("(1000 * size(filter(zip_with(sa, sb, (x, y) -> x = y), " +
+          "v -> v))) div 16").as("est_permille"),
+        expr("(1000 * size(array_intersect(xa, xb))) div " +
+          "(na + nb - size(array_intersect(xa, xb)))")
+          .as("exact_permille"))
+  }
 
   /** embeddings as 3 parquet files — the streaming fixture for q234's
     * per-file triggers; built once per sf. */
@@ -105,54 +167,7 @@ object CalibrationQueries {
     // the exact-Jaccard re-join touches only candidate docs' shingle
     // streams — the same id-only contract as q30/q32, now auditing it.
     "q231_minhash_calibration" -> ((s, d) => {
-      // The per-document index — distinct 3-word shingle set + 16-component
-      // MinHash signature (component k = min md5(k ':' shingle)) — is one
-      // shuffle-free projection through the codegen'd [[MinHashShingles]]
-      // kernel, materialized ONCE (localCheckpoint, the persisted-index
-      // contract q117/q157 use) before field extraction so the kernel
-      // runs exactly one pass. Column-algebra equivalents measured 7-12 s
-      // at sf0.1 (interpreted transform() lambdas, or an explode +
-      // 16-aggregate groupBy shuffling the whole shingle stream); the
-      // kernel does the n-gram walk and MD5 loop inside the scan's
-      // codegen stage. Nothing shuffles until the band join, which
-      // carries (doc, 4 band digests) — never shingles.
-      val base = T.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.MinHashShingles(trim(lower(col("text")))).as("mh"))
-        .localCheckpoint()
-      val feat = base
-        .where(size(col("mh.shs")) > 0)
-        .select(col("doc_id"), col("mh.shs").as("shs"),
-          col("mh.sigs").as("sigs"),
-          size(col("mh.shs")).cast("long").as("nsh"))
-      // band j's key digests components 4j..4j+3 in k order — identical
-      // to the oracle's GROUP BY k div 4 + string_agg(sig ORDER BY k)
-      val bands = feat.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 3), j -> struct(" +
-          "j AS band, md5(array_join(slice(sigs, j * 4 + 1, 4), '|')) " +
-          "AS bkey))")).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      // ONE pair-join pass computes the signature agreement AND the
-      // exact set Jaccard (array_intersect over the distinct shingle
-      // arrays) — the candidate exchange carries bare (a, b) ids, and
-      // the feature re-join touches only candidate docs
-      val agree = cand
-        .join(feat.select(col("doc_id").as("a"), col("sigs").as("sa"),
-          col("shs").as("xa"), col("nsh").as("na")), "a")
-        .join(feat.select(col("doc_id").as("b"), col("sigs").as("sb"),
-          col("shs").as("xb"), col("nsh").as("nb")), "b")
-        .select(
-          expr("(1000 * size(filter(zip_with(sa, sb, (x, y) -> x = y), " +
-            "v -> v))) div 16").as("est_permille"),
-          expr("(1000 * size(array_intersect(xa, xb))) div " +
-            "(na + nb - size(array_intersect(xa, xb)))")
-            .as("exact_permille"))
-      agree
+      minhashPairs(s, d)
         .select(col("est_permille"), col("exact_permille"),
           expr("abs(est_permille - exact_permille) div 100").as("bucket"))
         .groupBy(col("bucket"))
@@ -161,6 +176,41 @@ object CalibrationQueries {
           expr("sum(exact_permille) div count(*)").as("avg_exact_permille"))
         .orderBy(col("bucket"))
     }),
+
+    // Dedup-threshold confusion sweep: for the same LSH-surfaced pairs,
+    // classify each pair at thresholds 500..900 permille by the
+    // signature ESTIMATE vs the exact Jaccard truth — tp/fp/fn counts
+    // and the resulting precision/recall (conditional on the band index;
+    // pairs the bands never surface are outside both sides). This is the
+    // sweep that picks q30's production threshold from measured error,
+    // not guesswork. Scale shape: rides minhashPairs; the 5× threshold
+    // expansion happens on the bounded pair frame.
+    "q235_threshold_sweep" -> ((s, d) => {
+      minhashPairs(s, d)
+        .crossJoin(broadcast(s.range(5, 10)
+          .select((col("id") * 100).as("threshold"))))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("est_permille") >= col("threshold") &&
+            col("exact_permille") >= col("threshold"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("est_permille") >= col("threshold") &&
+            col("exact_permille") < col("threshold"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("est_permille") < col("threshold") &&
+            col("exact_permille") >= col("threshold"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("threshold"), col("n_cand"), col("tp"), col("fp"),
+          col("fn"),
+          when(col("tp") + col("fp") > 0,
+            expr("(1000 * tp) div (tp + fp)")).otherwise(lit(0L))
+            .as("precision_permille"),
+          when(col("tp") + col("fn") > 0,
+            expr("(1000 * tp) div (tp + fn)")).otherwise(lit(0L))
+            .as("recall_permille"))
+        .orderBy(col("threshold"))
+    }),
+
 
     // Within-cell exact k-NN graph over the quantized index: q212's
     // 8-cell assignment partitions the corpus; inside each cell, every
@@ -281,8 +331,140 @@ object CalibrationQueries {
         .agg(floor((sum(col("sdec")).cast("double") / sum(col("cnt"))) *
           lit(1000000L)).as("comp_micro"))
         .orderBy(col("cid"), col("dim"))
+    }),
+
+    // Per-source lexical-diversity census: token count, unigram type
+    // count, type-token ratio, and Shannon entropy of the unigram AND
+    // bigram distributions in floor-log2 millibits (surprisal of a type
+    // with count c out of N = ilog2(N div c) whole bits — the engine-
+    // exact quantization q204/q206 established; entropy = count-weighted
+    // mean). The diversity drop that flags template-heavy or looping
+    // sources before any model-based score. Scale shape: two vocabulary-
+    // bounded (source, gram) groupBys with map-side combine; the
+    // per-source rollup aggregates vocabulary-sized frames.
+    "q236_source_entropy" -> ((s, d) => {
+      def gramEntropy(grams: DataFrame, outCol: String): DataFrame = {
+        val cnt = grams.groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        cnt.join(broadcast(tot), "source")
+          .select(col("source"), col("c"),
+            ((length(bin(expr("n div c"))) - lit(1)).cast("long"))
+              .as("bits"))
+          .groupBy(col("source"))
+          .agg(expr("(1000 * sum(c * bits)) div sum(c)").as(outCol))
+      }
+      val toks = T.documents(s, d)
+        .select(col("source"), words.as("ws"))
+      val uni = toks.select(col("source"), explode(col("ws")).as("g"))
+      val bi = toks.select(col("source"),
+        explode(when(size(col("ws")) >= 2,
+          expr("transform(sequence(2, size(ws)), i -> " +
+            "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+      val stats = uni.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("g")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("(1000 * n_types) div n_tokens").as("ttr_permille"))
+      stats
+        .join(gramEntropy(uni, "h_uni_millibits"), "source")
+        .join(gramEntropy(bi, "h_bi_millibits"), "source")
+        .orderBy(col("source"))
+    }),
+
+    // Vocabulary stability across corpus halves (the drift probe a
+    // pipeline runs between crawl snapshots): split by doc_id parity,
+    // take each half's top-200 bigrams (count desc, bigram asc), and
+    // compare — overlap, set Jaccard, and total rank displacement over
+    // the shared head. Scale shape: one vocabulary-bounded (half, gram)
+    // groupBy; each head is TakeOrdered (per-partition heaps, no global
+    // sort); ranks come from the bounded 200×200 triangle join (q220's
+    // rank-without-window pattern); output is one row.
+    "q237_vocab_stability" -> ((s, d) => {
+      val bi = T.documents(s, d)
+        .select((col("doc_id") % 2).as("half"), words.as("ws"))
+        .select(col("half"),
+          explode(when(size(col("ws")) >= 2,
+            expr("transform(sequence(2, size(ws)), i -> " +
+              "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+        .groupBy(col("half"), col("g")).agg(count(lit(1)).as("c"))
+      def top(h: Int): DataFrame = {
+        val t = bi.where(col("half") === h)
+          .orderBy(col("c").desc, col("g")).limit(200)
+        t.as("x").join(broadcast(t.as("y")),
+            col("y.c") > col("x.c") ||
+              (col("y.c") === col("x.c") && col("y.g") < col("x.g")),
+            "left")
+          .groupBy(col("x.g").as("g"))
+          .agg((count(col("y.g")) + 1L).as("rnk"))
+      }
+      val a = top(0)
+      val b = top(1)
+      a.select(col("g"), col("rnk").as("ra"))
+        .join(b.select(col("g"), col("rnk").as("rb")), Seq("g"),
+          "full_outer")
+        .agg(sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("rb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("ra").isNotNull && col("rb").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          sum(when(col("ra").isNotNull && col("rb").isNotNull,
+            abs(col("ra") - col("rb"))).otherwise(0L)).as("rank_disp"))
+        .select(col("n_a"), col("n_b"), col("n_overlap"),
+          expr("(1000 * n_overlap) div (n_a + n_b - n_overlap)")
+            .as("jaccard_permille"),
+          col("rank_disp"))
     })
   )
+
+  /** Shared oracle CTE chain producing (est_permille, exact_permille) for
+    * the LSH-surfaced pairs — the DuckDB mirror of [[minhashPairs]],
+    * used by both the q231 histogram and the q235 threshold sweep. */
+  private val pairsCte: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([w[i - 2] || ' ' || w[i - 1] || ' ' || w[i]
+      |      for i in range(3, len(w) + 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, k,
+      |    MIN(md5(CAST(k AS VARCHAR) || ':' || sh)) AS sig
+      |  FROM sh CROSS JOIN range(0, 16) t(k)
+      |  GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, k // 4 AS band,
+      |    md5(string_agg(sig, '|' ORDER BY k)) AS bkey
+      |  FROM sig GROUP BY doc_id, k // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey
+      |    AND x.doc_id < y.doc_id),
+      |agree AS (
+      |  SELECT c.a, c.b,
+      |    (1000 * SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)) // 16
+      |      AS est_permille
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.a
+      |  JOIN sig sb ON sb.doc_id = c.b AND sb.k = sa.k
+      |  GROUP BY c.a, c.b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, COUNT(*) AS ni
+      |  FROM cand c
+      |  JOIN sh xa ON xa.doc_id = c.a
+      |  JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
+      |  GROUP BY c.a, c.b),
+      |pairs AS (
+      |  SELECT agree.est_permille,
+      |    (1000 * i.ni) // (na.nsh + nb.nsh - i.ni) AS exact_permille
+      |  FROM agree
+      |  JOIN inter i ON i.a = agree.a AND i.b = agree.b
+      |  JOIN sizes na ON na.doc_id = agree.a
+      |  JOIN sizes nb ON nb.doc_id = agree.b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -317,49 +499,7 @@ object CalibrationQueries {
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
     "q231_minhash_calibration" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest([w[i - 2] || ' ' || w[i - 1] || ' ' || w[i]
-        |      for i in range(3, len(w) + 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
-        |        FROM documents)
-        |  WHERE len(w) >= 3),
-        |sig AS (
-        |  SELECT doc_id, k,
-        |    MIN(md5(CAST(k AS VARCHAR) || ':' || sh)) AS sig
-        |  FROM sh CROSS JOIN range(0, 16) t(k)
-        |  GROUP BY doc_id, k),
-        |bands AS (
-        |  SELECT doc_id, k // 4 AS band,
-        |    md5(string_agg(sig, '|' ORDER BY k)) AS bkey
-        |  FROM sig GROUP BY doc_id, k // 4),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bkey = y.bkey
-        |    AND x.doc_id < y.doc_id),
-        |agree AS (
-        |  SELECT c.a, c.b,
-        |    (1000 * SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)) // 16
-        |      AS est_permille
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.a
-        |  JOIN sig sb ON sb.doc_id = c.b AND sb.k = sa.k
-        |  GROUP BY c.a, c.b),
-        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.a, c.b, COUNT(*) AS ni
-        |  FROM cand c
-        |  JOIN sh xa ON xa.doc_id = c.a
-        |  JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
-        |  GROUP BY c.a, c.b),
-        |pairs AS (
-        |  SELECT agree.est_permille,
-        |    (1000 * i.ni) // (na.nsh + nb.nsh - i.ni) AS exact_permille
-        |  FROM agree
-        |  JOIN inter i ON i.a = agree.a AND i.b = agree.b
-        |  JOIN sizes na ON na.doc_id = agree.a
-        |  JOIN sizes nb ON nb.doc_id = agree.b)
+      s"""$pairsCte
         |SELECT abs(est_permille - exact_permille) // 100 AS bucket,
         |  COUNT(*) AS n_pairs,
         |  CAST(SUM(est_permille) AS BIGINT) // COUNT(*)
@@ -445,6 +585,104 @@ object CalibrationQueries {
         |SELECT cid, dim,
         |  CAST(FLOOR((CAST(SUM(v) AS DOUBLE) / COUNT(v)) * 1000000)
         |    AS BIGINT) AS comp_micro
-        |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+        |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    "q235_threshold_sweep" ->
+      s"""$pairsCte,
+        |th AS (SELECT CAST(t.i * 100 AS BIGINT) AS threshold
+        |       FROM range(5, 10) t(i)),
+        |cls AS (
+        |  SELECT threshold,
+        |    CASE WHEN est_permille >= threshold
+        |      AND exact_permille >= threshold THEN 1 ELSE 0 END AS tp,
+        |    CASE WHEN est_permille >= threshold
+        |      AND exact_permille < threshold THEN 1 ELSE 0 END AS fp,
+        |    CASE WHEN est_permille < threshold
+        |      AND exact_permille >= threshold THEN 1 ELSE 0 END AS fn
+        |  FROM pairs CROSS JOIN th)
+        |SELECT threshold, COUNT(*) AS n_cand,
+        |  CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+        |  CAST(SUM(fn) AS BIGINT) AS fn,
+        |  CASE WHEN SUM(tp) + SUM(fp) > 0
+        |    THEN (1000 * CAST(SUM(tp) AS BIGINT)) // (SUM(tp) + SUM(fp))
+        |    ELSE 0 END AS precision_permille,
+        |  CASE WHEN SUM(tp) + SUM(fn) > 0
+        |    THEN (1000 * CAST(SUM(tp) AS BIGINT)) // (SUM(tp) + SUM(fn))
+        |    ELSE 0 END AS recall_permille
+        |FROM cls GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q236_source_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |uni AS (SELECT source, unnest(w) AS g FROM toks),
+        |bi AS (
+        |  SELECT source, unnest([w[i - 1] || ' ' || w[i]
+        |    for i in range(2, len(w) + 1)]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |ucnt AS (SELECT source, g, COUNT(*) AS c FROM uni
+        |         GROUP BY source, g),
+        |bcnt AS (SELECT source, g, COUNT(*) AS c FROM bi
+        |         GROUP BY source, g),
+        |utot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM ucnt
+        |         GROUP BY source),
+        |btot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bcnt
+        |         GROUP BY source),
+        |uh AS (
+        |  SELECT u.source,
+        |    (1000 * CAST(SUM(u.c * (length(bin(t.n // u.c)) - 1))
+        |      AS BIGINT)) // MAX(t.n) AS h_uni_millibits
+        |  FROM ucnt u JOIN utot t ON t.source = u.source
+        |  GROUP BY u.source),
+        |bh AS (
+        |  SELECT u.source,
+        |    (1000 * CAST(SUM(u.c * (length(bin(t.n // u.c)) - 1))
+        |      AS BIGINT)) // MAX(t.n) AS h_bi_millibits
+        |  FROM bcnt u JOIN btot t ON t.source = u.source
+        |  GROUP BY u.source),
+        |stats AS (
+        |  SELECT source, COUNT(*) AS n_tokens,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types,
+        |    (1000 * CAST(COUNT(DISTINCT g) AS BIGINT)) // COUNT(*)
+        |      AS ttr_permille
+        |  FROM uni GROUP BY source)
+        |SELECT s.source, s.n_tokens, s.n_types, s.ttr_permille,
+        |  uh.h_uni_millibits, bh.h_bi_millibits
+        |FROM stats s JOIN uh ON uh.source = s.source
+        |JOIN bh ON bh.source = s.source ORDER BY s.source""".stripMargin,
+
+    "q237_vocab_stability" ->
+      """WITH bi AS (
+        |  SELECT doc_id % 2 AS half,
+        |    unnest([w[i - 1] || ' ' || w[i]
+        |      for i in range(2, len(w) + 1)]) AS g
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2),
+        |cnt AS (SELECT half, g, COUNT(*) AS c FROM bi GROUP BY half, g),
+        |ta AS (
+        |  SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g) AS BIGINT)
+        |    AS ra
+        |  FROM cnt WHERE half = 0 ORDER BY c DESC, g LIMIT 200),
+        |tb AS (
+        |  SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g) AS BIGINT)
+        |    AS rb
+        |  FROM cnt WHERE half = 1 ORDER BY c DESC, g LIMIT 200)
+        |SELECT
+        |  CAST(SUM(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  (1000 * SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |    THEN 1 ELSE 0 END)) //
+        |    (SUM(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END) +
+        |     SUM(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END) -
+        |     SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |       THEN 1 ELSE 0 END)) AS jaccard_permille,
+        |  CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |    THEN abs(ra - rb) ELSE 0 END) AS BIGINT) AS rank_disp
+        |FROM ta FULL OUTER JOIN tb USING (g)""".stripMargin
   )
 }

@@ -101,6 +101,49 @@ class CalibrationSpec extends AnyFunSuite {
       "streamed decimal increments must reproduce the one-shot M-step")
   }
 
+  test("q235 confusion counts are coherent and monotone in threshold") {
+    val rows = run("q235_threshold_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sameElements(Seq(500L, 600L, 700L, 800L, 900L)))
+    val nCand = rows.head._2
+    assert(rows.forall(_._2 == nCand), "every threshold sees every pair")
+    rows.foreach { case (_, n, tp, fp, fn) =>
+      assert(tp + fp <= n && tp + fn <= n)
+    }
+    // predicted-positive count (tp+fp) can only shrink as t rises
+    val predPos = rows.map(r => r._3 + r._4)
+    assert(predPos.sameElements(predPos.sortBy(-_)),
+      s"predicted positives must be antitone in threshold: ${predPos.toSeq}")
+    val actPos = rows.map(r => r._3 + r._5)
+    assert(actPos.sameElements(actPos.sortBy(-_)),
+      s"actual positives must be antitone in threshold: ${actPos.toSeq}")
+  }
+
+  test("q236 entropy is bounded by log2(types) and TTR is coherent") {
+    val rows = run("q236_source_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp, ttr, hUni) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTyp <= nTok && ttr <= 1000)
+      // count-weighted floor-log2 surprisal can't exceed ceil(log2 nTok)
+      val cap = 1000L * (64 - java.lang.Long.numberOfLeadingZeros(nTok))
+      assert(hUni >= 0 && hUni <= cap, s"h_uni $hUni vs cap $cap")
+      assert(r.getLong(5) >= 0, "bigram entropy nonnegative")
+    }
+  }
+
+  test("q237 stability accounting is internally consistent") {
+    val r = run("q237_vocab_stability").collect().head
+    val (na, nb, ov, jac, disp) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(na <= 200 && nb <= 200 && ov <= math.min(na, nb))
+    assert(jac == 1000L * ov / (na + nb - ov))
+    // each shared bigram's rank displacement is < head size
+    assert(disp <= ov * 199)
+  }
+
   test("MinHashShingles kernel matches the column-algebra construction") {
     import spark.implicits._
     val docs = Seq("a b c d e", "x y", "dup dup dup dup", "", "a  b c d")
