@@ -82,6 +82,25 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     r.getLong(0) * r.getInt(1) * 4L
   }
 
+  test("q231 calibration total shuffle stays band-digest-sized") {
+    // After the MinHashShingles kernel + localCheckpoint, the only
+    // corpus-sized exchanges are the band self-join and candidate
+    // distinct: 4 × (id + band + 32-hex digest) ≈ 200 B per document
+    // before compression. The budget is one corpus-char volume — the
+    // shingle/signature payload (≥ 3× corpus chars if it ever rides an
+    // exchange; the checkpoint itself is block-manager storage, not
+    // shuffle) overshoots it immediately.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q231_minhash_calibration")
+    info(s"q231 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < chars,
+      s"q231 shuffled $bytes B for a $chars-char corpus — shingles or " +
+        "signatures leaked into the band/candidate exchanges?")
+  }
+
   test("q32 embedding near-dup total shuffle stays under one vector payload") {
     val budget = vectorBudget()
     val bytes = run("q32_embed_neardup")
