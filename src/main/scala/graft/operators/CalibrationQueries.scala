@@ -211,7 +211,6 @@ object CalibrationQueries {
         .orderBy(col("threshold"))
     }),
 
-
     // Within-cell exact k-NN graph over the quantized index: q212's
     // 8-cell assignment partitions the corpus; inside each cell, every
     // vector's top-3 cosine neighbors (TopKAgg's score-desc/id-asc
@@ -239,6 +238,10 @@ object CalibrationQueries {
           .as("top"))
         .select(col("cid"), col("src"), explode(col("top")).as("e"))
         .select(col("cid"), col("src"), col("e.id").as("dst"))
+        // 3 bounded rows per vector, referenced by both reciprocity sides
+        // and the per-cell stats — materialize once or the within-cell
+        // cosine workload runs three times
+        .localCheckpoint()
       val recip = edges.as("e1")
         .join(edges.as("e2"),
           col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"),
