@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
   *    template-detection signal beside q228's boilerplate share.
   *  - q237: vocabulary stability across corpus halves — top-200 bigram
   *    overlap, Jaccard, and rank displacement; the snapshot-drift probe.
+  *  - q238: LSH banding S-curve — candidate volume, recall, and purity
+  *    for the four 16-component band configs against the exact-Jaccard
+  *    truth on the single-component superset; with q235 this closes the
+  *    full (bands × rows, threshold) dedup design space over data.
   *
   * Same quantization conventions as Quality/CorpusQueries: integer
   * milli/permille units via `div` over positive operands, floor-log2 where
@@ -52,12 +56,8 @@ object CalibrationQueries {
   private def words: org.apache.spark.sql.Column =
     split(trim(lower(col("text"))), " ")
 
-  /** Estimated-vs-exact Jaccard for exactly the pairs the LSH band index
-    * surfaces (q30's config: 16 hashes, 4 bands × 4 rows) — the shared
-    * core of q231 (error histogram) and q235 (threshold confusion sweep).
-    *
-    * The per-document index — distinct 3-word shingle set + 16-component
-    * MinHash signature (component k = min md5(k ':' shingle)) — is one
+  /** Per-document MinHash index: distinct 3-word shingle set, 16-component
+    * signature (component k = min md5(k ':' shingle)), and set size — one
     * shuffle-free projection through the codegen'd [[graft.functions
     * .MinHashShingles]] kernel, materialized ONCE (localCheckpoint, the
     * persisted-index contract q117/q157 use) before field extraction so
@@ -65,33 +65,49 @@ object CalibrationQueries {
     * measured 7-12 s at sf0.1 (interpreted transform() lambdas, or an
     * explode + 16-aggregate groupBy shuffling the whole shingle stream);
     * the kernel does the n-gram walk and MD5 loop inside the scan's
-    * codegen stage. Nothing shuffles until the band join, which carries
-    * (doc, 4 band digests); the candidate exchange carries bare (a, b)
-    * ids; the feature re-join touches only candidate docs. ONE pair-join
-    * pass then computes the signature agreement AND the exact set
-    * Jaccard (array_intersect over the distinct shingle arrays). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val base = T.documents(s, d)
+    * codegen stage. */
+  private[operators] def shingleFeat(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
       .select(col("doc_id"),
         graft.functions.MinHashShingles(trim(lower(col("text")))).as("mh"))
       .localCheckpoint()
-    val feat = base
       .where(size(col("mh.shs")) > 0)
       .select(col("doc_id"), col("mh.shs").as("shs"),
         col("mh.sigs").as("sigs"),
         size(col("mh.shs")).cast("long").as("nsh"))
-    // band j's key digests components 4j..4j+3 in k order — identical
-    // to the oracle's GROUP BY k div 4 + string_agg(sig ORDER BY k)
-    val bands = feat.select(col("doc_id"),
-      explode(expr("transform(sequence(0, 3), j -> struct(" +
-        "j AS band, md5(array_join(slice(sigs, j * 4 + 1, 4), '|')) " +
+
+  /** The (band, digest) rows for a (bands × rowsPerBand) LSH config over
+    * [[shingleFeat]]'s signature arrays: band j digests components
+    * j·r..j·r+r−1 in k order — identical to the oracle's GROUP BY k div r
+    * + string_agg(sig ORDER BY k). */
+  private def bandsOf(feat: DataFrame, bands: Int, r: Int): DataFrame =
+    feat.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), j -> struct(" +
+        s"j AS band, md5(array_join(slice(sigs, j * $r + 1, $r), '|')) " +
         "AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bkey").as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+
+  /** Distinct candidate (a, b) id pairs sharing any band bucket. */
+  private def candOf(feat: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bs = bandsOf(feat, bands, r)
+    bs.as("x").join(bs.as("y"), Seq("band", "bkey"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Estimated-vs-exact Jaccard for exactly the pairs the production LSH
+    * band index surfaces (q30's config: 4 bands × 4 rows) — the shared
+    * core of q231 (error histogram) and q235 (threshold confusion sweep).
+    * Nothing shuffles until the band join, which carries (doc, 4 band
+    * digests); the candidate exchange carries bare (a, b) ids; the
+    * feature re-join touches only candidate docs. ONE pair-join pass
+    * computes the signature agreement AND the exact set Jaccard
+    * (array_intersect over the distinct shingle arrays). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val feat = shingleFeat(s, d)
+    val cand = candOf(feat, 4, 4)
     cand
       .join(feat.select(col("doc_id").as("a"), col("sigs").as("sa"),
         col("shs").as("xa"), col("nsh").as("na")), "a")
@@ -418,6 +434,54 @@ object CalibrationQueries {
           expr("(1000 * n_overlap) div (n_a + n_b - n_overlap)")
             .as("jaccard_permille"),
           col("rank_disp"))
+    }),
+
+    // LSH banding S-curve audit: candidate volume and recall for the
+    // four 16-component band configs (16×1, 8×2, 4×4, 2×8). "Truth" =
+    // pairs with exact Jaccard ≥ 1/2 among the 16×1 SUPERSET (a pair
+    // surfaced by any banding shares ≥ 1 component, so every config's
+    // candidates are a subset of 16×1's — the denominator is exact
+    // relative to that superset and deterministic in both engines; the
+    // truly-unsurfaceable remainder has per-pair probability (1−J)^16 ≤
+    // 2^−16 at J ≥ 1/2). The config sweep that picks bands×rows from
+    // measured recall/volume, completing q235's threshold sweep.
+    // Scale shape: all candidate exchanges carry bare id pairs; the
+    // superset's exact-Jaccard verify joins features only for surfaced
+    // pairs; J ≥ 1/2 is the cross-multiplied 3·|∩| ≥ na+nb — no
+    // division; per-config stats are 1-row aggregates unioned.
+    "q238_lsh_curve" -> ((s, d) => {
+      val feat = shingleFeat(s, d)
+      val sup = candOf(feat, 16, 1).localCheckpoint()
+      val truth = sup
+        .join(feat.select(col("doc_id").as("a"), col("shs").as("xa"),
+          col("nsh").as("na")), "a")
+        .join(feat.select(col("doc_id").as("b"), col("shs").as("xb"),
+          col("nsh").as("nb")), "b")
+        .where(lit(3) * size(array_intersect(col("xa"), col("xb"))) >=
+          col("na") + col("nb"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (nb, r) =>
+        val c = if (r == 1) sup else candOf(feat, nb, r)
+        c.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(broadcast(nt))
+          .crossJoin(broadcast(
+            c.join(truth, Seq("a", "b"), "left_semi")
+              .agg(count(lit(1)).as("n_hit"))))
+          .select(lit(nb.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_cand"), col("n_truth"), col("n_hit"))
+      }.reduce(_ union _)
+        .select(col("bands"), col("rows_per_band"), col("n_cand"),
+          col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            expr("(1000 * n_hit) div n_truth")).otherwise(lit(0L))
+            .as("recall_permille"),
+          when(col("n_cand") > 0,
+            expr("(1000 * n_hit) div n_cand")).otherwise(lit(0L))
+            .as("purity_permille"))
+        .orderBy(col("rows_per_band"))
     })
   )
 
@@ -686,6 +750,64 @@ object CalibrationQueries {
         |       THEN 1 ELSE 0 END)) AS jaccard_permille,
         |  CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
         |    THEN abs(ra - rb) ELSE 0 END) AS BIGINT) AS rank_disp
-        |FROM ta FULL OUTER JOIN tb USING (g)""".stripMargin
+        |FROM ta FULL OUTER JOIN tb USING (g)""".stripMargin,
+
+    "q238_lsh_curve" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([w[i - 2] || ' ' || w[i - 1] || ' ' || w[i]
+        |      for i in range(3, len(w) + 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    MIN(md5(CAST(k AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN range(0, 16) t(k)
+        |  GROUP BY doc_id, k),
+        |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+        |        t(cb, rpb)),
+        |bands AS (
+        |  SELECT c.cb, c.rpb, s.doc_id, s.k // c.rpb AS band,
+        |    md5(string_agg(s.sig, '|' ORDER BY s.k)) AS bkey
+        |  FROM sig s CROSS JOIN cfg c
+        |  GROUP BY c.cb, c.rpb, s.doc_id, s.k // c.rpb),
+        |candc AS (
+        |  SELECT DISTINCT x.cb, x.rpb, x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.cb = y.cb AND x.rpb = y.rpb AND x.band = y.band
+        |    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |sup AS (SELECT a, b FROM candc WHERE rpb = 1),
+        |truth AS (
+        |  SELECT s.a, s.b FROM sup s
+        |  JOIN sizes na ON na.doc_id = s.a
+        |  JOIN sizes nb ON nb.doc_id = s.b
+        |  JOIN (SELECT c.a, c.b, COUNT(*) AS ni
+        |        FROM sup c
+        |        JOIN sh xa ON xa.doc_id = c.a
+        |        JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
+        |        GROUP BY c.a, c.b) i ON i.a = s.a AND i.b = s.b
+        |  WHERE 3 * i.ni >= na.nsh + nb.nsh),
+        |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        |nc AS (SELECT cb, rpb, COUNT(*) AS n_cand FROM candc
+        |       GROUP BY cb, rpb),
+        |hit AS (
+        |  SELECT c.cb, c.rpb, COUNT(*) AS n_hit
+        |  FROM candc c JOIN truth t ON t.a = c.a AND t.b = c.b
+        |  GROUP BY c.cb, c.rpb)
+        |SELECT CAST(nc.cb AS BIGINT) AS bands,
+        |  CAST(nc.rpb AS BIGINT) AS rows_per_band,
+        |  nc.n_cand, nt.n_truth,
+        |  CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN nt.n_truth > 0
+        |    THEN (1000 * CAST(COALESCE(hit.n_hit, 0) AS BIGINT))
+        |      // nt.n_truth ELSE 0 END AS recall_permille,
+        |  CASE WHEN nc.n_cand > 0
+        |    THEN (1000 * CAST(COALESCE(hit.n_hit, 0) AS BIGINT))
+        |      // nc.n_cand ELSE 0 END AS purity_permille
+        |FROM nc CROSS JOIN nt
+        |LEFT JOIN hit ON hit.cb = nc.cb AND hit.rpb = nc.rpb
+        |ORDER BY rows_per_band""".stripMargin
   )
 }

@@ -144,6 +144,29 @@ class CalibrationSpec extends AnyFunSuite {
     assert(disp <= ov * 199)
   }
 
+  test("q238 S-curve: volume antitone, recall antitone, superset full") {
+    val rows = run("q238_lsh_curve").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.map(_._1).sameElements(Seq(1L, 2L, 4L, 8L)))
+    val nTruth = rows.head._3
+    assert(rows.forall(_._3 == nTruth), "one shared truth denominator")
+    // every config's candidates are a subset of the 16×1 superset
+    val sup = rows.head._2
+    assert(rows.forall(_._2 <= sup))
+    // more rows per band = stricter buckets: candidates and recall
+    // can only shrink
+    val cands = rows.map(_._2)
+    assert(cands.sameElements(cands.sortBy(-_)),
+      s"candidate volume must be antitone in rows/band: ${cands.toSeq}")
+    val recalls = rows.map(_._5)
+    assert(recalls.sameElements(recalls.sortBy(-_)),
+      s"recall must be antitone in rows/band: ${recalls.toSeq}")
+    // the superset surfaces every truth pair by construction
+    assert(rows.head._5 == 1000L && rows.head._4 == nTruth)
+    rows.foreach { r => assert(r._4 <= nTruth && r._4 <= r._2) }
+  }
+
   test("MinHashShingles kernel matches the column-algebra construction") {
     import spark.implicits._
     val docs = Seq("a b c d e", "x y", "dup dup dup dup", "", "a  b c d")
