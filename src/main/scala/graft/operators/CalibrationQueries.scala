@@ -450,31 +450,58 @@ object CalibrationQueries {
     // pairs; J ≥ 1/2 is the cross-multiplied 3·|∩| ≥ na+nb — no
     // division; per-config stats are 1-row aggregates unioned.
     "q238_lsh_curve" -> ((s, d) => {
+      // One band join builds the 16×1 superset; ONE pair-join pass then
+      // decides everything per pair: the 16-component equality vector
+      // (zip_with) gives each stricter config's membership (a pair is in
+      // the (b, r) candidate set iff some contiguous r-run of components
+      // is all-equal — digest equality on the band join is exactly
+      // component-tuple equality), and the exact-Jaccard truth flag is
+      // the cross-multiplied 3·|∩| ≥ na+nb. The per-config band
+      // self-joins + semi-joins this replaces measured 10.6 s; all
+      // curve rows fall out of a single 1-row aggregate, unpivoted.
       val feat = shingleFeat(s, d)
-      val sup = candOf(feat, 16, 1).localCheckpoint()
-      val truth = sup
-        .join(feat.select(col("doc_id").as("a"), col("shs").as("xa"),
-          col("nsh").as("na")), "a")
-        .join(feat.select(col("doc_id").as("b"), col("shs").as("xb"),
-          col("nsh").as("nb")), "b")
-        .where(lit(3) * size(array_intersect(col("xa"), col("xb"))) >=
-          col("na") + col("nb"))
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
-      Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (nb, r) =>
-        val c = if (r == 1) sup else candOf(feat, nb, r)
-        c.agg(count(lit(1)).as("n_cand"))
-          .crossJoin(broadcast(nt))
-          .crossJoin(broadcast(
-            c.join(truth, Seq("a", "b"), "left_semi")
-              .agg(count(lit(1)).as("n_hit"))))
-          .select(lit(nb.toLong).as("bands"),
-            lit(r.toLong).as("rows_per_band"),
-            col("n_cand"), col("n_truth"), col("n_hit"))
-      }.reduce(_ union _)
-        .select(col("bands"), col("rows_per_band"), col("n_cand"),
-          col("n_truth"), col("n_hit"),
+      val sup = candOf(feat, 16, 1)
+      val flags = sup
+        .join(feat.select(col("doc_id").as("a"), col("sigs").as("sa"),
+          col("shs").as("xa"), col("nsh").as("na")), "a")
+        .join(feat.select(col("doc_id").as("b"), col("sigs").as("sb"),
+          col("shs").as("xb"), col("nsh").as("nb")), "b")
+        .select(expr("zip_with(sa, sb, (x, y) -> x = y)").as("eq"),
+          (lit(3) * size(array_intersect(col("xa"), col("xb"))) >=
+            col("na") + col("nb")).as("tr"))
+        .select(col("tr"),
+          expr("exists(sequence(0, 7), j -> " +
+            "element_at(eq, 2 * j + 1) AND element_at(eq, 2 * j + 2))")
+            .as("m2"),
+          expr("exists(sequence(0, 3), j -> " +
+            "forall(slice(eq, 4 * j + 1, 4), v -> v))").as("m4"),
+          expr("exists(sequence(0, 1), j -> " +
+            "forall(slice(eq, 8 * j + 1, 8), v -> v))").as("m8"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      flags.agg(count(lit(1)).as("c1"), cnt(col("m2")).as("c2"),
+          cnt(col("m4")).as("c4"), cnt(col("m8")).as("c8"),
+          cnt(col("tr")).as("nt"),
+          cnt(col("tr") && col("m2")).as("h2"),
+          cnt(col("tr") && col("m4")).as("h4"),
+          cnt(col("tr") && col("m8")).as("h8"))
+        .select(explode(array(
+          struct(lit(16L).as("bands"), lit(1L).as("rows_per_band"),
+            col("c1").as("n_cand"), col("nt").as("n_truth"),
+            col("nt").as("n_hit")),
+          struct(lit(8L).as("bands"), lit(2L).as("rows_per_band"),
+            col("c2").as("n_cand"), col("nt").as("n_truth"),
+            col("h2").as("n_hit")),
+          struct(lit(4L).as("bands"), lit(4L).as("rows_per_band"),
+            col("c4").as("n_cand"), col("nt").as("n_truth"),
+            col("h4").as("n_hit")),
+          struct(lit(2L).as("bands"), lit(8L).as("rows_per_band"),
+            col("c8").as("n_cand"), col("nt").as("n_truth"),
+            col("h8").as("n_hit")))).as("r"))
+        .select(col("r.bands").as("bands"),
+          col("r.rows_per_band").as("rows_per_band"),
+          col("r.n_cand").as("n_cand"), col("r.n_truth").as("n_truth"),
+          col("r.n_hit").as("n_hit"),
           when(col("n_truth") > 0,
             expr("(1000 * n_hit) div n_truth")).otherwise(lit(0L))
             .as("recall_permille"),
