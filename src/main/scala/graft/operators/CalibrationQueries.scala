@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions._
   *    for the four 16-component band configs against the exact-Jaccard
   *    truth on the single-component superset; with q235 this closes the
   *    full (bands × rows, threshold) dedup design space over data.
+  *  - q239: cross-language duplication flow — q226's provenance matrix
+  *    keyed by language; the translated-boilerplate/leakage audit.
+  *  - q240: token-budget water-filling — max-min fair allocation of a
+  *    60% token budget across sources, integer-exact, window-free.
   *
   * Same quantization conventions as Quality/CorpusQueries: integer
   * milli/permille units via `div` over positive operands, floor-log2 where
@@ -509,6 +513,74 @@ object CalibrationQueries {
             expr("(1000 * n_hit) div n_cand")).otherwise(lit(0L))
             .as("purity_permille"))
         .orderBy(col("rows_per_band"))
+    }),
+
+    // Cross-language duplication flow (q226's provenance matrix keyed by
+    // LANGUAGE): for every bag-of-words duplicate group spanning more
+    // than one language, the unordered language-pair incidence — the
+    // translated-boilerplate / cross-lingual-leakage audit (a dup group
+    // straddling languages defeats per-language dedup and can leak eval
+    // text across language splits). Scale shape: groups collapse to
+    // distinct language sets map-side; pair expansion is per group over
+    // ≤ |langs| members; the matrix is a bounded |langs|² aggregate.
+    "q239_lang_copy_matrix" -> ((s, d) => {
+      val fp = md5(concat_ws(",",
+        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+      T.documents(s, d)
+        .select(fp.as("fp"), col("lang"))
+        .groupBy(col("fp"))
+        .agg(collect_set(col("lang")).as("ls"), count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(array_sort(col("ls")).as("ls"))
+        .select(explode(expr(
+          "flatten(transform(ls, (x, i) -> " +
+            "transform(slice(ls, i + 2, size(ls)), y -> " +
+            "struct(x AS lang_a, y AS lang_b))))")).as("p"))
+        .select(col("p.lang_a"), col("p.lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    // Token-budget water-filling: allocate a 60%-of-corpus token budget
+    // across sources — small sources keep their full demand, large ones
+    // clip at the common level L chosen so the budget is exhausted (the
+    // classic max-min fair allocator; the budget-constrained counterpart
+    // to q233's weight schedule). Integer-exact: rank sources by demand
+    // (asc, ties by name), j = last rank fully fundable
+    // (prefix_r + d_r·(n−r) ≤ cap), L = (cap − prefix_j) div (n − j).
+    // Scale shape: ONE corpus aggregate to |sources| rows; rank and
+    // prefix come from a bounded triangle join (no window); every later
+    // step is arithmetic on broadcast scalars.
+    "q240_budget_waterfill" -> ((s, d) => {
+      val dem = T.documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("nw"))
+        .groupBy(col("source")).agg(sum(col("nw")).as("d"))
+      val st = dem.agg(sum(col("d")).as("total"), count(lit(1)).as("n"))
+        .select(col("total"), col("n"),
+          expr("(6 * total) div 10").as("cap"))
+      val ranked = dem.as("x")
+        .join(broadcast(dem.as("y")),
+          col("y.d") < col("x.d") ||
+            (col("y.d") === col("x.d") &&
+              col("y.source") <= col("x.source")))
+        .groupBy(col("x.source").as("source"), col("x.d").as("d"))
+        .agg(count(lit(1)).as("r"), sum(col("y.d")).as("prefix"))
+      val jrow = ranked.crossJoin(broadcast(st))
+        .agg(coalesce(max(when(
+            col("prefix") + col("d") * (col("n") - col("r")) <= col("cap"),
+            col("r"))), lit(0L)).as("j"),
+          coalesce(max(when(
+            col("prefix") + col("d") * (col("n") - col("r")) <= col("cap"),
+            col("prefix"))), lit(0L)).as("prefj"))
+      ranked.crossJoin(broadcast(st)).crossJoin(broadcast(jrow))
+        .select(col("source"), col("d").as("demand_tokens"),
+          when(col("r") <= col("j"), col("d"))
+            .otherwise(expr("(cap - prefj) div (n - j)"))
+            .as("alloc_tokens"),
+          when(col("r") <= col("j"), 0L).otherwise(1L).as("clipped"))
+        .orderBy(col("source"))
     })
   )
 
@@ -835,6 +907,50 @@ object CalibrationQueries {
         |      // nc.n_cand ELSE 0 END AS purity_permille
         |FROM nc CROSS JOIN nt
         |LEFT JOIN hit ON hit.cb = nc.cb AND hit.rpb = nc.rpb
-        |ORDER BY rows_per_band""".stripMargin
+        |ORDER BY rows_per_band""".stripMargin,
+
+    "q239_lang_copy_matrix" ->
+      """WITH g AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ',')) AS fp,
+        |    list_sort(list_distinct(list(lang))) AS ls,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY fp HAVING COUNT(*) > 1),
+        |p AS (
+        |  SELECT ls[i] AS lang_a, ls[j] AS lang_b
+        |  FROM g, range(1, 1000) i(i), range(1, 1000) j(j)
+        |  WHERE i < j AND j <= len(ls))
+        |SELECT lang_a, lang_b, COUNT(*) AS n_groups
+        |FROM p GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b""".stripMargin,
+
+    "q240_budget_waterfill" ->
+      """WITH dem AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS d
+        |  FROM documents GROUP BY source),
+        |st AS (
+        |  SELECT CAST(SUM(d) AS BIGINT) AS total, COUNT(*) AS n,
+        |    (6 * CAST(SUM(d) AS BIGINT)) // 10 AS cap
+        |  FROM dem),
+        |rk AS (
+        |  SELECT source, d,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d, source) AS BIGINT) AS r,
+        |    CAST(SUM(d) OVER (ORDER BY d, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+        |  FROM dem),
+        |jrow AS (
+        |  SELECT
+        |    COALESCE(MAX(CASE WHEN prefix + d * (n - r) <= cap
+        |      THEN r END), 0) AS j,
+        |    COALESCE(MAX(CASE WHEN prefix + d * (n - r) <= cap
+        |      THEN prefix END), 0) AS prefj
+        |  FROM rk CROSS JOIN st)
+        |SELECT source, d AS demand_tokens,
+        |  CASE WHEN r <= j THEN d
+        |    ELSE (cap - prefj) // (n - j) END AS alloc_tokens,
+        |  CASE WHEN r <= j THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) END AS clipped
+        |FROM rk CROSS JOIN st CROSS JOIN jrow
+        |ORDER BY source""".stripMargin
   )
 }

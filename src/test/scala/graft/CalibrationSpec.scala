@@ -167,6 +167,49 @@ class CalibrationSpec extends AnyFunSuite {
     rows.foreach { r => assert(r._4 <= nTruth && r._4 <= r._2) }
   }
 
+  test("q239 language-pair totals recount from the raw dup groups") {
+    import spark.implicits._
+    val rows = run("q239_lang_copy_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture plants cross-language dup groups")
+    rows.foreach { case (a, b, n) => assert(a < b && n > 0) }
+    // independent recount: sum over groups of C(|langs|, 2) must equal
+    // the matrix total
+    val fp = md5(concat_ws(",",
+      array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+    val ks = Tables.documents(spark, sf)
+      .select(fp.as("fp"), col("lang"))
+      .groupBy(col("fp"))
+      .agg(size(collect_set(col("lang"))).as("k"), count(lit(1)).as("n"))
+      .where(col("n") > 1).select(col("k")).as[Int].collect()
+    val expected = ks.map(k => k.toLong * (k - 1) / 2).sum
+    assert(rows.map(_._3).sum == expected,
+      s"matrix total ${rows.map(_._3).sum} vs C(k,2) recount $expected")
+  }
+
+  test("q240 water-filling: feasible, fair, and budget-exhausting") {
+    val rows = run("q240_budget_waterfill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val cap = 6 * total / 10
+    val alloc = rows.map(_._3).sum
+    assert(rows.forall(r => r._3 <= r._2), "allocation never exceeds demand")
+    assert(alloc <= cap, s"allocated $alloc over cap $cap")
+    // floor rounding loses less than one token per clipped source
+    val nClipped = rows.count(_._4 == 1L)
+    assert(cap - alloc < math.max(nClipped, 1),
+      s"budget left on the table: cap $cap alloc $alloc")
+    // max-min fairness: every clipped source gets the same level, and
+    // that level is >= every unclipped demand
+    val levels = rows.filter(_._4 == 1L).map(_._3).distinct
+    assert(levels.length <= 1, s"clipped sources at levels $levels")
+    if (levels.nonEmpty) {
+      val funded = rows.filter(_._4 == 0L).map(_._2)
+      assert(funded.forall(_ <= levels.head),
+        "an unclipped demand exceeds the clip level")
+    }
+  }
+
   test("MinHashShingles kernel matches the column-algebra construction") {
     import spark.implicits._
     val docs = Seq("a b c d e", "x y", "dup dup dup dup", "", "a  b c d")
