@@ -32,7 +32,8 @@ object SparkEntry {
     (operators.QualityQueries.queries, operators.QualityQueries.oracleSql),
     (operators.CorpusQueries.queries, operators.CorpusQueries.oracleSql),
     (operators.CalibrationQueries.queries,
-      operators.CalibrationQueries.oracleSql)
+      operators.CalibrationQueries.oracleSql),
+    (operators.StorageQueries.queries, operators.StorageQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
