@@ -33,7 +33,9 @@ object SparkEntry {
     (operators.CorpusQueries.queries, operators.CorpusQueries.oracleSql),
     (operators.CalibrationQueries.queries,
       operators.CalibrationQueries.oracleSql),
-    (operators.StorageQueries.queries, operators.StorageQueries.oracleSql)
+    (operators.StorageQueries.queries, operators.StorageQueries.oracleSql),
+    (operators.WebCurationQueries.queries,
+      operators.WebCurationQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -30,7 +30,8 @@ class QueriesSpec extends AnyFunSuite {
   /** Queries allowed to carry an unpartitioned Window: their global window
     * runs over a per-bucket offsets aggregate of ≤ 32 rows (the two-pass
     * prefix-sum pattern), which the lint verifies structurally below. */
-  private val boundedGlobalWindow = Set("q150_token_shards", "q173_pareto")
+  private val boundedGlobalWindow =
+    Set("q150_token_shards", "q173_pareto", "q242_compaction_plan")
 
   private def lintWindows(name: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
