@@ -35,7 +35,8 @@ object SparkEntry {
       operators.CalibrationQueries.oracleSql),
     (operators.StorageQueries.queries, operators.StorageQueries.oracleSql),
     (operators.WebCurationQueries.queries,
-      operators.WebCurationQueries.oracleSql)
+      operators.WebCurationQueries.oracleSql),
+    (operators.GraphQueries.queries, operators.GraphQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics layer — the link-graph primitives a crawl pipeline runs
+  * for domain ranking and graph hygiene (Common Crawl publishes exactly
+  * these: harmonic/PageRank centrality over the host web graph). The graph
+  * here is the REAL trade graph the TPC-H-ish tables encode — nation →
+  * nation weighted edges via customer → orders → lineitem → supplier — so
+  * the queries exercise genuine multi-join edge extraction, not a toy edge
+  * list:
+  *
+  *  - q251: weighted PageRank, 3 statically-unrolled power iterations in
+  *    integer micro-units. Each iteration is the canonical distributed
+  *    shape: ranks ⋈ edges on src (shuffle keyed by src), per-edge
+  *    contribution, groupBy dst with map-side partial aggregation. Edge
+  *    extraction aggregates the fact tables down to ≤ |V|² weighted edges
+  *    BEFORE any iteration touches them. Damping 0.85 as an ×85 //100
+  *    integer step so both engines agree bit-for-bit.
+  *  - q252: triangle counting by degree ordering (the shuffle-efficient
+  *    node-iterator: orient each undirected edge from the lower-(degree,
+  *    id) endpoint, join wedges on the middle vertex, close against the
+  *    oriented edge list). Wedge fan-out is bounded by the max ORIENTED
+  *    out-degree (≤ √(2|E|) after orientation — the classic bound), not
+  *    the raw hub degree; this is why the ordering matters at scale.
+  */
+object GraphQueries {
+
+  /** Nation → nation weighted trade edges (src buys from dst). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(T.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PageRank: r₀ = 1e6/N; rₖ₊₁(v) = (1e6 − 850000)/N +
+    // 85·Σ_{u→v} (rₖ(u)·w/Wᵤ) // 100, all integer div. N and the edge
+    // list come from the data (no hard-coded graph size). The three
+    // iterations unroll into one plan: Catalyst pipelines the joins and
+    // each groupBy(dst) partial-aggregates map-side, so per-iteration
+    // shuffle volume is |E| contribution rows, the distributed-PageRank
+    // contract.
+    "q251_pagerank" -> ((s, d) => {
+      val edges = tradeEdges(s, d)
+      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      val ew = edges.join(outW, "src")
+      val nodes = T.nation(s, d)
+        .select(col("n_nationkey").as("node"), col("n_name"))
+      // bounded collect: |V| for the integer base-rank literals
+      val nN = nodes.count()
+      val init = 1000000L / nN
+      val base = 150000L / nN
+      var ranks = nodes.select(col("node"), lit(init).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("(r * w) div wout").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        ranks = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"),
+            "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(cin, 0L)) div 100"))
+              .as("r"))
+      }
+      val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+      nodes.join(ranks, "node")
+        .join(inDeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("n_name"), col("r").as("rank_micro"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(col("rank_micro").desc, col("n_name"))
+    }),
+
+    // Triangle counting: undirected edge set (min, max of each trade
+    // pair, self-loops dropped), orient by (degree, id), wedge join on
+    // the middle vertex, close against oriented edges. Output: one row —
+    // |V|, |E|, wedge count, triangle count, global clustering in
+    // permille (3·triangles / wedges over the UNDIRECTED wedge count).
+    "q252_triangles" -> ((s, d) => {
+      val und = tradeEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      // orient each edge from the lower-(degree, id) endpoint
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("lo"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("hi"))
+      // wedges centered on lo: pairs of oriented out-neighbors
+      val w1 = oriented.select(col("lo").as("c"), col("hi").as("x"))
+      val w2 = oriented.select(col("lo").as("c"), col("hi").as("y"))
+      val wedges = w1.join(w2, "c").where(col("x") < col("y"))
+      // wedge endpoints are id-ordered (x < y), exactly und's (a, b)
+      // orientation — closing is a pure EQUI-join, never a nested loop
+      val closed = wedges.join(
+        und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+      val undWedges = deg.agg(
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val nv = deg.agg(count(lit(1)).as("n_vertices"))
+      val ne = und.agg(count(lit(1)).as("n_edges"))
+      val tri = closed.agg(count(lit(1)).as("n_triangles"))
+      nv.crossJoin(ne).crossJoin(undWedges).crossJoin(tri)
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("(3000 * n_triangles) div n_wedges")
+            .as("clustering_permille"))
+    })
+  )
+
+  private val edgeCte =
+    """e AS (
+      |  SELECT c.c_nationkey AS src, su.s_nationkey AS dst,
+      |    COUNT(*) AS w
+      |  FROM customer c
+      |  JOIN orders o ON c.c_custkey = o.o_custkey
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q251_pagerank" -> (
+      s"""WITH $edgeCte,
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+        |       FROM e GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM nation),
+        |r0 AS (SELECT n_nationkey AS node,
+        |         CAST(1000000 // nn.n AS BIGINT) AS r
+        |       FROM nation, nn),
+        |r1 AS (
+        |  SELECT na.n_nationkey AS node,
+        |    CAST(150000 // nn.n
+        |      + (85 * COALESCE(ci.cin, 0)) // 100 AS BIGINT) AS r
+        |  FROM nation na CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM((r0.r * e.w) // ow.wout) AS BIGINT) AS cin
+        |    FROM e JOIN ow ON e.src = ow.src
+        |      JOIN r0 ON r0.node = e.src
+        |    GROUP BY 1) ci ON ci.node = na.n_nationkey),
+        |r2 AS (
+        |  SELECT na.n_nationkey AS node,
+        |    CAST(150000 // nn.n
+        |      + (85 * COALESCE(ci.cin, 0)) // 100 AS BIGINT) AS r
+        |  FROM nation na CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM((r1.r * e.w) // ow.wout) AS BIGINT) AS cin
+        |    FROM e JOIN ow ON e.src = ow.src
+        |      JOIN r1 ON r1.node = e.src
+        |    GROUP BY 1) ci ON ci.node = na.n_nationkey),
+        |r3 AS (
+        |  SELECT na.n_nationkey AS node,
+        |    CAST(150000 // nn.n
+        |      + (85 * COALESCE(ci.cin, 0)) // 100 AS BIGINT) AS r
+        |  FROM nation na CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM((r2.r * e.w) // ow.wout) AS BIGINT) AS cin
+        |    FROM e JOIN ow ON e.src = ow.src
+        |      JOIN r2 ON r2.node = e.src
+        |    GROUP BY 1) ci ON ci.node = na.n_nationkey),
+        |ind AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY 1)
+        |SELECT na.n_name, r3.r AS rank_micro,
+        |  CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg
+        |FROM nation na JOIN r3 ON r3.node = na.n_nationkey
+        |  LEFT JOIN ind ON ind.dst = na.n_nationkey
+        |ORDER BY rank_micro DESC, na.n_name""".stripMargin),
+
+    "q252_triangles" -> (
+      s"""WITH $edgeCte,
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS dg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN da.dg < db.dg
+        |      OR (da.dg = db.dg AND und.a < und.b)
+        |    THEN und.a ELSE und.b END AS lo,
+        |    CASE WHEN da.dg < db.dg
+        |      OR (da.dg = db.dg AND und.a < und.b)
+        |    THEN und.b ELSE und.a END AS hi
+        |  FROM und JOIN deg da ON da.v = und.a
+        |    JOIN deg db ON db.v = und.b),
+        |wed AS (
+        |  SELECT w1.lo AS c, w1.hi AS x, w2.hi AS y
+        |  FROM ori w1 JOIN ori w2 ON w1.lo = w2.lo AND w1.hi < w2.hi),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles FROM wed
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.a = wed.x AND und.b = wed.y)),
+        |uw AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT)
+        |         AS n_wedges FROM deg),
+        |nv AS (SELECT COUNT(*) AS n_vertices FROM deg),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM und)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |  CAST((3000 * n_triangles) // n_wedges AS BIGINT)
+        |    AS clustering_permille
+        |FROM nv, ne, uw, tri""".stripMargin)
+  )
+}
