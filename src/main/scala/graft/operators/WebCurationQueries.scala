@@ -205,6 +205,61 @@ object WebCurationQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // URL-frontier dedup INSIDE the streaming engine (q245's canonical
+    // key + the q210/q221/q229 trigger mechanics): each micro-batch
+    // reduces to its own (canonical, n) count delta — O(batch) work —
+    // persisted under its batch_id with dynamic overwrite so replays
+    // rewrite, never double-count; the merged deltas must equal the
+    // one-shot batch frontier account bit for bit (the oracle IS q245's).
+    // This is the crawl-frontier contract: the frontier state is a
+    // mergeable count table, arrival order never matters.
+    "q253_stream_frontier" -> ((s, d) => {
+      val src = CorpusQueries.docsSourceSplitFixture(s, d)
+      val base = s"${graft.Scratch.root}/graft_frontier/" +
+        java.util.UUID.randomUUID
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // the fixture carries (doc_id, text, source); lang is not in
+          // the canonical key (it lives in the stripped query string),
+          // so the frontier key needs only (source, doc_id % 40)
+          batch.select(
+              regexp_replace(
+                lower(regexp_replace(
+                  concat(lit("https://WWW."), col("source"),
+                    lit(".Example.COM/p/"),
+                    (col("doc_id") % 40).cast("string"),
+                    lit("?utm_source=feed&sid="),
+                    col("doc_id").cast("string")),
+                  "\\?.*$", "")),
+                "^https://www\\.", "https://").as("cu"))
+            .groupBy(col("cu")).agg(count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/delta")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val g = s.read.parquet(s"$base/delta")
+        .groupBy(col("cu")).agg(sum(col("n")).as("c"))
+      g.agg(
+        sum(col("c")).as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("n_colliding_urls"),
+        max(col("c")).as("max_group"))
+        .select(col("n_urls"), col("n_canonical"),
+          col("n_colliding_urls"), col("max_group"),
+          expr("(1000 * (n_urls - n_canonical)) div n_urls")
+            .as("frontier_saved_permille"))
+    }),
+
     // Bloom decontamination: m=16384 bits, k=2 md5-derived hashes over
     // the benchmark (source src0) 5-gram set; probe = two semi joins
     // against the broadcast bit set; priced against the exact gram join.
@@ -291,6 +346,28 @@ object WebCurationQueries {
         |FROM stats, hit""".stripMargin,
 
     "q245_url_canon" ->
+      """WITH u AS (
+        |  SELECT 'https://WWW.' || source || '.Example.COM/p/' ||
+        |    CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&sid=' ||
+        |    CAST(doc_id AS VARCHAR) || '&lang=' || lang AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT regexp_replace(
+        |      lower(regexp_replace(url, '\?.*$', '')),
+        |      '^https://www\.', 'https://') AS cu
+        |  FROM u),
+        |g AS (SELECT cu, COUNT(*) AS c FROM c GROUP BY 1)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_urls,
+        |  COUNT(*) AS n_canonical,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_colliding_urls,
+        |  CAST(MAX(c) AS BIGINT) AS max_group,
+        |  CAST((1000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT)
+        |    AS frontier_saved_permille
+        |FROM g""".stripMargin,
+
+    // streaming must equal the one-shot batch frontier: q245's oracle
+    "q253_stream_frontier" ->
       """WITH u AS (
         |  SELECT 'https://WWW.' || source || '.Example.COM/p/' ||
         |    CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&sid=' ||

@@ -102,6 +102,14 @@ class WebCurationSpec extends AnyFunSuite {
     assert(r.getLong(6) <= 1000)
   }
 
+  test("q253 streaming frontier equals the one-shot batch account " +
+    "row for row") {
+    val streamed = run("q253_stream_frontier").collect()
+    val batch = run("q245_url_canon").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "merged per-trigger deltas must equal the batch frontier")
+  }
+
   test("q249 bit-set probes broadcast, never SMJ") {
     val p = run("q249_bloom_decontaminate")
       .queryExecution.executedPlan.toString
