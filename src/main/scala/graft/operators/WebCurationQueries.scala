@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   *    VOCABULARY). Gram streams collapse to distinct (source, gram)
   *    rows, pairs expand from per-gram sorted source sets (≤|sources|²).
   *  - q249: Bloom-filter decontamination — the broadcast-bitset variant
-  *    of q62's benchmark-overlap join: build an m=16384, k=2 filter over
-  *    the benchmark 5-grams, probe every corpus gram, and MEASURE the
-  *    false-positive cost against the exact join. At 100 TB the filter
-  *    (2 KB) broadcasts where the benchmark join would shuffle; the fp
-  *    rate is the price, and this query prices it.
+  *    of q62's benchmark-overlap join: build a k=2 filter SIZED to the
+  *    benchmark (m = 16 bits/member — the sf1 probe measured a fixed-m
+  *    filter saturating at 10× data) over the benchmark 5-grams, probe
+  *    every corpus gram, and MEASURE the false-positive cost against
+  *    the exact join. At 100 TB the filter (|bench|·2 bytes) broadcasts
+  *    where the benchmark join would shuffle; the fp rate is the price,
+  *    and this query prices it.
   *
   * Same engine-parity conventions as the rest of the board: permille
   * integers, md5-derived hashes via conv/'0x' casts, planted schedules
@@ -260,10 +262,16 @@ object WebCurationQueries {
             .as("frontier_saved_permille"))
     }),
 
-    // Bloom decontamination: m=16384 bits, k=2 md5-derived hashes over
-    // the benchmark (source src0) 5-gram set; probe = two semi joins
-    // against the broadcast bit set; priced against the exact gram join.
-    // At scale the bit set is a 2 KB broadcast — the whole point.
+    // Bloom decontamination: k=2 hashes from ONE md5 per gram (double
+    // hashing: hex digits 1-12 and 13-24 of the same digest) over the
+    // benchmark
+    // (source src0) 5-gram set, filter SIZED TO THE BENCHMARK — m = 16
+    // bits per member (the sf1 probe measured the fixed-m variant
+    // saturating at 10× data: every bit set, every gram flagged, 18×
+    // wall). Probe = two semi joins against the broadcast bit set;
+    // priced against the exact gram join. At scale the bit set is a
+    // |bench|/4-byte broadcast where the exact join shuffles the corpus
+    // gram stream — the whole point.
     "q249_bloom_decontaminate" -> ((s, d) => {
       def grams(df: DataFrame): DataFrame = df
         .select(col("doc_id"), words.as("ws"))
@@ -276,20 +284,22 @@ object WebCurationQueries {
       val docs = T.documents(s, d)
       val bench = grams(docs.where(col("source") === "src0"))
         .select(col("g")).distinct()
+      // bounded collect: one scalar — the benchmark cardinality sizes m
+      val m = 16L * bench.count()
       val bits = bench
         .select(explode(array(
-          expr("CAST(conv(substring(md5(concat('b1:', g)), 1, 6), 16, 10)" +
-            " AS BIGINT) % 16384"),
-          expr("CAST(conv(substring(md5(concat('b2:', g)), 1, 6), 16, 10)" +
-            " AS BIGINT) % 16384"))).as("b"))
+          expr("CAST(conv(substring(md5(g), 1, 12), 16, " +
+            s"10) AS BIGINT) % $m"),
+          expr("CAST(conv(substring(md5(g), 13, 12), 16, " +
+            s"10) AS BIGINT) % $m"))).as("b"))
         .distinct()
       val corpus = grams(docs.where(col("source") =!= "src0"))
         .withColumn("h1",
-          expr("CAST(conv(substring(md5(concat('b1:', g)), 1, 6), 16, 10)" +
-            " AS BIGINT) % 16384"))
+          expr("CAST(conv(substring(md5(g), 1, 12), 16, " +
+            s"10) AS BIGINT) % $m"))
         .withColumn("h2",
-          expr("CAST(conv(substring(md5(concat('b2:', g)), 1, 6), 16, 10)" +
-            " AS BIGINT) % 16384"))
+          expr("CAST(conv(substring(md5(g), 13, 12), 16, " +
+            s"10) AS BIGINT) % $m"))
       val flagged = corpus
         .join(broadcast(bits.withColumnRenamed("b", "h1")), Seq("h1"),
           "left_semi")
@@ -470,20 +480,21 @@ object WebCurationQueries {
         |    array_to_string(ws[i - 4:i], ' ') AS g
         |  FROM w, unnest(range(5, len(ws) + 1)) AS t(i)),
         |bench AS (SELECT DISTINCT g FROM gr WHERE source = 'src0'),
+        |mm AS (SELECT 16 * COUNT(*) AS m FROM bench),
         |bits AS (
         |  SELECT DISTINCT b FROM (
-        |    SELECT CAST('0x' || substr(md5('b1:' || g), 1, 6) AS BIGINT)
-        |      % 16384 AS b FROM bench
+        |    SELECT CAST('0x' || substr(md5(g), 1, 12) AS BIGINT)
+        |      % mm.m AS b FROM bench, mm
         |    UNION ALL
-        |    SELECT CAST('0x' || substr(md5('b2:' || g), 1, 6) AS BIGINT)
-        |      % 16384 FROM bench)),
+        |    SELECT CAST('0x' || substr(md5(g), 13, 12) AS BIGINT)
+        |      % mm.m FROM bench, mm)),
         |corpus AS (
         |  SELECT doc_id, g,
-        |    CAST('0x' || substr(md5('b1:' || g), 1, 6) AS BIGINT) % 16384
+        |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % mm.m
         |      AS h1,
-        |    CAST('0x' || substr(md5('b2:' || g), 1, 6) AS BIGINT) % 16384
+        |    CAST('0x' || substr(md5(g), 13, 12) AS BIGINT) % mm.m
         |      AS h2
-        |  FROM gr WHERE source <> 'src0'),
+        |  FROM gr, mm WHERE source <> 'src0'),
         |flagged AS (
         |  SELECT DISTINCT doc_id FROM corpus
         |  WHERE h1 IN (SELECT b FROM bits) AND h2 IN (SELECT b FROM bits)),
