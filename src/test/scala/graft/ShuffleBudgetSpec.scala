@@ -200,4 +200,36 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q211 shuffled $bytes B for a ${budget / 64} doc corpus — the " +
         "unfiltered token stream leaked into an exchange?")
   }
+
+  test("q250 PQ ADC scan shuffles nothing vector-sized") {
+    // The whole PQ design claim: codes + estimates are computed in one
+    // scan-side projection and the top-k is a bounded TakeOrdered (per-
+    // partition heads to the driver, no exchange). A single corpus
+    // vector payload in any exchange busts the budget.
+    val budget = vectorBudget()
+    val bytes = run("q250_pq_ann")
+    info(s"q250 shuffle write: $bytes B (budget $budget)")
+    assert(bytes < budget,
+      s"q250 shuffled $bytes B — a vector payload leaked into an " +
+        "exchange; the ADC scan must stay shuffle-free")
+  }
+
+  test("q249 Bloom probe shuffles the gram stream once, ids after") {
+    // The distinct (doc_id, gram) stream is the only corpus-sized
+    // exchange (5-word grams, lz4-compressed to ~0.8 B per corpus char
+    // measured), then doc-id-sized distincts; the bit-set joins
+    // broadcast. Budget 4 B/char ≈ 5x measured: an uncompressed
+    // payload column, a raw-text re-shuffle, or the gram stream
+    // crossing extra keyed exchanges (e.g. a non-broadcast bit join)
+    // overshoots.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q249_bloom_decontaminate")
+    info(s"q249 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 4L * chars,
+      s"q249 shuffled $bytes B for a $chars-char corpus — the gram " +
+        "stream crossed more exchanges than the design allows?")
+  }
 }
