@@ -40,6 +40,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object StorageQueries {
 
+  /** q254's search pattern and its distinct character trigrams — shared
+    * by the Spark plan and the oracle SQL so both intersect the same
+    * posting lists. */
+  private val TriPattern = "scan slow fast"
+  private val triSet: Seq[String] =
+    TriPattern.sliding(3).toSeq.distinct.sorted
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Zone-map skipping, insertion layout vs clustered layout: per-block
@@ -162,6 +169,47 @@ object StorageQueries {
           expr("(1000 * encoded_bits) div plain_bits")
             .as("ratio_permille"))
         .orderBy(col("col_name"))
+    }),
+
+    // Trigram substring index (the pg_trgm LIKE-acceleration shape): a
+    // candidate doc must contain EVERY character trigram of the search
+    // pattern, so the index answers '%scan slow fast%' by intersecting
+    // 11 posting lists and only the survivors pay the exact contains()
+    // verify. Scale shape: exactly q211's term-filter discipline — the
+    // per-doc trigram stream filters to the pattern's trigrams BEFORE
+    // any shuffle (the groupBy sees ≤ |pattern| rows per doc), postings
+    // intersection is a count(distinct)=k having clause, and the verify
+    // touches candidates only. The reduction/precision permilles price
+    // the index against the full scan it replaces.
+    "q254_trigram_index" -> ((s, d) => {
+      val pattern = TriPattern
+      val tris = triSet
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      val cand = docs
+        .select(col("doc_id"),
+          explode(when(length(col("t")) >= 3,
+            expr("transform(sequence(3, length(t)), i -> " +
+              "substring(t, i - 2, 3))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("tri"))
+        .where(col("tri").isin(tris: _*))
+        .select(col("doc_id"), col("tri")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        .where(col("nt") === tris.length)
+        .select(col("doc_id"))
+      val verified = cand.join(docs, "doc_id")
+        .where(col("t").contains(pattern))
+        .select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nv = verified.agg(count(lit(1)).as("n_verified"))
+      n.crossJoin(nc).crossJoin(nv).select(
+        lit(tris.length.toLong).as("n_pattern_trigrams"),
+        col("n_docs"), col("n_candidates"), col("n_verified"),
+        expr("(1000 * (n_docs - n_candidates)) div n_docs")
+          .as("scan_saved_permille"),
+        expr("(1000 * n_verified) div n_candidates")
+          .as("precision_permille"))
     }),
 
     // Product quantization: micro-quantize every element (×1000, floor →
@@ -344,6 +392,32 @@ object StorageQueries {
         |    + dict_chars * 8)) // (n_chars * 8) AS BIGINT)
         |    AS ratio_permille
         |FROM a ORDER BY col_name""".stripMargin,
+
+    "q254_trigram_index" -> {
+      val triIn = triSet.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH docs AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, substr(t, i - 2, 3) AS tri
+        |  FROM docs, unnest(range(3, length(t) + 1)) AS u(i)
+        |  WHERE substr(t, i - 2, 3) IN $triIn),
+        |cand AS (
+        |  SELECT doc_id FROM tri GROUP BY 1
+        |  HAVING COUNT(*) = ${triSet.length}),
+        |ver AS (
+        |  SELECT c.doc_id FROM cand c JOIN docs d ON c.doc_id = d.doc_id
+        |  WHERE contains(d.t, '$TriPattern')),
+        |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+        |nv AS (SELECT COUNT(*) AS n_verified FROM ver)
+        |SELECT CAST(${triSet.length} AS BIGINT) AS n_pattern_trigrams,
+        |  n_docs, n_candidates, n_verified,
+        |  CAST((1000 * (n_docs - n_candidates)) // n_docs AS BIGINT)
+        |    AS scan_saved_permille,
+        |  CAST((1000 * n_verified) // n_candidates AS BIGINT)
+        |    AS precision_permille
+        |FROM n, nc, nv""".stripMargin
+    },
 
     "q250_pq_ann" ->
       """WITH quant AS (

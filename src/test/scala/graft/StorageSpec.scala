@@ -81,6 +81,46 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("q254 trigram index is sound, precise enough to price, and " +
+    "matches the exact scan") {
+    val r = run("q254_trigram_index").head()
+    val (nTris, nDocs, nCand, nVer) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nTris == 12, "pattern 'scan slow fast' has 12 distinct trigrams")
+    // soundness: every true match survives the posting intersection
+    val exact = Tables.documents(spark, sf)
+      .where(lower(col("text")).contains("scan slow fast")).count()
+    assert(nVer == exact, "index + verify must equal the full scan")
+    assert(nVer <= nCand && nCand <= nDocs)
+    // word-soup text shares trigrams heavily, yet the 12-way
+    // intersection still prunes 85% here; the precision permille prices
+    // what remains for the verify step
+    assert(r.getLong(4) >= 500,
+      "the posting intersection must prune most of the corpus")
+    assert(r.getLong(5) >= 1,
+      "at least one candidate must verify (the pattern exists)")
+  }
+
+  test("q254 pattern filter runs before the posting shuffle") {
+    // q211's term-filter discipline: the trigram stream must filter to
+    // the pattern's trigrams in the SCAN stage (below every Exchange in
+    // the printed tree), so the candidate groupBy only ever sees
+    // <= |pattern| rows per doc
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val plan = run("q254_trigram_index").queryExecution.optimizedPlan
+    val triFilters = plan.collect {
+      case f: Filter if f.condition.toString.contains("sca") => f
+    }
+    assert(triFilters.nonEmpty,
+      "the trigram IN-filter must exist in the optimized plan")
+    // the filter must apply to the raw trigram stream — no aggregate
+    // (i.e. nothing already shuffled) may sit beneath it
+    triFilters.foreach { f =>
+      assert(f.child.collectFirst { case a: Aggregate => a }.isEmpty,
+        s"trigram filter must run pre-aggregation (map-side):\n$f")
+    }
+  }
+
   test("q250 PQ retrieves every planted near-copy and the estimate " +
     "separates them from the background by orders of magnitude") {
     val rows = run("q250_pq_ann").collect()
