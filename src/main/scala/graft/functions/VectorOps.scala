@@ -194,6 +194,164 @@ case class DotProductQ(left: Expression, right: Expression)
       newRight: Expression): DotProductQ = copy(newLeft, newRight)
 }
 
+/** Product-quantization ADC scan kernel: for one micro-quantized vector
+  * (array<bigint>), compute struct(est: the asymmetric-distance estimate —
+  * per sub-space squared-L2 argmin against the codebook, summed over the
+  * precomputed query→centroid table; exact: the full squared L2 to the
+  * query). The column-algebra equivalent needs nested `aggregate`/
+  * `transform` lambdas, which never enter whole-stage codegen (the q231
+  * lesson: interpreted HOF evaluators dominate scan-shaped workloads); this
+  * kernel runs the codes-and-distances loop in compiled Java inside the
+  * scan stage. Codebook, query, and distance table ride along as
+  * broadcast-style reference objects in the generated class — the plan
+  * carries three small arrays, not 2 KB of literal text.
+  */
+case class PqAdc(child: Expression, cents: Array[Array[Long]],
+    qv: Array[Long], qd: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", LongType, nullable = false),
+    StructField("exact", LongType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"pq_adc expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdc.compute(input.asInstanceOf[ArrayData], cents, qv, qd)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "long[][]")
+    val qvRef = ctx.addReferenceObj("pqQv", qv, "long[]")
+    val qdRef = ctx.addReferenceObj("pqQd", qd, "long[][]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.PqAdc.compute($s, $centsRef, $qvRef, $qdRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAdc = copy(child = newChild)
+}
+
+object PqAdc {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Row kernel: codes by per-sub-space argmin (strict <, so the lowest
+    * centroid id wins ties — the oracle's MIN(cid) convention), estimate
+    * from the query-side distance table, exact squared L2. Called from
+    * generated code. */
+  def compute(ev: ArrayData, cents: Array[Array[Long]], qv: Array[Long],
+      qd: Array[Array[Long]]): InternalRow = {
+    val n = qv.length
+    val nSub = qd.length
+    val dims = n / nSub
+    var est = 0L
+    var s = 0
+    while (s < nSub) {
+      var best = Long.MaxValue
+      var bc = 0
+      var c = 0
+      while (c < cents.length) {
+        var d = 0L
+        var j = 0
+        while (j < dims) {
+          val diff = ev.getLong(s * dims + j) - cents(c)(s * dims + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bc = c }
+        c += 1
+      }
+      est += qd(s)(bc)
+      s += 1
+    }
+    var exact = 0L
+    var j = 0
+    while (j < n) {
+      val diff = ev.getLong(j) - qv(j)
+      exact += diff * diff
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](est, exact))
+  }
+
+  /** Column API entry point. */
+  def apply(c: Column, cents: Array[Array[Long]], qv: Array[Long],
+      qd: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(
+      PqAdc(GraftSqlBridge.expression(c), cents, qv, qd))
+
+  /** Micro-quantize (×1000, floor) + ADC in one pass — the raw-float
+    * fast path that keeps the interpreted `transform(floor(x*1000))`
+    * lambda off the hot scan (it halved q250's sf1 wall by itself).
+    * Mirrors `CAST(floor(x * 1000) AS BIGINT)` exactly: float → double
+    * promotion, ×1000.0, floor. */
+  def computeF(ev: ArrayData, cents: Array[Array[Long]], qv: Array[Long],
+      qd: Array[Array[Long]]): InternalRow = {
+    val n = qv.length
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(ev.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+      cents, qv, qd)
+  }
+}
+
+/** [[PqAdc]] over the raw float embedding: quantization happens inside the
+  * kernel, so the scan needs no interpreted transform() at all. */
+case class PqAdcF(child: Expression, cents: Array[Array[Long]],
+    qv: Array[Long], qd: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", LongType, nullable = false),
+    StructField("exact", LongType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"pq_adc_f expects array<float>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdc.computeF(input.asInstanceOf[ArrayData], cents, qv, qd)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "long[][]")
+    val qvRef = ctx.addReferenceObj("pqQv", qv, "long[]")
+    val qdRef = ctx.addReferenceObj("pqQd", qd, "long[][]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.PqAdc.computeF($s, $centsRef, $qvRef, $qdRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAdcF = copy(child = newChild)
+}
+
+object PqAdcF {
+  def apply(c: Column, cents: Array[Array[Long]], qv: Array[Long],
+      qd: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(
+      PqAdcF(GraftSqlBridge.expression(c), cents, qv, qd))
+}
+
 object VectorOps {
   /** Dot product of two array<float> columns as double (codegen'd). */
   def dotF(a: Column, b: Column): Column =

@@ -244,50 +244,40 @@ object StorageQueries {
         .collect().map(_.getSeq[Long](1))
       val qv = emb.where(col("vec_id") === 20).head().getSeq[Long](1)
       val qLit = arrLit(qv)
-      val centsLit =
-        cents.map(arrLit).mkString("array(", ", ", ")")
-      // per sub-space s (0-based lambda var): distances to the 16
-      // centroids, argmin via array_position(d, array_min(d)) — first
-      // match, i.e. lowest centroid id on ties.
-      val subDists =
-        s"transform(sequence(0, 15), c -> " +
-          s"aggregate(sequence(1, 8), 0L, (a, j) -> a + " +
-          s"(element_at(ev, 8 * s + j) " +
-          s"- element_at(element_at($centsLit, CAST(c AS INT) + 1), " +
-          s"8 * s + j)) * " +
-          s"(element_at(ev, 8 * s + j) " +
-          s"- element_at(element_at($centsLit, CAST(c AS INT) + 1), " +
-          s"8 * s + j))))"
       // est = Σ_s qd[s][code_s]: the 8×16 query→centroid sub-distances
-      // are precomputed constants.
-      val qd: Seq[Seq[Long]] = (0 until 8).map { sp =>
-        cents.toSeq.map { cv =>
+      // are precomputed constants shipped into the PqAdc kernel.
+      val qd: Array[Array[Long]] = (0 until 8).map { sp =>
+        cents.map { cv =>
           (0 until 8).map { j =>
             val dd = qv(8 * sp + j) - cv(8 * sp + j)
             dd * dd
           }.sum
-        }
-      }
-      val qdLit = qd.map(arrLit).mkString("array(", ", ", ")")
-      emb.where(col("vec_id") > 15 && col("vec_id") =!= 20)
-        .withColumn("ev",
+        }.toArray
+      }.toArray
+      val centsArr = cents.map(_.toArray)
+      val qvArr = qv.toArray
+      // quantize + codes + ADC estimate + exact distance in ONE
+      // codegen'd kernel (graft.functions.PqAdc/PqAdcF): the
+      // column-algebra equivalent needs nested HOF lambdas, which
+      // evaluate interpreted — the q231 MinHashShingles lesson applied
+      // to the vector scan. The planted branch (1/50 rows) builds its
+      // integer array column-side and takes the long-input kernel; the
+      // hot path reads raw floats straight off the parquet scan.
+      T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") > 15 && col("vec_id") =!= 20)
+        .withColumn("adc",
           when(col("vec_id") % 50 === 30,
-            expr(s"transform(sequence(1, 64), j -> " +
-              s"element_at($qLit, j) + " +
-              s"CASE WHEN j = 1 + ((vec_id div 50) % 64) " +
-              s"THEN 1 + vec_id div 50 ELSE 0L END)"))
-            .otherwise(col("ev")))
-        .withColumn("est_dist",
-          expr(s"aggregate(sequence(0, 7), 0L, (a, s) -> a + " +
-            s"element_at(element_at($qdLit, CAST(s AS INT) + 1), " +
-            s"CAST(array_position($subDists, " +
-            s"array_min($subDists)) AS INT)))"))
-        .withColumn("exact_dist",
-          expr(s"aggregate(sequence(1, 64), 0L, (a, j) -> a + " +
-            s"(element_at(ev, j) - element_at($qLit, j)) * " +
-            s"(element_at(ev, j) - element_at($qLit, j)))"))
+            graft.functions.PqAdc(
+              expr(s"transform(sequence(1, 64), j -> " +
+                s"element_at($qLit, j) + " +
+                s"CASE WHEN j = 1 + ((vec_id div 50) % 64) " +
+                s"THEN 1 + vec_id div 50 ELSE 0L END)"),
+              centsArr, qvArr, qd))
+            .otherwise(graft.functions.PqAdcF(col("embedding"),
+              centsArr, qvArr, qd)))
+        .select(col("vec_id"), col("adc.est").as("est_dist"),
+          col("adc.exact").as("exact_dist"))
         .orderBy(col("est_dist"), col("vec_id")).limit(10)
-        .select(col("vec_id"), col("est_dist"), col("exact_dist"))
     })
   )
 

@@ -150,6 +150,7 @@ class StorageSpec extends AnyFunSuite {
   test("q250 plan is one scan-side projection + bounded top-k: no join, " +
     "no window, no explode") {
     val p = run("q250_pq_ann").queryExecution.executedPlan.toString
+    info(p.linesIterator.take(10).mkString("\n"))
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 must be the bounded-heap operator:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
