@@ -171,6 +171,26 @@ object StorageQueries {
         .orderBy(col("col_name"))
     }),
 
+    // ORC round-trip: the corpus written to ORC (fixture, once per sf)
+    // and read back must aggregate byte-identically to the parquet the
+    // oracle reads — content checksum included, so any encoding loss,
+    // string mangling, or row drop in the second columnar format fails
+    // the hash gate. The engine's source surface is format-plural; this
+    // gates it.
+    "q255_orc_roundtrip" -> ((s, d) => {
+      val out = graft.Scratch.fixtureDir(d, "docs_orc")
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        T.documents(s, d).write.mode("overwrite").orc(out)
+      }
+      s.read.orc(out).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(expr("CAST(conv(substring(md5(concat_ws('|', " +
+          "CAST(doc_id AS STRING), text, lang, source)), 1, 12), 16, 10)" +
+          " AS BIGINT)")).as("content_crc"))
+    }),
+
     // Trigram substring index (the pg_trgm LIKE-acceleration shape): a
     // candidate doc must contain EVERY character trigram of the search
     // pattern, so the index answers '%scan slow fast%' by intersecting
@@ -382,6 +402,17 @@ object StorageQueries {
         |    + dict_chars * 8)) // (n_chars * 8) AS BIGINT)
         |    AS ratio_permille
         |FROM a ORDER BY col_name""".stripMargin,
+
+    // the oracle reads the PARQUET corpus — ORC must round-trip to the
+    // identical aggregate, checksum included
+    "q255_orc_roundtrip" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CAST('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|'
+        |    || source), 1, 12) AS BIGINT)) AS BIGINT) AS content_crc
+        |FROM documents""".stripMargin,
 
     "q254_trigram_index" -> {
       val triIn = triSet.map(t => s"'$t'").mkString("(", ", ", ")")

@@ -260,7 +260,8 @@ class ExtendedSpec extends AnyFunSuite {
       "q41_query_registry", "q53_jdbc_sink", "q54_nosql_put",
       "q74_bloom_join", "q86_partition_overwrite", "q87_bucketed_join",
       "q90_lateral_topk", "q91_ivf_index", "q210_stream_neardup",
-      "q221_stream_quantile", "q253_stream_frontier")) {
+      "q221_stream_quantile", "q253_stream_frontier",
+      "q255_orc_roundtrip")) {
     test(s"$name is idempotent across two invocations") {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect()
