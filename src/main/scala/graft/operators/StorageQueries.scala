@@ -280,7 +280,8 @@ object StorageQueries {
       // codegen'd kernel (graft.functions.PqAdc/PqAdcF): the
       // column-algebra equivalent needs nested HOF lambdas, which
       // evaluate interpreted — the q231 MinHashShingles lesson applied
-      // to the vector scan. The planted branch (1/50 rows) builds its
+      // to the vector scan (HOF pipeline measured 10.5 s at the sf1
+      // probe, kernel 6.3 s). The planted branch (1/50 rows) builds its
       // integer array column-side and takes the long-input kernel; the
       // hot path reads raw floats straight off the parquet scan.
       T.embeddings(s, d).select(col("vec_id"), col("embedding"))
