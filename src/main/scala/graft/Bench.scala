@@ -136,7 +136,19 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Free the query's cached/localCheckpointed blocks before the next
+      // one runs: 250+ queries in one JVM otherwise accumulate every
+      // checkpointed frame in the block manager, and the old-gen
+      // pressure taxes later allocation-heavy queries 3-4x (q99
+      // measured 43 s late in a full-board run vs 11 s isolated).
+      // Each query is self-contained, so dropping blocks affects only
+      // re-computation cost, never results.
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+      name -> sec
     }
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Human-readable per-query detail (full names). Deliberately does NOT
