@@ -36,7 +36,8 @@ object SparkEntry {
     (operators.StorageQueries.queries, operators.StorageQueries.oracleSql),
     (operators.WebCurationQueries.queries,
       operators.WebCurationQueries.oracleSql),
-    (operators.GraphQueries.queries, operators.GraphQueries.oracleSql)
+    (operators.GraphQueries.queries, operators.GraphQueries.oracleSql),
+    (operators.StatsQueries.queries, operators.StatsQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{Tables => T}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics layer — the two measurements a data engine feeds back
+  * into planning and scaling decisions:
+  *
+  *  - q256: duplicate-growth curve — per doc_id-order octile, the share of
+  *    documents whose exact fingerprint already appeared earlier in the
+  *    corpus. The scaling-law input beside q215's vocabulary growth: how
+  *    fast novel content decays as the crawl grows decides how much more
+  *    crawling is worth buying. Window-free (octile of the fingerprint's
+  *    first occurrence via a min() aggregate; cumulative from the 8×8
+  *    triangle join).
+  *  - q257: distributed OLS fit — closed-form linear regression of the
+  *    q213 structural quality score on document length via the five
+  *    classic sums (n, Σx, Σy, Σxy, Σx², Σy²), all map-side-combined in
+  *    ONE aggregate pass. Slope/intercept in micro-units with explicit
+  *    sign-split divisions (Spark's `div` truncates toward zero, DuckDB's
+  *    `//` floors — they agree only on non-negative operands, so every
+  *    division here is arranged over non-negatives). R² needs the squared
+  *    covariance (overflows int64 past ~50k docs) — routed through
+  *    DECIMAL(38,0) products on the Spark side and HUGEINT on DuckDB's,
+  *    both exact.
+  */
+object StatsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q256_dup_growth" -> ((s, d) => {
+      val f = T.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val st = f.agg(count(lit(1)).as("n"))
+        .select(expr("(n + 7) div 8").as("step"))
+      val firsts = f.groupBy(col("fp")).agg(min(col("doc_id")).as("fd"))
+      val o = f.join(firsts, "fp")
+        .crossJoin(broadcast(st))
+        .select(least(expr("doc_id div step"), lit(7L)).as("octile"),
+          when(col("doc_id") > col("fd"), 1L).otherwise(0L).as("dup"))
+        .groupBy(col("octile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dup"))
+      val frame = s.range(0, 8).select(col("id").as("octile"))
+      val filled = frame.join(broadcast(o), Seq("octile"), "left")
+        .select(col("octile"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      filled.as("a")
+        .join(broadcast(filled.as("b")),
+          col("b.octile") <= col("a.octile"))
+        .groupBy(col("a.octile").as("octile"))
+        .agg(max(col("a.n_docs")).as("n_docs"),
+          max(col("a.n_dup")).as("n_dup"),
+          sum(col("b.n_docs")).as("cum_docs"),
+          sum(col("b.n_dup")).as("cum_dup"))
+        .select(col("octile"), col("n_docs"), col("n_dup"),
+          col("cum_docs"), col("cum_dup"),
+          expr("CASE WHEN n_docs > 0 THEN (1000 * n_dup) div n_docs " +
+            "ELSE 0 END").as("dup_permille"),
+          expr("CASE WHEN cum_docs > 0 THEN (1000 * cum_dup) div cum_docs " +
+            "ELSE 0 END").as("cum_dup_permille"))
+        .orderBy(col("octile"))
+    }),
+
+    "q257_ols_fit" -> ((s, d) => {
+      val xy = T.documents(s, d).select(
+        col("n_chars").as("x"),
+        expr("(1000 * size(array_distinct(split(trim(lower(text)), ' ')))) " +
+          "div size(split(trim(lower(text)), ' '))").cast("long").as("y"))
+      val sums = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      sums.select(
+        col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_n"))
+        .select(col("n"), col("cov_n"), col("var_x_n"), col("var_y_n"),
+          // slope sign-split so truncating div == flooring // (operands
+          // are non-negative in both branches)
+          expr("CASE WHEN cov_n >= 0 " +
+            "THEN (1000000 * cov_n) div var_x_n " +
+            "ELSE -((1000000 * (-cov_n)) div var_x_n) END")
+            .as("slope_micro"),
+          expr("CAST((1000 * CAST(cov_n AS DECIMAL(38,0)) " +
+            "* CAST(cov_n AS DECIMAL(38,0))) div " +
+            "(CAST(var_x_n AS DECIMAL(38,0)) " +
+            "* CAST(var_y_n AS DECIMAL(38,0))) AS BIGINT)")
+            .as("r2_permille"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q256_dup_growth" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |st AS (SELECT (COUNT(*) + 7) // 8 AS step FROM f),
+        |fs AS (SELECT fp, MIN(doc_id) AS fd FROM f GROUP BY 1),
+        |o AS (
+        |  SELECT least(f.doc_id // st.step, 7) AS octile,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN f.doc_id > fs.fd THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM f JOIN fs ON f.fp = fs.fp, st GROUP BY 1),
+        |frame AS (SELECT unnest(range(0, 8)) AS octile),
+        |filled AS (
+        |  SELECT frame.octile, COALESCE(o.n_docs, 0) AS n_docs,
+        |    COALESCE(o.n_dup, 0) AS n_dup
+        |  FROM frame LEFT JOIN o ON frame.octile = o.octile)
+        |SELECT a.octile, CAST(MAX(a.n_docs) AS BIGINT) AS n_docs,
+        |  CAST(MAX(a.n_dup) AS BIGINT) AS n_dup,
+        |  CAST(SUM(b.n_docs) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(b.n_dup) AS BIGINT) AS cum_dup,
+        |  CAST(CASE WHEN MAX(a.n_docs) > 0
+        |    THEN (1000 * MAX(a.n_dup)) // MAX(a.n_docs) ELSE 0 END
+        |    AS BIGINT) AS dup_permille,
+        |  CAST(CASE WHEN SUM(b.n_docs) > 0
+        |    THEN (1000 * SUM(b.n_dup)) // SUM(b.n_docs) ELSE 0 END
+        |    AS BIGINT) AS cum_dup_permille
+        |FROM filled a JOIN filled b ON b.octile <= a.octile
+        |GROUP BY a.octile ORDER BY a.octile""".stripMargin,
+
+    "q257_ols_fit" ->
+      """WITH xy AS (
+        |  SELECT n_chars AS x,
+        |    (1000 * len(list_distinct(string_split(trim(lower(text)), ' '))))
+        |      // len(string_split(trim(lower(text)), ' ')) AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM xy),
+        |c AS (
+        |  SELECT n, n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS var_x_n,
+        |    n * syy - sy * sy AS var_y_n
+        |  FROM s)
+        |SELECT n, cov_n, var_x_n, var_y_n,
+        |  CAST(CASE WHEN cov_n >= 0
+        |    THEN (1000000 * cov_n) // var_x_n
+        |    ELSE -((1000000 * (-cov_n)) // var_x_n) END AS BIGINT)
+        |    AS slope_micro,
+        |  CAST((1000 * CAST(cov_n AS HUGEINT) * CAST(cov_n AS HUGEINT))
+        |    // (CAST(var_x_n AS HUGEINT) * CAST(var_y_n AS HUGEINT))
+        |    AS BIGINT) AS r2_permille
+        |FROM c""".stripMargin
+  )
+}

@@ -147,6 +147,52 @@ class StorageSpec extends AnyFunSuite {
       s"planted vectors must share the query's codes, got ${ests.toSeq}")
   }
 
+  test("PqAdc kernel matches an independent Scala recomputation on every " +
+    "corpus vector") {
+    import graft.functions.PqAdcF
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val quant = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+    }.toMap
+    val cents = (0L to 15L).map(quant(_)).map(_.clone).toArray
+    val qv = quant(20L).clone
+    val qd = (0 until 8).map { sp =>
+      cents.map { cv =>
+        (0 until 8).map { j =>
+          val d = qv(8 * sp + j) - cv(8 * sp + j); d * d
+        }.sum
+      }
+    }.toArray
+    val got = emb
+      .withColumn("adc", PqAdcF(col("embedding"), cents, qv, qd))
+      .select(col("vec_id"), col("adc.est"), col("adc.exact"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == quant.size)
+    got.foreach { case (id, est, exact) =>
+      val ev = quant(id)
+      // independent argmin + table walk
+      var expEst = 0L
+      for (sp <- 0 until 8) {
+        var best = Long.MaxValue; var bc = 0
+        for (c <- 0 until 16) {
+          var d = 0L
+          for (j <- 0 until 8) {
+            val diff = ev(8 * sp + j) - cents(c)(8 * sp + j)
+            d += diff * diff
+          }
+          if (d < best) { best = d; bc = c }
+        }
+        expEst += qd(sp)(bc)
+      }
+      val expExact =
+        ev.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(est == expEst && exact == expExact,
+        s"vec $id: kernel ($est, $exact) vs recomputed ($expEst, $expExact)")
+    }
+  }
+
   test("q250 plan is one scan-side projection + bounded top-k: no join, " +
     "no window, no explode") {
     val p = run("q250_pq_ann").queryExecution.executedPlan.toString
