@@ -214,6 +214,22 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "exchange; the ADC scan must stay shuffle-free")
   }
 
+  test("q244 line dedup shuffles block hashes, never block text") {
+    // each 10-word block crosses as a 32-hex md5 + doc_id (the groupBy
+    // and the dup semi join) — ~1 block per 60 chars of corpus. Budget
+    // 3 B/char ≈ 4x the hash traffic; raw 10-word block text (~60 B +
+    // framing per block, per exchange) overshoots immediately.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q244_line_dedup")
+    info(s"q244 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 3L * chars,
+      s"q244 shuffled $bytes B for a $chars-char corpus — block text " +
+        "leaked into an exchange?")
+  }
+
   test("q249 Bloom probe shuffles the gram stream once, ids after") {
     // The distinct (doc_id, gram) stream is the only corpus-sized
     // exchange (5-word grams, lz4-compressed to ~0.8 B per corpus char
