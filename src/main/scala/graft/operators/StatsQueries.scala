@@ -64,6 +64,94 @@ object StatsQueries {
         .orderBy(col("octile"))
     }),
 
+    // Zipf fit over the frequency head: top-64 words by (freq desc, word
+    // asc) via TakeOrdered (never a vocabulary-wide sort), ranks from
+    // the bounded 64×64 triangle join (q237's rank-without-window
+    // pattern), log-log regression in floor-log2 bits with q257's
+    // sign-split arithmetic. Heaps (q215) + OLS (q257) + Zipf close the
+    // corpus-statistics trio.
+    "q258_zipf_fit" -> ((s, d) => {
+      val freq = T.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val top = freq.orderBy(col("c").desc, col("w")).limit(64)
+      val ranked = top.as("a")
+        .join(broadcast(top.as("b")),
+          col("b.c") > col("a.c") ||
+            (col("b.c") === col("a.c") && col("b.w") < col("a.w")),
+          "left")
+        .groupBy(col("a.w").as("w"), col("a.c").as("c"))
+        .agg((count(col("b.w")) + 1L).as("rnk"))
+      val xy = ranked.select(
+        col("w"), col("c"), col("rnk"),
+        (length(bin(col("rnk"))) - 1).cast("long").as("x"),
+        (length(bin(col("c"))) - 1).cast("long").as("y"))
+      val sums = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val fit = sums.select(
+        col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_n"))
+        .select(col("n"),
+          expr("CASE WHEN cov_n >= 0 " +
+            "THEN (1000000 * cov_n) div var_x_n " +
+            "ELSE -((1000000 * (-cov_n)) div var_x_n) END")
+            .as("slope_micro"),
+          expr("(1000 * cov_n * cov_n) div (var_x_n * var_y_n)")
+            .as("r2_permille"))
+      val tw = xy.where(col("rnk") === 1)
+        .select(col("w").as("top_word"), col("c").as("top_freq"))
+      fit.crossJoin(tw)
+    }),
+
+    // Quality-filter agreement (Cohen's kappa): the structural
+    // distinct-word gate (q213's score ≥ 500) vs the repetition screen
+    // (q64's max trigram count < 2), chance-corrected in integer
+    // milli-units. The calibration audit that tells a pipeline whether
+    // two filters measure the same thing or genuinely complement; pe's
+    // marginal products overflow int64 at corpus scale, so they route
+    // through DECIMAL(38)/HUGEINT like q257's R². One doc-keyed join of
+    // two per-doc screens, then a single 2×2 aggregate.
+    "q259_filter_kappa" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val a = docs.select(col("doc_id"),
+        (expr("(1000 * size(array_distinct(split(trim(lower(text)), " +
+          "' ')))) div size(split(trim(lower(text)), ' '))") >= 500)
+          .as("fa"))
+      val rep = graft.curation.Screening.repetition(docs)
+        .select(col("id").as("doc_id"), col("max_rep"))
+      val b = docs.select(col("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("max_rep"), lit(1L)) < 2).as("fb"))
+      val cells = a.join(b, "doc_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).as("n00"))
+      cells.select(
+        col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(1000000 * (n11 + n00)) div n").as("po_ppm"),
+        expr("CAST((1000000 * (CAST((n11 + n10) AS DECIMAL(38,0)) " +
+          "* CAST((n11 + n01) AS DECIMAL(38,0)) " +
+          "+ CAST((n01 + n00) AS DECIMAL(38,0)) " +
+          "* CAST((n10 + n00) AS DECIMAL(38,0)))) div " +
+          "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("pe_ppm"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          col("po_ppm"), col("pe_ppm"),
+          expr("CASE WHEN po_ppm >= pe_ppm " +
+            "THEN (1000 * (po_ppm - pe_ppm)) div (1000000 - pe_ppm) " +
+            "ELSE -((1000 * (pe_ppm - po_ppm)) div (1000000 - pe_ppm)) " +
+            "END").as("kappa_milli"))
+    }),
+
     "q257_ols_fit" -> ((s, d) => {
       val xy = T.documents(s, d).select(
         col("n_chars").as("x"),
@@ -127,6 +215,92 @@ object StatsQueries {
         |    AS BIGINT) AS cum_dup_permille
         |FROM filled a JOIN filled b ON b.octile <= a.octile
         |GROUP BY a.octile ORDER BY a.octile""".stripMargin,
+
+    // same values as the triangle-join rank, different plan class
+    "q258_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT w, c FROM f ORDER BY c DESC, w LIMIT 64),
+        |r AS (SELECT w, c,
+        |        ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+        |      FROM top),
+        |xy AS (
+        |  SELECT w, c, rnk,
+        |    CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(c)) - 1 AS BIGINT) AS y
+        |  FROM r),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM xy),
+        |c AS (
+        |  SELECT n, n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS var_x_n,
+        |    n * syy - sy * sy AS var_y_n
+        |  FROM s),
+        |tw AS (SELECT w AS top_word, c AS top_freq FROM r WHERE rnk = 1)
+        |SELECT n,
+        |  CAST(CASE WHEN cov_n >= 0
+        |    THEN (1000000 * cov_n) // var_x_n
+        |    ELSE -((1000000 * (-cov_n)) // var_x_n) END AS BIGINT)
+        |    AS slope_micro,
+        |  CAST((1000 * cov_n * cov_n) // (var_x_n * var_y_n) AS BIGINT)
+        |    AS r2_permille,
+        |  top_word, CAST(top_freq AS BIGINT) AS top_freq
+        |FROM c, tw""".stripMargin,
+
+    "q259_filter_kappa" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    (1000 * len(list_distinct(string_split(trim(lower(text)),
+        |      ' ')))) // len(string_split(trim(lower(text)), ' ')) >= 500
+        |      AS fa
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)] AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS sh FROM g),
+        |cnt AS (SELECT doc_id, sh, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(c) AS max_rep FROM cnt GROUP BY 1),
+        |b AS (
+        |  SELECT d.doc_id, COALESCE(m.max_rep, 1) < 2 AS fb
+        |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+        |cells AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM a JOIN b ON a.doc_id = b.doc_id),
+        |p AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    (1000000 * (n11 + n00)) // n AS po_ppm,
+        |    CAST((1000000 * (CAST(n11 + n10 AS HUGEINT)
+        |      * CAST(n11 + n01 AS HUGEINT)
+        |      + CAST(n01 + n00 AS HUGEINT) * CAST(n10 + n00 AS HUGEINT)))
+        |      // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT)
+        |      AS pe_ppm
+        |  FROM cells)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(po_ppm AS BIGINT) AS po_ppm, pe_ppm,
+        |  CAST(CASE WHEN po_ppm >= pe_ppm
+        |    THEN (1000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm)
+        |    ELSE -((1000 * (pe_ppm - po_ppm)) // (1000000 - pe_ppm)) END
+        |    AS BIGINT) AS kappa_milli
+        |FROM p""".stripMargin,
 
     "q257_ols_fit" ->
       """WITH xy AS (

@@ -30,6 +30,39 @@ class StatsSpec extends AnyFunSuite {
       "octile dup totals must equal the exact-dedup dup count")
   }
 
+  test("q258 Zipf head fit: negative slope, bounded R², exact top word") {
+    val r = run("q258_zipf_fit").head()
+    val (n, slope, r2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n >= 2 && n <= 64)
+    assert(slope < 0, s"frequency must fall with rank: slope $slope")
+    assert(r2 >= 0 && r2 <= 1000)
+    val top = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w")).head()
+    assert(r.getString(3) == top.getString(0) &&
+      r.getLong(4) == top.getLong(1),
+      "top word must match an independent recount")
+  }
+
+  test("q259 kappa cells partition the corpus and kappa stays bounded") {
+    val r = run("q259_filter_kappa").head()
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(n == Tables.documents(spark, sf).count())
+    assert(n11 + n10 + n01 + n00 == n, "2x2 cells must partition")
+    val (po, pe, kappa) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(po >= 0 && po <= 1000000 && pe >= 0 && pe <= 1000000)
+    assert(kappa >= -1000 && kappa <= 1000)
+    // independent recount of filter A's marginal
+    val aPass = Tables.documents(spark, sf)
+      .where(expr("(1000 * size(array_distinct(split(trim(lower(text))," +
+        " ' ')))) div size(split(trim(lower(text)), ' '))") >= 500)
+      .count()
+    assert(n11 + n10 == aPass, "filter-A marginal must match")
+  }
+
   test("q257 integer fit tracks a double-precision recomputation") {
     val r = run("q257_ols_fit").head()
     val (n, covN, varXN, varYN, slope, r2) =
