@@ -292,15 +292,21 @@ object PqAdc {
   /** Micro-quantize (×1000, floor) + ADC in one pass — the raw-float
     * fast path that keeps the interpreted `transform(floor(x*1000))`
     * lambda off the hot scan (it halved q250's sf1 wall by itself).
-    * Mirrors `CAST(floor(x * 1000) AS BIGINT)` exactly: float → double
-    * promotion, ×1000.0, floor. */
+    * Mirrors `CAST(floor(x * 1000) AS BIGINT)` exactly — which means
+    * the product MUST be computed in SINGLE precision: both Spark SQL
+    * (float > int in numeric precedence) and DuckDB (typeof FLOAT *
+    * 1000 = FLOAT) multiply in FLOAT, and a double-precision product
+    * here would floor differently near integer boundaries (e.g.
+    * -0.29600000381469727f × 1000: FLOAT product → -296, double
+    * product → -297). */
   def computeF(ev: ArrayData, cents: Array[Array[Long]], qv: Array[Long],
       qd: Array[Array[Long]]): InternalRow = {
     val n = qv.length
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
-      q(i) = math.floor(ev.getFloat(i).toDouble * 1000.0).toLong
+      val p: Float = ev.getFloat(i) * 1000.0f
+      q(i) = math.floor(p.toDouble).toLong
       i += 1
     }
     compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(q),

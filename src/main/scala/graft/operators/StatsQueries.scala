@@ -119,10 +119,10 @@ object StatsQueries {
     // two per-doc screens, then a single 2×2 aggregate.
     "q259_filter_kappa" -> ((s, d) => {
       val docs = T.documents(s, d)
+      // filter A = the canonical structural gate (ONE score definition,
+      // CorpusQueries.permilleScore, shared with q213/q221)
       val a = docs.select(col("doc_id"),
-        (expr("(1000 * size(array_distinct(split(trim(lower(text)), " +
-          "' ')))) div size(split(trim(lower(text)), ' '))") >= 500)
-          .as("fa"))
+        (CorpusQueries.permilleScore >= 500).as("fa"))
       val rep = graft.curation.Screening.repetition(docs)
         .select(col("id").as("doc_id"), col("max_rep"))
       val b = docs.select(col("doc_id"))
@@ -153,10 +153,12 @@ object StatsQueries {
     }),
 
     "q257_ols_fit" -> ((s, d) => {
+      // y = CorpusQueries.permilleScore: ONE definition shared with the
+      // q213/q221 gates so this fit always regresses the score those
+      // filters actually apply
       val xy = T.documents(s, d).select(
         col("n_chars").as("x"),
-        expr("(1000 * size(array_distinct(split(trim(lower(text)), ' ')))) " +
-          "div size(split(trim(lower(text)), ' '))").cast("long").as("y"))
+        CorpusQueries.permilleScore.as("y"))
       val sums = xy.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

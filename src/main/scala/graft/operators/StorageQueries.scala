@@ -28,15 +28,18 @@ import org.apache.spark.sql.expressions.Window
   *    cardinality, code width (floor-log2+1), encoded vs plain bits, and
   *    the compression ratio the writer would get. Vocabulary-bounded
   *    groupBys only.
-  *  - q250: product-quantization ANN — 8 sub-spaces × 8 dims, 4-centroid
-  *    codebook per sub-space seeded from the first four vectors, asymmetric
-  *    distance (ADC) scan: every vector's estimated distance is computed
-  *    per-row in ONE codegen'd projection (codes via nested aggregate()
-  *    argmin, no join, no fan-out), then a bounded TakeOrdered top-10 and
-  *    an exact-distance re-rank column. Element values are micro-quantized
-  *    (×1000, floor) so every distance is integer-exact in both engines.
-  *    PQ is the memory story that makes billion-vector ANN fit: 64 floats
-  *    → 8 codes per vector; the scan reads codes, not vectors.
+  *  - q250: product-quantization ANN — 8 sub-spaces × 8 dims, 16-centroid
+  *    codebook per sub-space seeded from the first sixteen vectors,
+  *    asymmetric-distance (ADC) scan: quantization, per-sub-space argmin
+  *    codes, the table-driven estimate, and the exact distance all run in
+  *    ONE codegen'd Catalyst kernel ([[graft.functions.PqAdc]]/`PqAdcF`
+  *    — no join, no fan-out), then a bounded TakeOrdered top-10. Element
+  *    values are micro-quantized (FLOAT ×1000, floor — single-precision
+  *    product, matching both engines' native arithmetic) so every
+  *    distance is integer-exact. PQ is the memory story that makes
+  *    billion-vector ANN fit: 64 floats → 8 codes per vector; the scan
+  *    reads codes, not vectors.
+  *  - q254: trigram substring index; q255: ORC round-trip gate.
   */
 object StorageQueries {
 
@@ -182,19 +185,22 @@ object StorageQueries {
       if (!new java.io.File(s"$out/_SUCCESS").exists()) {
         T.documents(s, d).write.mode("overwrite").orc(out)
       }
+      // per-row digests reduce mod 1e6 before the sum: a raw 48-bit
+      // term would overflow the int64 sum (ANSI-mode crash) at ~65k
+      // rows; the bounded term keeps the exact sum good past 9e12 rows
       s.read.orc(out).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         count_distinct(col("lang")).as("n_langs"),
         sum(expr("CAST(conv(substring(md5(concat_ws('|', " +
           "CAST(doc_id AS STRING), text, lang, source)), 1, 12), 16, 10)" +
-          " AS BIGINT)")).as("content_crc"))
+          " AS BIGINT) % 1000000")).as("content_crc"))
     }),
 
     // Trigram substring index (the pg_trgm LIKE-acceleration shape): a
     // candidate doc must contain EVERY character trigram of the search
     // pattern, so the index answers '%scan slow fast%' by intersecting
-    // 11 posting lists and only the survivors pay the exact contains()
+    // its 12 posting lists and only the survivors pay the exact contains()
     // verify. Scale shape: exactly q211's term-filter discipline — the
     // per-doc trigram stream filters to the pattern's trigrams BEFORE
     // any shuffle (the groupBy sees ≤ |pattern| rows per doc), postings
@@ -245,12 +251,13 @@ object StorageQueries {
     // their exact distances ((1+vec_id/50)²) sit 4 orders of magnitude
     // below the ~2e6 background and PQ MUST surface them. The scan is
     // ONE per-row projection: seeds + query are a bounded documented
-    // collect (17 rows) folded in as array literals, codes come from an
-    // array_position-over-transform argmin (first match = lowest id, the
-    // oracle's MIN(cid) tie-break) inside whole-stage codegen, and the
-    // only wide op is the bounded TakeOrdered(10). At a billion vectors
-    // this plan reads 8 bytes of codes per vector where brute force
-    // reads 256 bytes of floats — the PQ memory story.
+    // collect (17 rows) shipped into the PqAdc kernel as reference
+    // objects, codes come from the kernel's strict-< argmin loop
+    // (first win = lowest centroid id, the oracle's MIN(cid)
+    // tie-break), and the only wide op is the bounded TakeOrdered(10).
+    // At a billion vectors this plan reads 8 bytes of codes per vector
+    // where brute force reads 256 bytes of floats — the PQ memory
+    // story.
     "q250_pq_ann" -> ((s, d) => {
       val emb = T.embeddings(s, d)
         .select(col("vec_id"),
@@ -412,7 +419,8 @@ object StorageQueries {
         |  COUNT(DISTINCT lang) AS n_langs,
         |  CAST(SUM(CAST('0x' || substr(md5(
         |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|'
-        |    || source), 1, 12) AS BIGINT)) AS BIGINT) AS content_crc
+        |    || source), 1, 12) AS BIGINT) % 1000000) AS BIGINT)
+        |    AS content_crc
         |FROM documents""".stripMargin,
 
     "q254_trigram_index" -> {

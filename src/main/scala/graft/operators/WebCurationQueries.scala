@@ -47,6 +47,26 @@ object WebCurationQueries {
   private def words: org.apache.spark.sql.Column =
     split(trim(lower(col("text"))), " ")
 
+  /** q245/q253's planted URL (path bucket doc_id % 40 per source ⇒ real
+    * canonical collisions). The lang param only exists when the frame
+    * carries it; it lives in the stripped query string either way, so
+    * both variants canonicalize identically — ONE definition so the
+    * streaming frontier can never drift from the batch account. */
+  private[operators] def plantedUrl(withLang: Boolean)
+      : org.apache.spark.sql.Column = {
+    val base = concat(lit("https://WWW."), col("source"),
+      lit(".Example.COM/p/"), (col("doc_id") % 40).cast("string"),
+      lit("?utm_source=feed&sid="), col("doc_id").cast("string"))
+    if (withLang) concat(base, lit("&lang="), col("lang")) else base
+  }
+
+  /** Canonical form: query string stripped, lowercased, www. folded. */
+  private[operators] def canonicalize(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      lower(regexp_replace(url, "\\?.*$", "")),
+      "^https://www\\.", "https://")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CCNet-style line dedup at 10-word-block granularity: block key =
@@ -85,16 +105,9 @@ object WebCurationQueries {
     // lowercased, www. folded. One projection + one groupBy on the
     // canonical key.
     "q245_url_canon" -> ((s, d) => {
-      val urls = T.documents(s, d).select(
-        concat(lit("https://WWW."), col("source"), lit(".Example.COM/p/"),
-          (col("doc_id") % 40).cast("string"), lit("?utm_source=feed&sid="),
-          col("doc_id").cast("string"), lit("&lang="), col("lang"))
-          .as("url"))
-      val canon = urls.select(
-        col("url"),
-        regexp_replace(
-          lower(regexp_replace(col("url"), "\\?.*$", "")),
-          "^https://www\\.", "https://").as("cu"))
+      val canon = T.documents(s, d)
+        .select(plantedUrl(withLang = true).as("url"))
+        .select(col("url"), canonicalize(col("url")).as("cu"))
       val g = canon.groupBy(col("cu")).agg(count(lit(1)).as("c"))
       g.agg(
         sum(col("c")).as("n_urls"),
@@ -148,8 +161,11 @@ object WebCurationQueries {
           "sequence(1, greatest(1, nw - 63), 48)")).as("st"))
         .select(col("nw"),
           least(lit(64), col("nw") - col("st") + 1).as("ct"),
+          // mod 1e6 per chunk BEFORE the sum: raw 48-bit terms overflow
+          // the int64 checksum sum (ANSI crash) at ~65k chunks
           expr("CAST(conv(substring(md5(concat_ws(' ', " +
-            "slice(ws, st, 64))), 1, 12), 16, 10) AS BIGINT)").as("h"))
+            "slice(ws, st, 64))), 1, 12), 16, 10) AS BIGINT) % 1000000")
+            .as("h"))
       // last emitted window start is stride-quantized: 1 + 48·⌊(stop−1)/48⌋
       val perDoc = docs.select(col("nw"),
         least(col("nw"),
@@ -227,19 +243,11 @@ object WebCurationQueries {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          // the fixture carries (doc_id, text, source); lang is not in
-          // the canonical key (it lives in the stripped query string),
-          // so the frontier key needs only (source, doc_id % 40)
+          // the fixture carries (doc_id, text, source); the lang param
+          // lives in the stripped query string, so the lang-free URL
+          // canonicalizes identically (shared plantedUrl/canonicalize)
           batch.select(
-              regexp_replace(
-                lower(regexp_replace(
-                  concat(lit("https://WWW."), col("source"),
-                    lit(".Example.COM/p/"),
-                    (col("doc_id") % 40).cast("string"),
-                    lit("?utm_source=feed&sid="),
-                    col("doc_id").cast("string")),
-                  "\\?.*$", "")),
-                "^https://www\\.", "https://").as("cu"))
+              canonicalize(plantedUrl(withLang = false)).as("cu"))
             .groupBy(col("cu")).agg(count(lit(1)).as("n"))
             .withColumn("batch_id", lit(bid))
             .write.mode("overwrite").partitionBy("batch_id")
@@ -308,7 +316,10 @@ object WebCurationQueries {
         .select(col("doc_id")).distinct()
       val truly = corpus.join(bench, Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
-      val nBench = bench.agg(count(lit(1)).as("n_bench_grams"))
+      // the benchmark cardinality is already on the driver (it sized m)
+      // — re-deriving it would pay a fourth scan/explode/distinct pass
+      val nBench = docs.sparkSession.range(1)
+        .select(lit(m / 16L).as("n_bench_grams"))
       val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
       val nCorpus = docs.where(col("source") =!= "src0")
         .agg(count_distinct(col("doc_id")).as("n_corpus_docs"))
@@ -429,7 +440,7 @@ object WebCurationQueries {
         |  SELECT nw, least(64, nw - st + 1) AS ct,
         |    CAST('0x' || substr(md5(
         |      array_to_string(ws[st:st + 63], ' ')), 1, 12) AS BIGINT)
-        |      AS h
+        |      % 1000000 AS h
         |  FROM w, unnest(generate_series(1, greatest(1, nw - 63), 48))
         |    AS t(st)),
         |a AS (

@@ -154,7 +154,7 @@ class StorageSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"))
     val quant = emb.collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1)
-        .map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+        .map(x => math.floor((x * 1000.0f).toDouble).toLong).toArray
     }.toMap
     val cents = (0L to 15L).map(quant(_)).map(_.clone).toArray
     val qv = quant(20L).clone
