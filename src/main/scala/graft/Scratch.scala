@@ -21,4 +21,30 @@ object Scratch {
     * (sf, kind) and re-used by later queries in the same JVM/container. */
   def fixtureDir(sfDir: String, kind: String): String =
     s"$root/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$kind"
+
+  /** Ephemeral per-run scratch (streaming checkpoints, delta stores,
+    * sink outputs): reaps the tag's STALE residue, then hands out a
+    * fresh unique dir under it. Scratch lives on tmpfs (RAM) and
+    * survives the JVM, so without the reap every bench/verify run leaks
+    * its checkpoints into /dev/shm until the host degrades. The reap is
+    * AGE-BASED (only children untouched for 2+ hours go): a blanket
+    * parent wipe was measured racing a concurrent JVM's live run of the
+    * same query (verify + test suite running together killed each
+    * other's in-flight streaming checkpoints); age-gating bounds
+    * accumulation across rounds while never touching live state. */
+  def runDir(tag: String): String = {
+    val parent = new java.io.File(root, tag)
+    val staleMs = 2L * 3600 * 1000
+    val cutoff = System.currentTimeMillis() - staleMs
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < cutoff).foreach(rm)
+    val d = new java.io.File(parent, java.util.UUID.randomUUID.toString)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
 }

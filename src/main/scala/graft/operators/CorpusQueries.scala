@@ -93,6 +93,31 @@ object CorpusQueries {
       g.getField("cos").as("cos"))
   }
 
+  /** Bag-of-words duplicate-group fingerprint — ONE definition for the
+    * group splitter (q222), the audits (q225/q226), and the language
+    * provenance matrix (q239 in CalibrationQueries), so the group key can
+    * never drift between them. */
+  private[operators] def bowFingerprint: Column =
+    md5(concat_ws(",",
+      array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
+
+  /** Ordered-pair expansion of a SORTED array column: struct(x, y) for
+    * every x before y — |set|²-bounded, the q226/q239/q248 matrix shape. */
+  private[operators] def sortedPairs(setCol: String, aName: String,
+      bName: String): Column =
+    expr(s"flatten(transform($setCol, (x, i) -> " +
+      s"transform(slice($setCol, i + 2, size($setCol)), y -> " +
+      s"struct(x AS $aName, y AS $bName))))")
+
+  /** Guarded space-joined bigram array over a `ws` token-array column —
+    * the q178-hazard-guarded expansion, ONE definition for q215/q236/
+    * q237 (q230's feature variant joins with '_' and stays local). */
+  private[operators] def bigramsOfWs: Column =
+    when(size(col("ws")) >= 2,
+      expr("transform(sequence(2, size(ws)), i -> " +
+        "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
   /** q213/q221's structural quality score: distinct-word ratio in
     * permille, integer-exact. ONE definition for the batch gate and the
     * streaming decomposition so the two can never drift. */
@@ -216,8 +241,7 @@ object CorpusQueries {
     // matters.
     "q221_stream_quantile" -> ((s, d) => {
       val src = docsSourceSplitFixture(s, d)
-      val base = s"${graft.Scratch.root}/graft_streamq/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_streamq")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
@@ -363,7 +387,11 @@ object CorpusQueries {
       val rare = df.crossJoin(broadcast(st))
         .where(col("df") <= least(expr("n div 10"), lit(100L)))
         .select(col("w"))
-      val post = tf.join(broadcast(rare), "w")
+      // NO broadcast hint on rare: in a Zipf corpus the df<=100 tail IS
+      // most of the vocabulary, so forcing it to the driver is an OOM at
+      // scale — a shuffle semi join keyed on w is the safe shape (the
+      // posting-length cap below bounds the PAIR fan-out, not |rare|)
+      val post = tf.join(rare, Seq("w"), "left_semi")
         .select(col("w"), col("doc_id"))
       val cand = post.as("x").join(post.as("y"), "w")
         .where(col("x.doc_id") < col("y.doc_id"))
@@ -451,9 +479,7 @@ object CorpusQueries {
     // and every member inherits it. One fingerprint groupBy + one row
     // per split out; nothing wider than (fp, count) shuffles.
     "q222_group_split" -> ((s, d) => {
-      val fp = md5(concat_ws(",",
-        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
-      val groups = T.documents(s, d).select(fp.as("fp"))
+      val groups = T.documents(s, d).select(bowFingerprint.as("fp"))
         .groupBy(col("fp")).agg(count(lit(1)).as("n"))
       val nib = substring(md5(concat(lit("split:"), col("fp"))), 1, 1)
       groups
@@ -519,7 +545,10 @@ object CorpusQueries {
           least(col("est_row1"), col("est_row2")).as("est_min"))
         .select(col("exact"), col("est_row1"), col("est_row2"),
           col("est_min"),
-          expr("((est_min - exact) * 1000) div exact").as("err_permille"))
+          // guarded: a disjoint key set makes exact 0, and ANSI-mode
+          // div-by-zero would throw where DuckDB's // yields NULL
+          expr("CASE WHEN exact > 0 THEN ((est_min - exact) * 1000) " +
+            "div exact END").as("err_permille"))
     }),
 
     // Quality-decile × duplication-rate matrix — the cross-signal audit
@@ -531,10 +560,9 @@ object CorpusQueries {
     // >1-member groups broadcast back as a semi-joinable set, and the
     // matrix is an 11-row aggregate.
     "q225_quality_dup_matrix" -> ((s, d) => {
-      val fp = md5(concat_ws(",",
-        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
       val docs = T.documents(s, d)
-        .select(col("doc_id"), fp.as("fp"), permilleScore.as("score"))
+        .select(col("doc_id"), bowFingerprint.as("fp"),
+          permilleScore.as("score"))
       val dupFps = docs.groupBy(col("fp")).agg(count(lit(1)).as("n"))
         .where(col("n") > 1).select(col("fp"))
       docs
@@ -557,20 +585,16 @@ object CorpusQueries {
     // its ≤ |sources| distinct members, and the matrix is a bounded
     // |sources|² aggregate.
     "q226_source_copy_matrix" -> ((s, d) => {
-      val fp = md5(concat_ws(",",
-        array_sort(array_distinct(split(trim(lower(col("text"))), " ")))))
       val groups = T.documents(s, d)
-        .select(fp.as("fp"), col("source"))
+        .select(bowFingerprint.as("fp"), col("source"))
         .groupBy(col("fp"))
         .agg(collect_set(col("source")).as("srcs"),
           count(lit(1)).as("n"))
         .where(col("n") > 1)
         .select(array_sort(col("srcs")).as("srcs"))
       groups
-        .select(explode(expr(
-          "flatten(transform(srcs, (x, i) -> " +
-            "transform(slice(srcs, i + 2, size(srcs)), y -> " +
-            "struct(x AS src_a, y AS src_b))))")).as("p"))
+        .select(explode(
+          sortedPairs("srcs", "src_a", "src_b")).as("p"))
         .select(col("p.src_a"), col("p.src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_groups"))
@@ -640,8 +664,7 @@ object CorpusQueries {
     // matters.
     "q229_stream_index" -> ((s, d) => {
       val src = docsSourceSplitFixture(s, d)
-      val base = s"${graft.Scratch.root}/graft_streamidx/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_streamidx")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
@@ -682,11 +705,7 @@ object CorpusQueries {
       val bi = docs
         .select(col("doc_id"),
           split(trim(lower(col("text"))), " ").as("ws"))
-        .select(col("doc_id"),
-          explode(when(size(col("ws")) >= 2,
-            expr("transform(sequence(2, size(ws)), i -> " +
-              "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+        .select(col("doc_id"), explode(bigramsOfWs).as("g"))
       val firsts = bi.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
       val buckets = firsts.crossJoin(broadcast(st))
         .select(least(expr("fd div step"), lit(7L)).as("octile"))
@@ -991,7 +1010,8 @@ object CorpusQueries {
         |    USING (k))
         |SELECT exact, est_row1, est_row2,
         |  LEAST(est_row1, est_row2) AS est_min,
-        |  ((LEAST(est_row1, est_row2) - exact) * 1000) // exact
+        |  CASE WHEN exact > 0 THEN
+        |    ((LEAST(est_row1, est_row2) - exact) * 1000) // exact END
         |    AS err_permille
         |FROM ex CROSS JOIN e1 CROSS JOIN e2""".stripMargin,
 

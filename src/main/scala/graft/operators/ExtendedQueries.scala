@@ -563,8 +563,7 @@ object ExtendedQueries {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .select(col("event_id"), col("event_type"), col("value"))
-      val base = s"${graft.Scratch.root}/graft_stream_sink/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_stream_sink")
       val q = stream.writeStream
         .format("parquet")
         .option("path", s"$base/data")

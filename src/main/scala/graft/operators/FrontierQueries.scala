@@ -122,8 +122,7 @@ object FrontierQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
         .select(col("event_id"), col("event_type"), col("value"))
-      val base = s"${graft.Scratch.root}/graft_multisink/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_multisink")
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val q = stream.writeStream

@@ -317,8 +317,7 @@ object IncrementalQueries {
     // pairs.
     "q210_stream_neardup" -> ((s, d) => {
       val src = docsSplitFixture(s, d)
-      val base = s"${Scratch.root}/graft_streamdedup/" +
-        java.util.UUID.randomUUID
+      val base = Scratch.runDir("graft_streamdedup")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
@@ -442,8 +441,7 @@ object IncrementalQueries {
     "q170_checkpoint_recovery" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dir = FrontierQueries.eventsSplitFixture(s, d)
-      val base = s"${Scratch.root}/graft_ckpt_recover/" +
-        java.util.UUID.randomUUID
+      val base = Scratch.runDir("graft_ckpt_recover")
       checkpointRecoveryRun(s, dir, base, failAfter = Some(2)) // dies mid-run
       checkpointRecoveryRun(s, dir, base, failAfter = None) // resumes
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
@@ -471,8 +469,7 @@ object IncrementalQueries {
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
-      val base = s"${Scratch.root}/graft_late_route/" +
-        java.util.UUID.randomUUID
+      val base = Scratch.runDir("graft_late_route")
       val lateness = 3600000000L // 1 hour in micros
       @volatile var highWater = Long.MinValue
       val q = stream.writeStream

@@ -59,7 +59,10 @@ object QualityQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       // N (reference token count) and V (vocab size) fall out of the
       // vocab-sized model frame — no second pass over the token stream.
-      val st = model.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+      // coalesce: with an empty reference slice SUM is NULL but the
+      // oracle's COUNT-based n is 0 — both sides must see (0, 0)
+      val st = model.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        count(lit(1)).as("v"))
       val scored = tk
         .join(broadcast(model), Seq("w"), "left")
         .crossJoin(broadcast(st))
@@ -143,7 +146,9 @@ object QualityQueries {
         .agg(count(lit(1)).as("cb"))
       val uniModel = toks(s, d).where(col("lang") === "en")
         .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val st = uniModel.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+      // coalesce: empty 'en' slice ⇒ SUM NULL vs the oracle's 0 (q204)
+      val st = uniModel.agg(coalesce(sum(col("cu")), lit(0L)).as("n"),
+        count(lit(1)).as("v"))
       val scored = bi
         .join(broadcast(biModel), Seq("a", "b"), "left")
         .join(broadcast(uniModel.select(col("w").as("a"),

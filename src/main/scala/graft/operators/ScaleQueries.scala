@@ -827,8 +827,7 @@ object ScaleQueries {
     // AvailableNow, foreachBatch idempotence) is exercised.
     "q202_stream_ann" -> ((s, d) => {
       val fix = streamAnnFixture(s, d)
-      val base = s"${graft.Scratch.root}/graft_streamann/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_streamann")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(s"$fix/qs").schema
       val stream = s.readStream.schema(schema)
@@ -1395,7 +1394,7 @@ object ScaleQueries {
     // count is analytic; at scale the same cap applies per task and
     // bounds every output file identically.
     "q114_compaction" -> ((s, d) => {
-      val out = s"${Scratch.root}/graft_compact/${java.util.UUID.randomUUID}"
+      val out = Scratch.runDir("graft_compact")
       T.documents(s, d).coalesce(1)
         .write.option("maxRecordsPerFile", 100)
         .mode("overwrite").parquet(out)

@@ -57,8 +57,7 @@ object StreamCatalogQueries {
       val mdir = manifestFixture(s, d)
       val spec = StreamingCollect.StreamSpec(
         schema = ReferenceQueries.lineitemSchema, inputDir = mdir)
-      val out = new java.io.File(StreamingCollect.fastTmpRoot,
-        s"graft_manifest_out-${java.util.UUID.randomUUID}").getAbsolutePath
+      val out = graft.Scratch.runDir("graft_manifest_out")
       StreamingCollect.runManifestBounded(s, spec, mdir, out)
       s.read.parquet(out)
         .groupBy(col("l_returnflag"))

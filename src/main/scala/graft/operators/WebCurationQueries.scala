@@ -205,10 +205,8 @@ object WebCurationQueries {
       val pairs = grams.groupBy(col("g"))
         .agg(array_sort(collect_set(col("source"))).as("ss"))
         .where(size(col("ss")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(ss, (x, i) -> " +
-            "transform(slice(ss, i + 2, size(ss)), y -> " +
-            "named_struct('sa', x, 'sb', y))))")).as("p"))
+        .select(explode(
+          CorpusQueries.sortedPairs("ss", "sa", "sb")).as("p"))
         .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
         .agg(count(lit(1)).as("inter"))
       pairs
@@ -233,8 +231,7 @@ object WebCurationQueries {
     // mergeable count table, arrival order never matters.
     "q253_stream_frontier" -> ((s, d) => {
       val src = CorpusQueries.docsSourceSplitFixture(s, d)
-      val base = s"${graft.Scratch.root}/graft_frontier/" +
-        java.util.UUID.randomUUID
+      val base = graft.Scratch.runDir("graft_frontier")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)

@@ -131,8 +131,8 @@ object StreamingCollect {
     * production job keeps the ProcessingTime trigger. */
   def runManifestBounded(spark: SparkSession, spec: StreamSpec,
       manifestDir: String, outDir: String): Unit = {
-    val ckpt = new java.io.File(fastTmpRoot,
-      s"graft_ckpt_manifest-${java.util.UUID.randomUUID}")
+    val ckpt = new java.io.File(
+      graft.Scratch.runDir("graft_ckpt_manifest"))
     try {
       val q = manifestWriter(
           manifestReader(spark, manifestDir, maxManifestsPerTrigger = 1),
@@ -174,8 +174,7 @@ object StreamingCollect {
     } catch {
       case _: java.sql.SQLException => () // already exists
     } finally c.close()
-    val ckpt = new java.io.File(fastTmpRoot,
-      s"graft_ckpt_cc-${java.util.UUID.randomUUID}")
+    val ckpt = new java.io.File(graft.Scratch.runDir("graft_ckpt_cc"))
     try {
       val q = manifestReader(spark, manifestDir, maxManifestsPerTrigger = 1)
         .writeStream
@@ -254,8 +253,8 @@ object StreamingCollect {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
-    val ckpt = new java.io.File(fastTmpRoot,
-      s"graft_ckpt_$queryName-${java.util.UUID.randomUUID}")
+    val ckpt = new java.io.File(
+      graft.Scratch.runDir(s"graft_ckpt_$queryName"))
     try {
       val q = stream.writeStream
         .format("memory")

@@ -64,6 +64,9 @@ class QueriesSpec extends AnyFunSuite {
   private val seqFilterGuarded = Map(
     "q62_contamination" -> ("size(__toks", ">= 3"),
     "q64_repetition" -> ("size(__toks", ">= 3"),
+    // q259 runs q64's Screening.repetition as its filter-B side — same
+    // Filter guard, re-verified structurally below
+    "q259_filter_kappa" -> ("size(__toks", ">= 3"),
     "q109_ngram_stats" -> ("size(w", ">= 2"),
     "q99_fuzzy_pairs" -> ("size(gids", ">= 2"))
 
