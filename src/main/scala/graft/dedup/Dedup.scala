@@ -151,16 +151,24 @@ object Dedup {
 
   /** LSH candidate pairs (id_a < id_b) from banded minhash signatures,
     * skew-bounded by [[cappedSelfJoinPairs]]. */
-  def lshCandidates(sig: DataFrame,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+  /** (id, band, bh) band keys for a signature frame — ONE definition of
+    * the NumHashes/BandRows banding geometry, shared by the in-memory
+    * candidate join and every persisted-index builder/prober
+    * (IncrementalQueries' q117/q210 fixtures and triggers): an index
+    * written with different band keys than the probe silently misses
+    * every pair. */
+  def bandKeys(sig: DataFrame): DataFrame = {
     val nBands = NumHashes / BandRows
-    val banded = sig.select(col("id"), explode(expr(
+    sig.select(col("id"), explode(expr(
       s"transform(sequence(0, ${nBands - 1}), b -> named_struct(" +
         s"'band', b, 'bh', xxhash64(slice(sig, b * $BandRows + 1, $BandRows))))"
     )).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    cappedSelfJoinPairs(banded, Seq("band", "bh"), bucketCap)
   }
+
+  def lshCandidates(sig: DataFrame,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    cappedSelfJoinPairs(bandKeys(sig), Seq("band", "bh"), bucketCap)
 
   /** Exact Jaccard for given candidate pairs, via the shingle sets.
     * `precomputedSizes` (id, sz) skips the corpus-wide size aggregate —

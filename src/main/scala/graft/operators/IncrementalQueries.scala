@@ -43,12 +43,7 @@ object IncrementalQueries {
     if (!new java.io.File(s"$out/sizes/_SUCCESS").exists()) {
       val history = T.documents(s, d).where(col("doc_id") % 10 =!= 0)
       val sh = Dedup.shingles(history).localCheckpoint()
-      val bands = Dedup.minhashSignatures(sh)
-        .select(col("id"), explode(expr(
-          "transform(sequence(0, 15), b -> named_struct(" +
-            "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
-          .as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val bands = Dedup.bandKeys(Dedup.minhashSignatures(sh))
       bands.write.mode("overwrite").parquet(s"$out/bands")
       sh.write.mode("overwrite").parquet(s"$out/shingles")
       // shingle-set sizes persisted alongside: the per-increment verify
@@ -134,9 +129,26 @@ object IncrementalQueries {
     val cur = batch.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
       .withColumn("bid", lit(id))
+    // Only a MISSING TABLE means "first batch"; any other failure must
+    // propagate — treating e.g. a lock timeout as table-absent would make
+    // merged = cur and the overwrite silently discard every prior batch.
+    // Derby reports missing tables as SQLState 42X05 (42Y07 for schemas);
+    // the analysis exception Spark wraps it in keeps the message.
+    def missingTable(e: Throwable): Boolean = {
+      val states = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(8).collect {
+          case s: java.sql.SQLException => Option(s.getSQLState)
+        }.flatten.toSeq
+      states.exists(st => st == "42X05" || st == "42Y07") ||
+        (e.getMessage != null &&
+          (e.getMessage.contains("does not exist") ||
+            e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")))
+    }
     val prev =
       try Some(graft.sinks.JdbcSink.read(ss, url, "totals", props).collect())
-      catch { case _: Throwable => None }
+      catch {
+        case e: Throwable if missingTable(e) => None
+      }
     val alreadyApplied = prev.exists(_.exists(_.getLong(3) >= id))
     if (!alreadyApplied) {
       val merged = prev match {
@@ -159,7 +171,8 @@ object IncrementalQueries {
   final case class GaugeState(n: Long, nNull: Long, bestT: Long,
       bestId: Long, bestV: Option[Double])
   final case class GaugeUpdate(user_id: Long, n_events: Long,
-      n_nulled: Long, best_t: Long, last_value: Option[Double])
+      n_nulled: Long, best_t: Long, best_id: Long,
+      last_value: Option[Double])
 
   /** Arrival-order-insensitive latest-gauge tracker (q148): per key,
     * keep event count, null count, and the non-null reading with the
@@ -194,7 +207,8 @@ object IncrementalQueries {
         }
       }
       st.update(s)
-      Iterator.single(GaugeUpdate(key, s.n, s.nNull, s.bestT, s.bestV))
+      Iterator.single(
+        GaugeUpdate(key, s.n, s.nNull, s.bestT, s.bestId, s.bestV))
     }
   }
 
@@ -249,7 +263,8 @@ object IncrementalQueries {
         .transformWithState(new GaugeProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update)
-        .toDF("user_id", "n_events", "n_nulled", "best_t", "last_value")
+        .toDF("user_id", "n_events", "n_nulled", "best_t", "best_id",
+          "last_value")
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
@@ -261,7 +276,15 @@ object IncrementalQueries {
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"),
             max(col("n_nulled")).as("n_nulled"),
-            max_by(col("last_value"), col("best_t")).as("last_value"))
+            // tiebreak on (t, event_id), matching the processor's fold:
+            // two updates can carry the same best_t with different
+            // readings when a time tie splits across micro-batches. The
+            // 2^40 composite keeps event_id below the t component even
+            // under ScaleUp's 1e10 key offsets; DECIMAL(38) is exact
+            // (DuckDB mirrors with HUGEINT).
+            max_by(col("last_value"),
+              expr("CAST(best_t AS DECIMAL(38,0)) * 1099511627776 " +
+                "+ best_id")).as("last_value"))
           .orderBy(col("user_id"))
       } finally {
         prev match {
@@ -283,12 +306,7 @@ object IncrementalQueries {
       val histSh = s.read.parquet(s"$idx/shingles")
       val batch = T.documents(s, d).where(col("doc_id") % 10 === 0)
       val batchSh = Dedup.shingles(batch).localCheckpoint()
-      val batchBands = Dedup.minhashSignatures(batchSh)
-        .select(col("id"), explode(expr(
-          "transform(sequence(0, 15), b -> named_struct(" +
-            "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
-          .as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val batchBands = Dedup.bandKeys(Dedup.minhashSignatures(batchSh))
       val pairs = Dedup.cappedIndexJoinPairs(
         histBands, batchBands, Seq("band", "bh"), Dedup.DefaultBucketCap)
       val sizes = s.read.parquet(s"$idx/sizes").unionByName(
@@ -327,28 +345,38 @@ object IncrementalQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val bsh = Dedup.shingles(batch).localCheckpoint()
-          val bBands = Dedup.minhashSignatures(bsh)
-            .select(col("id"), explode(expr(
-              "transform(sequence(0, 15), b -> named_struct(" +
-                "'band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"))
-              .as("bk"))
-            .select(col("id"), col("bk.band").as("band"),
-              col("bk.bh").as("bh"))
+          // ONE signature pass per trigger: bands and the intra-batch
+          // candidates both derive from it (the 64-hash aggregate is
+          // the expensive pass — it must not run twice)
+          val bSig = Dedup.minhashSignatures(bsh).localCheckpoint()
+          val bBands = Dedup.bandKeys(bSig)
           val bSizes = bsh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-          val intra = Dedup.lshCandidates(
-            Dedup.minhashSignatures(bsh), Dedup.DefaultBucketCap)
+          val intra = Dedup.lshCandidates(bSig, Dedup.DefaultBucketCap)
           val hasHist = new java.io.File(s"$base/bands").exists()
+          // the index read excludes THIS batch's partition: a crash
+          // between the bands write and the streaming commit replays
+          // the batch, and joining against its own bands would emit
+          // self-pairs and reversed duplicates (the exactly-once
+          // contract is per-partition overwrite + strictly-older reads)
           val cands = (if (hasHist)
             intra.unionByName(Dedup.cappedIndexJoinPairs(
               s.read.parquet(s"$base/bands")
+                .where(col("batch_id") < bid)
                 .select(col("id"), col("band"), col("bh")),
               bBands, Seq("band", "bh"), Dedup.DefaultBucketCap))
           else intra).distinct()
+          // same strictly-older filter: on replay the state already holds
+          // this batch's shingles/sizes, and unioning them with bsh would
+          // double every shingle count in the verify
           val allSh = if (hasHist)
-            s.read.parquet(s"$base/shingles").select(col("id"), col("sh"))
+            s.read.parquet(s"$base/shingles")
+              .where(col("batch_id") < bid)
+              .select(col("id"), col("sh"))
               .unionByName(bsh) else bsh
           val allSizes = if (hasHist)
-            s.read.parquet(s"$base/sizes").select(col("id"), col("sz"))
+            s.read.parquet(s"$base/sizes")
+              .where(col("batch_id") < bid)
+              .select(col("id"), col("sz"))
               .unionByName(bSizes) else bSizes
           Dedup.jaccardVerify(cands, allSh, Some(allSizes))
             .where(col("jaccard") >= 0.8)
@@ -382,9 +410,13 @@ object IncrementalQueries {
     // vocab is tiny by construction, so OOV marking costs one broadcast
     // lookup per token — no corpus-sized shuffle.
     "q118_vocab_coverage" -> ((s, d) => {
+      // materialized once: the corpus-sized token explode feeds the
+      // vocab head, the per-lang totals, AND the anti-join probe —
+      // without the checkpoint the corpus tokenizes three times
       val toks = T.documents(s, d)
         .select(col("lang"),
           explode(split(trim(lower(col("text"))), " ")).as("word"))
+        .localCheckpoint()
       val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(10)
         .select(col("word"))
@@ -792,7 +824,8 @@ object IncrementalQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_nulled,
-        |  arg_max(v, t) FILTER (WHERE v IS NOT NULL) AS last_value
+        |  arg_max(v, CAST(t AS HUGEINT) * 1099511627776 + event_id)
+        |    FILTER (WHERE v IS NOT NULL) AS last_value
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q146_winsorize" ->

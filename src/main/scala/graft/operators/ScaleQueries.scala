@@ -357,11 +357,20 @@ object ScaleQueries {
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), " ")).as("word"))
         .distinct()
+      // the 20-smallest head comes from the bounded-heap TopKAgg (k
+      // entries of state per group), NOT collect_list + slice: a
+      // stopword's posting list is corpus-sized, and collecting it into
+      // one aggregation buffer before slicing is an executor OOM at the
+      // 100 TB design point. Score = -doc_id makes the heap's
+      // score-desc order the ascending id head.
       t.groupBy(col("word"))
         .agg(count(lit(1)).as("df"),
+          graft.functions.TopKAgg.topkAgg(
+            -col("doc_id").cast("double"), col("doc_id"), 20).as("topk"))
+        .select(col("word"), col("df"),
           concat_ws(",",
-            slice(sort_array(collect_list(col("doc_id"))), 1, 20)
-              .cast("array<string>")).as("postings"))
+            expr("transform(topk, x -> CAST(x.id AS STRING))"))
+            .as("postings"))
         .orderBy(col("word"))
     }),
 
@@ -1135,11 +1144,19 @@ object ScaleQueries {
       val target = 100.0
       val counts = T.documents(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
+      // sw as order-free INTEGER micro-units: a raw double sum of the
+      // sqrt terms is accumulation-order-dependent (Spark's partial-agg
+      // order vs DuckDB's scan order), and a last-ulp difference at a
+      // .5 rounding boundary would flip the 16-bit threshold. Each
+      // floor(sqrt(n)·1e6) term is deterministic per value; the BIGINT
+      // sum is exact in any order.
       val rates = counts
         .crossJoin(broadcast(counts.agg(
-          sum(sqrt(col("n").cast("double"))).as("sw"))))
+          sum(expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) " +
+            "AS BIGINT)")).as("swm"))))
         .withColumn("thr", round(least(lit(1.0),
-            sqrt(col("n").cast("double")) / col("sw") * target / col("n"))
+            sqrt(col("n").cast("double")) * 1000000.0 /
+              col("swm").cast("double") * target / col("n"))
           * 65536).cast("int"))
         .select(col("lang"), col("thr"))
       val bucketed = T.documents(s, d)
@@ -2081,8 +2098,9 @@ object ScaleQueries {
         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |t AS (
         |  SELECT lang, CAST(round(LEAST(1.0,
-        |      sqrt(CAST(n AS DOUBLE)) /
-        |        (SELECT SUM(sqrt(CAST(n AS DOUBLE))) FROM c)
+        |      sqrt(CAST(n AS DOUBLE)) * 1000000.0 /
+        |        CAST((SELECT SUM(CAST(floor(sqrt(CAST(n AS DOUBLE))
+        |          * 1000000) AS BIGINT)) FROM c) AS DOUBLE)
         |      * 100.0 / n) * 65536) AS INTEGER) AS thr
         |  FROM c),
         |b AS (
