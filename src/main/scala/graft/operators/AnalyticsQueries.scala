@@ -21,6 +21,37 @@ object AnalyticsQueries {
     T.events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("t"))
 
+  /** Cohorting convention shared by retention (q126) and LTV (q168):
+    * ISO-week truncation, cohort = min week per user, offset =
+    * datediff/7 capped at 4 — ONE definition so the two surfaces can
+    * never report incompatible cohorts. Input must carry (user_id,
+    * week) plus any payload columns; output adds (cohort_week,
+    * week_offset) filtered to the 4-week frame. */
+  private def cohorted(e: DataFrame): DataFrame = {
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .where(col("week_offset") <= 4)
+  }
+
+  /** Ownership-graph edge CTE (k — k div 2, k — k div 3, id-oriented,
+    * deduped) over a customer relation — ONE definition shared by the
+    * triangle count (q141) and the degree census (q166), Spark and
+    * oracle sides alike: the two families must describe the SAME graph. */
+  private[operators] def edgeCte(rel: String,
+      divOp: String = "div"): String =
+    s"""raw AS (
+       |  SELECT c_custkey AS k, c_custkey $divOp 2 AS p FROM $rel
+       |  WHERE c_custkey $divOp 2 >= 1
+       |  UNION ALL
+       |  SELECT c_custkey, c_custkey $divOp 3 FROM $rel
+       |  WHERE c_custkey $divOp 3 >= 1),
+       |e AS (
+       |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
+       |  FROM raw WHERE k <> p)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CIDR /24 IP enrichment: client IPs (synthesized from event ids —
@@ -86,13 +117,7 @@ object AnalyticsQueries {
     "q126_retention" -> ((s, d) => {
       val e = T.events(s, d).select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("week"))
-      val active = e.distinct()
-      val cohort = active.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      active.join(cohort, "user_id")
-        .withColumn("week_offset",
-          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
-        .where(col("week_offset") <= 4)
+      cohorted(e.distinct())
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
@@ -178,12 +203,17 @@ object AnalyticsQueries {
         .withColumn("sk", substring(md5(nat), 1, 16))
       val joined = T.orders(s, d).join(broadcast(dim),
         Seq("o_orderstatus", "o_orderpriority"))
-      joined.groupBy(col("sk"))
-        .agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_keys"),
-          countDistinct(col("sk")).as("n_distinct"),
-          sum(col("n")).as("n_rows"))
-        .withColumn("collision_free", col("n_keys") === col("n_distinct"))
+      // the collision check compares the DIM's natural-key cardinality
+      // with its distinct surrogate count — comparing counts of a frame
+      // already grouped by sk is true by construction and would never
+      // catch a real hash collision
+      val g = joined.groupBy(col("sk")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      val dimStats = dim.agg(count(lit(1)).as("n_nat"),
+        countDistinct(col("sk")).as("n_distinct"))
+      g.crossJoin(dimStats)
+        .select(col("n_keys"), col("n_distinct"), col("n_rows"),
+          (col("n_nat") === col("n_distinct")).as("collision_free"))
     }),
 
     // Dataset diff (snapshot reconciliation): old vs new snapshot keyed
@@ -231,15 +261,7 @@ object AnalyticsQueries {
     "q141_triangles" -> ((s, d) => {
       T.customer(s, d).createOrReplaceTempView("q141_customer")
       s.sql(
-        """WITH raw AS (
-          |  SELECT c_custkey AS k, c_custkey div 2 AS p FROM q141_customer
-          |  WHERE c_custkey div 2 >= 1
-          |  UNION ALL
-          |  SELECT c_custkey, c_custkey div 3 FROM q141_customer
-          |  WHERE c_custkey div 3 >= 1),
-          |e AS (
-          |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
-          |  FROM raw WHERE k <> p),
+        s"""WITH ${edgeCte("q141_customer")},
           |wedge AS (
           |  SELECT e1.a, e1.b, e2.b AS c
           |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
@@ -371,12 +393,7 @@ object AnalyticsQueries {
       val e = T.events(s, d).select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("week"),
         col("value").cast(dec).as("v"))
-      val cohort = e.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      val matrix = e.join(cohort, "user_id")
-        .withColumn("week_offset",
-          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
-        .where(col("week_offset") <= 4)
+      val matrix = cohorted(e)
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(sum(col("v")).as("rev"))
       matrix
@@ -416,15 +433,7 @@ object AnalyticsQueries {
     "q166_degree_dist" -> ((s, d) => {
       T.customer(s, d).createOrReplaceTempView("q166_customer")
       s.sql(
-        """WITH raw AS (
-          |  SELECT c_custkey AS k, c_custkey div 2 AS p FROM q166_customer
-          |  WHERE c_custkey div 2 >= 1
-          |  UNION ALL
-          |  SELECT c_custkey, c_custkey div 3 FROM q166_customer
-          |  WHERE c_custkey div 3 >= 1),
-          |e AS (
-          |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
-          |  FROM raw WHERE k <> p),
+        s"""WITH ${edgeCte("q166_customer")},
           |deg AS (
           |  SELECT node, COUNT(*) AS degree FROM (
           |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -452,7 +461,10 @@ object AnalyticsQueries {
       // dense bitmap domain: bucket ids rebased to [0, range) — the
       // bounds are a one-row aggregate (bounded driver fetch)
       val r = m.agg(min(col("bucket")), max(col("bucket"))).collect()(0)
-      val (bmin, bmax) = (r.getLong(0), r.getLong(1))
+      // empty input ⇒ null bounds; degrade to a [0, 0] domain (the
+      // pair join below is then empty) instead of an NPE on getLong
+      val (bmin, bmax) =
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       val nWords = ((bmax - bmin) / 64 + 1).toInt
       val bitmaps = m
         .select(col("user_id"), (col("bucket") - bmin).as("i"))
@@ -880,15 +892,7 @@ object AnalyticsQueries {
         |FROM g GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q166_degree_dist" ->
-      """WITH raw AS (
-        |  SELECT c_custkey AS k, c_custkey // 2 AS p FROM customer
-        |  WHERE c_custkey // 2 >= 1
-        |  UNION ALL
-        |  SELECT c_custkey, c_custkey // 3 FROM customer
-        |  WHERE c_custkey // 3 >= 1),
-        |e AS (
-        |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
-        |  FROM raw WHERE k <> p),
+      s"""WITH ${edgeCte("customer", "//")},
         |deg AS (
         |  SELECT node, COUNT(*) AS degree FROM (
         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -1003,15 +1007,7 @@ object AnalyticsQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q141_triangles" ->
-      """WITH raw AS (
-        |  SELECT c_custkey AS k, c_custkey // 2 AS p FROM customer
-        |  WHERE c_custkey // 2 >= 1
-        |  UNION ALL
-        |  SELECT c_custkey, c_custkey // 3 FROM customer
-        |  WHERE c_custkey // 3 >= 1),
-        |e AS (
-        |  SELECT DISTINCT least(k, p) AS a, greatest(k, p) AS b
-        |  FROM raw WHERE k <> p),
+      s"""WITH ${edgeCte("customer", "//")},
         |wedge AS (
         |  SELECT e1.a, e1.b, e2.b AS c
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
@@ -1119,11 +1115,14 @@ object AnalyticsQueries {
         |  SELECT d2.sk FROM orders o JOIN d2
         |    ON o.o_orderstatus = d2.o_orderstatus
         |   AND o.o_orderpriority = d2.o_orderpriority
-        |), g AS (SELECT sk, COUNT(*) AS n FROM j GROUP BY sk)
-        |SELECT COUNT(*) AS n_keys, COUNT(DISTINCT sk) AS n_distinct,
-        |  CAST(SUM(n) AS BIGINT) AS n_rows,
-        |  COUNT(*) = COUNT(DISTINCT sk) AS collision_free
-        |FROM g""".stripMargin,
+        |), g AS (SELECT sk, COUNT(*) AS n FROM j GROUP BY sk),
+        |gs AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT)
+        |         AS n_rows FROM g),
+        |ds AS (SELECT COUNT(*) AS n_nat, COUNT(DISTINCT sk)
+        |         AS n_distinct FROM d2)
+        |SELECT gs.n_keys, ds.n_distinct, gs.n_rows,
+        |  ds.n_nat = ds.n_distinct AS collision_free
+        |FROM gs, ds""".stripMargin,
 
     "q134_dataset_diff" ->
       """SELECT

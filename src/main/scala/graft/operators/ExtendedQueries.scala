@@ -61,6 +61,26 @@ object ExtendedQueries {
     * the same gaps-and-islands oracle. */
   private val GapUs = 43200000000L
 
+  /** Build a frame under a planning-time conf override, FORCE the
+    * physical plan while the override is live, then restore the previous
+    * value — the returned frame keeps its planned form (QueryExecution
+    * caches executedPlan) while later registry queries see an untouched
+    * session. A bare conf.set here was a one-way mutation that made
+    * every subsequent query's plan depend on registry iteration order. */
+  private def withPlannedConf(s: SparkSession, key: String, value: String)(
+      build: => DataFrame): DataFrame = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try {
+      val df = build
+      df.queryExecution.executedPlan // force planning under the override
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Bucketed + per-bucket-sorted orders/customer tables (8 buckets on the
     * join/filter key), written once per sf: the layout that replaces the
     * join shuffle (q87) and lets a key-equality scan read ONE bucket file
@@ -75,7 +95,14 @@ object ExtendedQueries {
     // survives — saveAsTable refuses the orphaned location, so clear it
     def freshTable(name: String)(write: => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
-        val orphan = new java.io.File(s"spark-warehouse/$name")
+        // resolve the REAL warehouse location: a hardcoded relative
+        // "spark-warehouse" misses the orphan when the JVM runs from a
+        // different cwd or spark.sql.warehouse.dir is configured
+        val wh = java.nio.file.Paths.get(java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")
+            match { case u if u.contains(":") => u
+                    case p => new java.io.File(p).toURI.toString })).toFile
+        val orphan = new java.io.File(wh, name)
         if (orphan.exists()) {
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory)
@@ -102,6 +129,21 @@ object ExtendedQueries {
     (to, tc)
   }
 
+  /** q76/q95's planted heavy-hitter keying (~10% of rows on each of 5
+    * hot keys, the rest spread over 100k) — ONE definition, Spark and
+    * SQL, so the two sketch queries always share the distribution their
+    * candidate-set proofs rely on. */
+  private def heavyKeyed(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).select(
+      when(col("l_orderkey") % 2 === 0, col("l_orderkey") % 5)
+        .otherwise(lit(100) + (col("l_orderkey") % 100000))
+        .cast("long").as("hk"))
+
+  private val heavyKeySql =
+    """SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 5
+      |              ELSE 100 + (l_orderkey % 100000) END AS hk
+      |  FROM lineitem""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucket pruning on read: a key-equality filter over the bucketed
     // table touches ONE bucket file of 8 — the scan-side dividend of the
@@ -112,13 +154,16 @@ object ExtendedQueries {
       val (to, _) = bucketedTables(s, d)
       // auto-bucketed-scan turns the bucketed layout OFF when no join
       // needs the distribution — but pruning is exactly the case where
-      // the layout pays without a join, so keep the scan bucketed
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      s.table(to)
-        .where(col("o_custkey") === 107)
-        .agg(count(lit(1)).as("n"),
-          Det.dsum(col("o_totalprice")).as("sum_price"))
+      // the layout pays without a join, so keep the scan bucketed.
+      // Scoped: the conf is restored once the plan is forced, so the
+      // planning override never leaks into later registry queries.
+      withPlannedConf(s,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+        s.table(to)
+          .where(col("o_custkey") === 107)
+          .agg(count(lit(1)).as("n"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+      }
     }),
 
 
@@ -211,10 +256,7 @@ object ExtendedQueries {
     // provably inside the candidate set — which is why the plain SQL
     // top-5 is a valid oracle for the two-pass pipeline.
     "q76_heavy_hitters" -> ((s, d) => {
-      val keyed = T.lineitem(s, d).select(
-        when(col("l_orderkey") % 2 === 0, col("l_orderkey") % 5)
-          .otherwise(lit(100) + (col("l_orderkey") % 100000))
-          .cast("long").as("hk"))
+      val keyed = heavyKeyed(s, d)
       val cands = keyed
         .agg(FreqAgg.freqSketch(col("hk"), 32).as("cand"))
         .select(explode(col("cand")).as("hk"))
@@ -459,15 +501,17 @@ object ExtendedQueries {
       val (to, tc) = bucketedTables(s, d)
       // since 3.0 Spark ignores the buckets' sort order unless told the
       // layout guarantees it (exactly one file per bucket, which the
-      // repartition above ensures) — without this the SMJ re-sorts
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
-        "true")
-      s.table(to).hint("merge")
-        .join(s.table(tc), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"),
-          Det.dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("c_mktsegment"))
+      // repartition above ensures) — without this the SMJ re-sorts.
+      // Scoped like q185: restored once the plan is forced.
+      withPlannedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+        s.table(to).hint("merge")
+          .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      }
     }),
 
     // Variant semi-structured data (Spark 4): parse_json into the
@@ -533,10 +577,7 @@ object ExtendedQueries {
     // (q71), MG (q76), bloom (q74), minhash/simhash (q30/q31).
     "q95_countmin_sketch" -> ((s, d) => {
       import s.implicits._
-      val keyed = T.lineitem(s, d).select(
-        when(col("l_orderkey") % 2 === 0, col("l_orderkey") % 5)
-          .otherwise(lit(100) + (col("l_orderkey") % 100000))
-          .cast("long").as("hk"))
+      val keyed = heavyKeyed(s, d)
       val cms = keyed.stat.countMinSketch("hk", eps = 0.0001,
         confidence = 0.99, seed = 42)
       val n = keyed.count()
@@ -715,10 +756,8 @@ object ExtendedQueries {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q76_heavy_hitters" ->
-      """SELECT hk, COUNT(*) AS n FROM (
-        |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 5
-        |              ELSE 100 + (l_orderkey % 100000) END AS hk
-        |  FROM lineitem)
+      s"""SELECT hk, COUNT(*) AS n FROM (
+        |  $heavyKeySql)
         |GROUP BY hk ORDER BY n DESC, hk LIMIT 5""".stripMargin,
 
     "q77_url_extract" ->
@@ -740,10 +779,8 @@ object ExtendedQueries {
          |GROUP BY w.w ORDER BY w.w""".stripMargin,
 
     "q95_countmin_sketch" ->
-      """SELECT hk, COUNT(*) AS n_exact, TRUE AS within_bound FROM (
-        |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 5
-        |              ELSE 100 + (l_orderkey % 100000) END AS hk
-        |  FROM lineitem)
+      s"""SELECT hk, COUNT(*) AS n_exact, TRUE AS within_bound FROM (
+        |  $heavyKeySql)
         |WHERE hk < 5 GROUP BY hk ORDER BY hk""".stripMargin,
 
     "q94_stream_file_sink" ->
