@@ -36,11 +36,13 @@ object Multimodal {
     * (e.g. libjpeg/ffmpeg via FFI); everything downstream is unchanged. */
   object FakeCodec {
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
-      val len = bytes.length
-      val first: Int = if (len > 0) bytes(0) & 0xff else 0
-      val last: Int = if (len > 0) bytes(len - 1) & 0xff else 0
-      val width = 64 + ((len * 7 + first) % 577)
-      val height = 64 + ((len * 13 + last) % 385)
+      // Long arithmetic: len * 13 overflows Int past ~165 MB, and a
+      // negative modulo would emit negative dimensions
+      val len = bytes.length.toLong
+      val first: Long = if (len > 0) bytes(0) & 0xff else 0
+      val last: Long = if (len > 0) bytes(len.toInt - 1) & 0xff else 0
+      val width = (64 + ((len * 7 + first) % 577)).toInt
+      val height = (64 + ((len * 13 + last) % 385)).toInt
       val format = (len % 3) match {
         case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
       }
@@ -102,6 +104,10 @@ object Multimodal {
       val w = int(); val h = int(); val maxVal = int()
       require(maxVal == 255, s"unsupported maxval $maxVal")
       p += 1 // single whitespace after maxval
+      // copyOfRange would silently ZERO-PAD a truncated body — enforce
+      // the declared length so corrupt media hits the quarantine path
+      require(bytes.length - p >= w * h * 3,
+        s"truncated P6 body: need ${w * h * 3}, have ${bytes.length - p}")
       val px = java.util.Arrays.copyOfRange(bytes, p, p + w * h * 3)
       (w, h, px)
     }
@@ -284,12 +290,19 @@ object Multimodal {
             val bits = bb.getShort
             require(fmt == 1 && ch == 1 && bits == 16,
               s"unsupported wav: fmt=$fmt ch=$ch bits=$bits")
+            // RIFF chunks are word-aligned: odd lengths carry a pad
+            // byte (AviCodec already handles this; a tagging tool's
+            // odd-length LIST chunk would otherwise shift the walk)
             if (len > 16) bb.position(bb.position() + len - 16)
+            if (len % 2 == 1) bb.position(bb.position() + 1)
           case "data" =>
             samples = new Array[Short](len / 2)
             var i = 0
             while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
-          case _ => bb.position(bb.position() + len) // skip foreign chunk
+            if (len % 2 == 1 && bb.remaining() > 0)
+              bb.position(bb.position() + 1)
+          case _ => // skip foreign chunk + RIFF pad byte
+            bb.position(bb.position() + len + (len % 2))
         }
       }
       require(samples != null, "no data chunk")
@@ -347,9 +360,12 @@ object Multimodal {
             i += 3
           }
           // 8x8 nearest-neighbor resize, checksummed over all channels
+          // (zero-dimension images have no pixels to sample — an
+          // unguarded loop would AIOOBE the whole partition on one
+          // degenerate but well-formed row)
           var ts = 0L
           var yy = 0
-          while (yy < 8) {
+          while (yy < 8 && w > 0 && h > 0) {
             var xx = 0
             while (xx < 8) {
               val sx = xx * w / 8; val sy = yy * h / 8
@@ -674,7 +690,8 @@ object Multimodal {
           val luma = new Array[Long](64)
           var sum = 0L
           var yy = 0
-          while (yy < 8) {
+          // zero-dimension guard: see decodeRgbStats
+          while (yy < 8 && w > 0 && h > 0) {
             var xx = 0
             while (xx < 8) {
               val sx = xx * w / 8; val sy = yy * h / 8
@@ -716,6 +733,10 @@ object Multimodal {
         substring(content, 9, 4) === lit("AVI ".getBytes("US-ASCII")), "avi")
       .when(substring(content, 1, 2) === lit("P6".getBytes("US-ASCII")),
         "ppm")
+      // FFD8: the JPEG SOI marker — the most common crawl format must
+      // route to the JpegCodec path, not to unknown/quarantine
+      .when(substring(content, 1, 2) ===
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte)), "jpeg")
       .otherwise("unknown")
 
   /** Pack a text corpus into the multimodal layout (binary content +

@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** cosine(a, b) over array<float> columns, via the codegen'd
-    * [[VectorOps.dotF]] kernel (double accumulation). */
-  def cosine(a: Column, b: Column): Column =
-    VectorOps.dotF(a, b) / (VectorOps.normF(a) * VectorOps.normF(b))
+    * [[VectorOps.dotF]] kernel (double accumulation). Zero-norm inputs
+    * score -1 (ranked last), never NaN — Spark sorts NaN ABOVE every
+    * double, so an unguarded 0/0 would make one all-zero corpus vector
+    * the rank-1 neighbor of every query. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = VectorOps.normF(a) * VectorOps.normF(b)
+    when(den === 0.0, lit(-1.0))
+      .otherwise(VectorOps.dotF(a, b) / den)
+  }
 
   /** Exact top-k neighbors for each query row (excludes self-matches).
     * Output: (query_id, rank, neighbor_id, cos). */
@@ -41,7 +47,9 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        VectorOps.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("qn") * col("cn") === 0.0, lit(-1.0))
+          .otherwise(VectorOps.dotF(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -171,16 +179,13 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Seq[Float])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // nearest centroid = argmax cosine; greatest-of-structs keeps it
-    // one codegen'd projection per row.
-    val cells = centroids.map { case (cid, cvec) =>
-      val c = typedlit(cvec)
-      struct(
-        (VectorOps.dotF(col(vecCol), c) /
-          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
-        lit(cid).as("cell"))
-    }
+    // one codegen'd projection per row (single-centroid case guarded:
+    // greatest() requires >= 2 arguments)
+    val cells = cellStructs(centroids, vecCol)
+    val best =
+      if (cells.length == 1) cells.head else greatest(cells.toSeq: _*)
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      greatest(cells.toSeq: _*).getField("cell").as("cell"))
+      best.getField("cell").as("cell"))
   }
 
   /** Deterministic centroid set: the `nCells` lowest-id vectors (the
@@ -195,13 +200,19 @@ object Similarity {
   /** max cosine similarity of `vecCol` to the given centroid set — the
     * "distance to nearest centroid" signal, one codegen'd projection. */
   private def maxCosTo(cents: Array[Seq[Float]], vecCol: String): Column = {
-    val sims = cents.map { cvec =>
-      val c = typedlit(cvec)
-      VectorOps.dotF(col(vecCol), c) /
-        (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))
-    }
+    val sims = cents.map(cvec => cosine(col(vecCol), typedlit(cvec)))
     if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
   }
+
+  /** (cos, cell) struct per centroid — ONE definition for the assignment
+    * argmax and both probe-ranking sites (in-memory and indexed), with
+    * the zero-norm guard of [[cosine]]. */
+  private def cellStructs(cents: Array[(Long, Seq[Float])],
+      vecCol: String): Array[Column] =
+    cents.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), typedlit(cvec)).as("cos"),
+        lit(cid).as("cell"))
+    }
 
   /** Deterministic k-means|| centroids (spherical k-means, cosine
     * geometry). Seeding follows the k-means|| shape — a fixed number of
@@ -280,13 +291,7 @@ object Similarity {
       else ivfCentroids(corpus, nCells, idCol, vecCol)
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
     // per query: the nProbe nearest cells
-    val probeCells = cents.map { case (cid, cvec) =>
-      val c = typedlit(cvec)
-      struct(
-        (VectorOps.dotF(col(vecCol), c) /
-          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
-        lit(cid).as("cell"))
-    }
+    val probeCells = cellStructs(cents, vecCol)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         array_sort(array(probeCells: _*),
@@ -347,13 +352,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cents = loadIvfCentroids(spark, dir)
-    val probeCells = cents.map { case (cid, cvec) =>
-      val c = typedlit(cvec)
-      struct(
-        (VectorOps.dotF(col(vecCol), c) /
-          (VectorOps.normF(col(vecCol)) * VectorOps.normF(c))).as("cos"),
-        lit(cid).as("cell"))
-    }
+    val probeCells = cellStructs(cents, vecCol)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         array_sort(array(probeCells.toSeq: _*),

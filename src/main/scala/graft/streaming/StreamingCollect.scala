@@ -104,26 +104,38 @@ object StreamingCollect {
     * collect is O(notification batch), never O(corpus) — and run the
     * named objects through the batch ingest stack (parse → coerce →
     * optional WHERE) into `outDir`. */
+  /** Resolve one manifest micro-batch to its typed frame: collect the
+    * named object paths (bounded — a notification batch), read them
+    * through the batch ingest stack, coerce, apply the optional WHERE.
+    * ONE definition for the parquet writer and the continuous-collection
+    * JDBC path — the two ingest paths must parse identically. Returns
+    * None when the batch names no files. */
+  private def manifestBatchFrame(batch: DataFrame,
+      spec: StreamSpec): Option[DataFrame] = {
+    val spark = batch.sparkSession
+    val files = batch.select(col("value")).collect()
+      .map(_.getString(0).trim).filter(_.nonEmpty).distinct.sorted
+    if (files.isEmpty) None
+    else {
+      val in = spec.schema.input
+      val raw = spark.read
+        .option("header", in.csvHeader)
+        .option("sep", in.fieldDelimiter)
+        .option("quote", in.quoteCharacter)
+        .schema(spec.schema.rawSchema)
+        .csv(files.toSeq: _*)
+      Some(applyQuery(Coerce(raw, spec.schema), spec))
+    }
+  }
+
   def manifestWriter(manifests: DataFrame, spec: StreamSpec, outDir: String,
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
     manifests.writeStream
       .trigger(Trigger.ProcessingTime(s"${spec.batchWindowSeconds} seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val files = batch.select(col("value")).collect()
-          .map(_.getString(0).trim).filter(_.nonEmpty).distinct.sorted
-        if (files.nonEmpty) {
-          val in = spec.schema.input
-          val raw = spark.read
-            .option("header", in.csvHeader)
-            .option("sep", in.fieldDelimiter)
-            .option("quote", in.quoteCharacter)
-            .schema(spec.schema.rawSchema)
-            .csv(files.toSeq: _*)
-          applyQuery(Coerce(raw, spec.schema), spec)
-            .write.mode("append").parquet(outDir)
-        }
+        manifestBatchFrame(batch, spec)
+          .foreach(_.write.mode("append").parquet(outDir))
       }
 
   /** Bounded manifest-driven collection run (AvailableNow, one manifest
@@ -172,7 +184,13 @@ object StreamingCollect {
         """"nrecords" BIGINT)""")
       st.close()
     } catch {
-      case _: java.sql.SQLException => () // already exists
+      // ONLY "already exists" (Derby X0Y32) may pass — swallowing auth/
+      // connectivity failures here would surface as confusing per-batch
+      // errors far from the root cause
+      case e: java.sql.SQLException
+        if e.getSQLState == "X0Y32" ||
+          (e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("already exists")) => ()
     } finally c.close()
     val ckpt = new java.io.File(graft.Scratch.runDir("graft_ckpt_cc"))
     try {
@@ -181,21 +199,10 @@ object StreamingCollect {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val s2 = batch.sparkSession
-          val files = batch.select(col("value")).collect()
-            .map(_.getString(0).trim).filter(_.nonEmpty).distinct.sorted
-          if (files.nonEmpty) {
-            val in = spec.schema.input
-            val raw = s2.read
-              .option("header", in.csvHeader)
-              .option("sep", in.fieldDelimiter)
-              .option("quote", in.quoteCharacter)
-              .schema(spec.schema.rawSchema)
-              .csv(files.toSeq: _*)
+          manifestBatchFrame(batch, spec).foreach { frame =>
             // one materialization feeds both the insert and the audit
             // count (a bounded micro-batch, the worker's Transformeddata)
-            val typed = applyQuery(Coerce(raw, spec.schema), spec)
-              .localCheckpoint()
+            val typed = frame.localCheckpoint()
             graft.sinks.JdbcSink.write(typed, url, table, props,
               instanceMemoryMb, engine)
             val n = typed.count()
