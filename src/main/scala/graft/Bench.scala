@@ -123,6 +123,7 @@ object Bench {
       operators.IncrementalQueries.lateFixture(spark, sfDir)
       operators.CorpusQueries.docsSourceSplitFixture(spark, sfDir)
       operators.CalibrationQueries.embSplitFixture(spark, sfDir)
+      operators.VideoQueries.aviDupFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }
@@ -144,6 +145,13 @@ object Bench {
       // measured 43 s late in a full-board run vs 11 s isolated).
       // Each query is self-contained, so dropping blocks affects only
       // re-computation cost, never results.
+      // INVARIANT: no DataFrame may be cached/localCheckpointed in one
+      // query and reused by a later one. This sweep unpersists EVERY
+      // persistent RDD, and a localCheckpointed frame's lineage is
+      // truncated — a cross-query cached frame would fail with
+      // missing-checkpoint-block errors on reuse, not recompute.
+      // (Shared state across queries must live as on-disk fixtures,
+      // like the fixture builders above.)
       try {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

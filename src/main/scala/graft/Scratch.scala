@@ -31,7 +31,12 @@ object Scratch {
     * parent wipe was measured racing a concurrent JVM's live run of the
     * same query (verify + test suite running together killed each
     * other's in-flight streaming checkpoints); age-gating bounds
-    * accumulation across rounds while never touching live state. */
+    * accumulation across rounds while never touching live state.
+    * Staleness uses the NEWEST mtime anywhere under the child, not the
+    * child dir's own mtime — a directory's mtime only changes on direct
+    * child create/delete, so a long-lived streaming checkpoint writing
+    * into a stable subtree (offsets/, state/) would look idle at the
+    * top while actively committing below. */
   def runDir(tag: String): String = {
     val parent = new java.io.File(root, tag)
     val staleMs = 2L * 3600 * 1000
@@ -41,8 +46,14 @@ object Scratch {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      if (!f.isDirectory) own
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+    }
     Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(_.lastModified() < cutoff).foreach(rm)
+      .filter(newestMtime(_) < cutoff).foreach(rm)
     val d = new java.io.File(parent, java.util.UUID.randomUUID.toString)
     d.mkdirs()
     d.getAbsolutePath

@@ -37,7 +37,8 @@ object SparkEntry {
     (operators.WebCurationQueries.queries,
       operators.WebCurationQueries.oracleSql),
     (operators.GraphQueries.queries, operators.GraphQueries.oracleSql),
-    (operators.StatsQueries.queries, operators.StatsQueries.oracleSql)
+    (operators.StatsQueries.queries, operators.StatsQueries.oracleSql),
+    (operators.VideoQueries.queries, operators.VideoQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

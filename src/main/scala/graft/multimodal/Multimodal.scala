@@ -671,6 +671,61 @@ object Multimodal {
   final case class AHashRow(doc_id: Long, width: Int, height: Int,
       ahash: Long)
 
+  /** 64-bit average-hash of one decoded RGB buffer: 8x8 nearest-neighbor
+    * luma thumbnail → strict threshold against the thumbnail mean
+    * (integer cross-multiply, no division). Shared by the image
+    * ([[aHash]]) and per-video-frame ([[aviFrameHashes]]) paths so both
+    * produce join-compatible signatures. */
+  private[graft] def ahashOf(w: Int, h: Int, px: Array[Byte]): Long = {
+    val luma = new Array[Long](64)
+    var sum = 0L
+    var yy = 0
+    // zero-dimension guard: see decodeRgbStats
+    while (yy < 8 && w > 0 && h > 0) {
+      var xx = 0
+      while (xx < 8) {
+        val sx = xx * w / 8; val sy = yy * h / 8
+        val o = (sy * w + sx) * 3
+        val v = (px(o) & 0xff).toLong + (px(o + 1) & 0xff) +
+          (px(o + 2) & 0xff)
+        luma(yy * 8 + xx) = v; sum += v
+        xx += 1
+      }
+      yy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (luma(i) * 64 > sum) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  final case class FrameHashRow(doc_id: Long, frame_idx: Int,
+      n_frames: Int, ahash: Long)
+
+  /** Per-frame perceptual hashes for a video column: AVI container walk →
+    * REAL JPEG pixel decode per frame → [[ahashOf]]. One partition pass,
+    * no shuffle; pixels never leave the executor — downstream clip-level
+    * near-dup is a hash equi-join over 8-byte signatures, the q29/q186
+    * scale shape extended to video. */
+  def aviFrameHashes(df: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[FrameHashRow] =
+      Encoders.product[FrameHashRow]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (_, _, _, frames) = AviCodec.decode(r.content)
+          frames.iterator.zipWithIndex.map { case (jpeg, i) =>
+            val (w, h, px) = JpegCodec.decode(jpeg)
+            FrameHashRow(r.doc_id, i, frames.length, ahashOf(w, h, px))
+          }
+        }
+      }.toDF()
+  }
+
   /** Perceptual average-hash (aHash) over REAL decoded images: decode →
     * 8x8 nearest-neighbor luma thumbnail → threshold each cell against the
     * thumbnail mean → 64-bit signature. Identical images hash identically
@@ -687,30 +742,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val (w, h, px) = dec(r.content)
-          val luma = new Array[Long](64)
-          var sum = 0L
-          var yy = 0
-          // zero-dimension guard: see decodeRgbStats
-          while (yy < 8 && w > 0 && h > 0) {
-            var xx = 0
-            while (xx < 8) {
-              val sx = xx * w / 8; val sy = yy * h / 8
-              val o = (sy * w + sx) * 3
-              val v = (px(o) & 0xff).toLong + (px(o + 1) & 0xff) +
-                (px(o + 2) & 0xff)
-              luma(yy * 8 + xx) = v; sum += v
-              xx += 1
-            }
-            yy += 1
-          }
-          // strict > against the mean: 64*luma > sum avoids the division
-          var hash = 0L
-          var i = 0
-          while (i < 64) {
-            if (luma(i) * 64 > sum) hash |= (1L << i)
-            i += 1
-          }
-          AHashRow(r.doc_id, w, h, hash)
+          AHashRow(r.doc_id, w, h, ahashOf(w, h, px))
         }
       }.toDF()
   }

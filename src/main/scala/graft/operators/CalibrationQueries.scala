@@ -611,8 +611,8 @@ object CalibrationQueries {
       |    AND x.doc_id < y.doc_id),
       |agree AS (
       |  SELECT c.a, c.b,
-      |    (1000 * SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)) // 16
-      |      AS est_permille
+      |    CAST((1000 * SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END))
+      |      // 16 AS BIGINT) AS est_permille
       |  FROM cand c
       |  JOIN sig sa ON sa.doc_id = c.a
       |  JOIN sig sb ON sb.doc_id = c.b AND sb.k = sa.k
@@ -626,7 +626,8 @@ object CalibrationQueries {
       |  GROUP BY c.a, c.b),
       |pairs AS (
       |  SELECT agree.est_permille,
-      |    (1000 * i.ni) // (na.nsh + nb.nsh - i.ni) AS exact_permille
+      |    CAST((1000 * i.ni) // (na.nsh + nb.nsh - i.ni) AS BIGINT)
+      |      AS exact_permille
       |  FROM agree
       |  JOIN inter i ON i.a = agree.a AND i.b = agree.b
       |  JOIN sizes na ON na.doc_id = agree.a
@@ -769,12 +770,12 @@ object CalibrationQueries {
         |SELECT threshold, COUNT(*) AS n_cand,
         |  CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
         |  CAST(SUM(fn) AS BIGINT) AS fn,
-        |  CASE WHEN SUM(tp) + SUM(fp) > 0
+        |  CAST(CASE WHEN SUM(tp) + SUM(fp) > 0
         |    THEN (1000 * CAST(SUM(tp) AS BIGINT)) // (SUM(tp) + SUM(fp))
-        |    ELSE 0 END AS precision_permille,
-        |  CASE WHEN SUM(tp) + SUM(fn) > 0
+        |    ELSE 0 END AS BIGINT) AS precision_permille,
+        |  CAST(CASE WHEN SUM(tp) + SUM(fn) > 0
         |    THEN (1000 * CAST(SUM(tp) AS BIGINT)) // (SUM(tp) + SUM(fn))
-        |    ELSE 0 END AS recall_permille
+        |    ELSE 0 END AS BIGINT) AS recall_permille
         |FROM cls GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     "q236_source_entropy" ->
@@ -841,12 +842,12 @@ object CalibrationQueries {
         |    AS n_b,
         |  CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-        |  (1000 * SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |  CAST((1000 * SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
         |    THEN 1 ELSE 0 END)) //
         |    (SUM(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END) +
         |     SUM(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END) -
         |     SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
-        |       THEN 1 ELSE 0 END)) AS jaccard_permille,
+        |       THEN 1 ELSE 0 END)) AS BIGINT) AS jaccard_permille,
         |  CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
         |    THEN abs(ra - rb) ELSE 0 END) AS BIGINT) AS rank_disp
         |FROM ta FULL OUTER JOIN tb USING (g)""".stripMargin,

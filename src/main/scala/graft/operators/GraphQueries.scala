@@ -121,7 +121,11 @@ object GraphQueries {
       nv.crossJoin(ne).crossJoin(undWedges).crossJoin(tri)
         .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          expr("(3000 * n_triangles) div n_wedges")
+          // wedge-free graph (every component a single edge): DuckDB's
+          // // would yield NULL while Spark ANSI div throws — guard both
+          // sides to 0 (same divergence class as q224's err_permille)
+          expr("CASE WHEN n_wedges > 0 " +
+            "THEN (3000 * n_triangles) div n_wedges ELSE 0 END")
             .as("clustering_permille"))
     })
   )
@@ -213,7 +217,8 @@ object GraphQueries {
         |nv AS (SELECT COUNT(*) AS n_vertices FROM deg),
         |ne AS (SELECT COUNT(*) AS n_edges FROM und)
         |SELECT n_vertices, n_edges, n_wedges, n_triangles,
-        |  CAST((3000 * n_triangles) // n_wedges AS BIGINT)
+        |  CAST(CASE WHEN n_wedges > 0
+        |    THEN (3000 * n_triangles) // n_wedges ELSE 0 END AS BIGINT)
         |    AS clustering_permille
         |FROM nv, ne, uw, tri""".stripMargin)
   )

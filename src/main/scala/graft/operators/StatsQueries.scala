@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *    ONE aggregate pass. Slope/intercept in micro-units with explicit
   *    sign-split divisions (Spark's `div` truncates toward zero, DuckDB's
   *    `//` floors — they agree only on non-negative operands, so every
-  *    division here is arranged over non-negatives). R² needs the squared
-  *    covariance (overflows int64 past ~50k docs) — routed through
-  *    DECIMAL(38,0) products on the Spark side and HUGEINT on DuckDB's,
-  *    both exact.
+  *    division here is arranged over non-negatives). The moment
+  *    combinations n·Σxy − Σx·Σy carry n²·σ terms that overflow int64
+  *    near ~1e6 docs, and the squared covariance far earlier (~50k) — so
+  *    every combination is formed in DECIMAL(38,0) on the Spark side and
+  *    HUGEINT on DuckDB's, both exact; only bounded BIGINT ratios are
+  *    surfaced.
   */
 object StatsQueries {
 
@@ -98,11 +100,16 @@ object StatsQueries {
         (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_n"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_n"))
         .select(col("n"),
-          expr("CASE WHEN cov_n >= 0 " +
+          // var_x_n = 0 on a degenerate (single-word) vocabulary:
+          // Spark ANSI div throws where DuckDB // yields NULL — guard
+          // both sides to 0 (q224 err_permille divergence class)
+          expr("CASE WHEN var_x_n <= 0 THEN 0 WHEN cov_n >= 0 " +
             "THEN (1000000 * cov_n) div var_x_n " +
             "ELSE -((1000000 * (-cov_n)) div var_x_n) END")
             .as("slope_micro"),
-          expr("(1000 * cov_n * cov_n) div (var_x_n * var_y_n)")
+          expr("CASE WHEN var_x_n * var_y_n > 0 " +
+            "THEN (1000 * cov_n * cov_n) div (var_x_n * var_y_n) " +
+            "ELSE 0 END")
             .as("r2_permille"))
       val tw = xy.where(col("rnk") === 1)
         .select(col("w").as("top_word"), col("c").as("top_freq"))
@@ -165,22 +172,30 @@ object StatsQueries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // The moment combinations n·Σxy − Σx·Σy carry n²·σ terms that
+      // overflow int64 near ~1e6 docs (x ≈ 1e4 chars, y ≤ 1000), so they
+      // are formed in DECIMAL(38,0) and never surfaced raw; only the
+      // bounded ratios (slope, R²) reach the output, back in BIGINT via
+      // integral div.
       sums.select(
         col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_n"),
-        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_n"))
-        .select(col("n"), col("cov_n"), col("var_x_n"), col("var_y_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy " +
+          "- CAST(sx AS DECIMAL(38,0)) * sy").as("cov_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx").as("var_x_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy " +
+          "- CAST(sy AS DECIMAL(38,0)) * sy").as("var_y_n"))
+        .select(col("n"),
           // slope sign-split so truncating div == flooring // (operands
-          // are non-negative in both branches)
-          expr("CASE WHEN cov_n >= 0 " +
+          // are non-negative in both branches); var_x_n = 0 (all docs
+          // equal length) guarded to 0 on both engines
+          expr("CAST(CASE WHEN var_x_n <= 0 THEN 0 WHEN cov_n >= 0 " +
             "THEN (1000000 * cov_n) div var_x_n " +
-            "ELSE -((1000000 * (-cov_n)) div var_x_n) END")
+            "ELSE -((1000000 * (-cov_n)) div var_x_n) END AS BIGINT)")
             .as("slope_micro"),
-          expr("CAST((1000 * CAST(cov_n AS DECIMAL(38,0)) " +
-            "* CAST(cov_n AS DECIMAL(38,0))) div " +
-            "(CAST(var_x_n AS DECIMAL(38,0)) " +
-            "* CAST(var_y_n AS DECIMAL(38,0))) AS BIGINT)")
+          expr("CAST(CASE WHEN var_x_n * var_y_n > 0 " +
+            "THEN (1000 * cov_n * cov_n) div (var_x_n * var_y_n) " +
+            "ELSE 0 END AS BIGINT)")
             .as("r2_permille"))
     })
   )
@@ -248,11 +263,13 @@ object StatsQueries {
         |  FROM s),
         |tw AS (SELECT w AS top_word, c AS top_freq FROM r WHERE rnk = 1)
         |SELECT n,
-        |  CAST(CASE WHEN cov_n >= 0
+        |  CAST(CASE WHEN var_x_n <= 0 THEN 0 WHEN cov_n >= 0
         |    THEN (1000000 * cov_n) // var_x_n
         |    ELSE -((1000000 * (-cov_n)) // var_x_n) END AS BIGINT)
         |    AS slope_micro,
-        |  CAST((1000 * cov_n * cov_n) // (var_x_n * var_y_n) AS BIGINT)
+        |  CAST(CASE WHEN var_x_n * var_y_n > 0
+        |    THEN (1000 * cov_n * cov_n) // (var_x_n * var_y_n)
+        |    ELSE 0 END AS BIGINT)
         |    AS r2_permille,
         |  top_word, CAST(top_freq AS BIGINT) AS top_freq
         |FROM c, tw""".stripMargin,
@@ -318,18 +335,21 @@ object StatsQueries {
         |    CAST(SUM(y * y) AS BIGINT) AS syy
         |  FROM xy),
         |c AS (
-        |  SELECT n, n * sxy - sx * sy AS cov_n,
-        |    n * sxx - sx * sx AS var_x_n,
-        |    n * syy - sy * sy AS var_y_n
+        |  SELECT n,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS var_x_n,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |      AS var_y_n
         |  FROM s)
-        |SELECT n, cov_n, var_x_n, var_y_n,
-        |  CAST(CASE WHEN cov_n >= 0
+        |SELECT n,
+        |  CAST(CASE WHEN var_x_n <= 0 THEN 0 WHEN cov_n >= 0
         |    THEN (1000000 * cov_n) // var_x_n
         |    ELSE -((1000000 * (-cov_n)) // var_x_n) END AS BIGINT)
         |    AS slope_micro,
-        |  CAST((1000 * CAST(cov_n AS HUGEINT) * CAST(cov_n AS HUGEINT))
-        |    // (CAST(var_x_n AS HUGEINT) * CAST(var_y_n AS HUGEINT))
-        |    AS BIGINT) AS r2_permille
+        |  CAST(CASE WHEN var_x_n * var_y_n > 0
+        |    THEN (1000 * cov_n * cov_n) // (var_x_n * var_y_n)
+        |    ELSE 0 END AS BIGINT) AS r2_permille
         |FROM c""".stripMargin
   )
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video near-duplicate detection — the multimodal dedup loop closed at
+  * the clip level: q200's MJPEG-in-AVI container decode and q186's
+  * perceptual aHash compose into frame-level signatures, and clip-pair
+  * similarity is a HASH EQUI-JOIN over 8-byte frame signatures (shared
+  * frames / min clip length), never a pixel comparison across rows.
+  *
+  * Scale shape: pixels are decoded and hashed in one partition pass and
+  * never cross an exchange; the pair join carries (doc_id, ahash) rows —
+  * the same bucket-join discipline as text MinHash (q30). A crawl-scale
+  * video corpus dedups with shuffle volume proportional to FRAME COUNT ×
+  * 16 B, not to video bytes. (Reference capability: the media ingest
+  * surface of sources/mediaingest — rebuilt Spark-first; the reference
+  * engine has no video dedup, this is the §"beyond the reference"
+  * training-data extension set.)
+  */
+object VideoQueries {
+
+  /** splitmix64 — deterministic per-(clip-group, frame) pattern bits. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Frame pattern for (group, frameKey): a 64-bit value rendered as an
+    * 8x8 block image whose aHash recovers EXACTLY these bits (white block
+    * → above the luma mean, black → below; bit 0 forced 1 and bit 63
+    * forced 0 so both colors are always present and the mean threshold
+    * separates them). */
+  private[graft] def framePattern(gid: Long, frameKey: Long): Long =
+    (mix(gid * 1000003L + frameKey) | 1L) & ~(1L << 63)
+
+  /** Near-identical clip pairs, one per even/odd doc_id pair: the odd
+    * clip repeats its even twin's frames except frame 0 (re-shot with a
+    * pattern no other frame uses). 64x64 frames = one 8x8-pixel JPEG
+    * block per aHash cell, so the lossy decode still thresholds exactly;
+    * frame count varies 4..7 by group so the overlap ratio is analytic
+    * per pair. */
+  private[graft] def aviDupFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_avi_dup")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 2
+            val nf = (4 + gid % 4).toInt
+            val frames = (0 until nf).map { f =>
+              // odd twin: frame 0 differs (key 64 > any real frame index)
+              val key = if (id % 2 == 1 && f == 0) 64L else f.toLong
+              val p = framePattern(gid, key)
+              graft.multimodal.Multimodal.JpegCodec.encode(64, 64,
+                (x, y) =>
+                  if (((p >>> ((y / 8) * 8 + (x / 8))) & 1L) == 1L)
+                    (255, 255, 255)
+                  else (0, 0, 0))
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.AviCodec.encode(64, 64, 1, frames))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Clip-level perceptual near-dup: per-frame aHash (decode stays on
+    // the executor), then clips pair when they SHARE frame signatures —
+    // shared / min(len) >= 1/2. The fixture plants one near-identical
+    // pair per even/odd doc pair (all frames shared but one), so every
+    // pair, its shared count, and its overlap permille are analytic.
+    // Within a clip every frame hash is distinct by construction, so the
+    // equi-join count IS the shared-frame count (no multi-match
+    // inflation); an accidental single-frame collision across groups
+    // stays far below the 500-permille gate.
+    "q260_video_neardup" -> ((s, d) => {
+      val fh = graft.multimodal.Multimodal
+        .aviFrameHashes(s.read.parquet(aviDupFixture(s, d)))
+        .select(col("doc_id"), col("n_frames").cast("long").as("nf"),
+          col("ahash"))
+      val pairs = fh.select(col("doc_id").as("a"), col("nf").as("nf_a"),
+          col("ahash"))
+        .join(fh.select(col("doc_id").as("b"), col("nf").as("nf_b"),
+          col("ahash")), "ahash")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b"), col("nf_a"), col("nf_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .select(col("a"), col("b"), col("nf_a"), col("nf_b"), col("shared"),
+          expr("(1000 * shared) div least(nf_a, nf_b)")
+            .as("overlap_permille"))
+        .where(col("overlap_permille") >= 500)
+        .orderBy(col("a"), col("b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    // The planted schedule, re-derived: every even doc with an odd twin
+    // shares nf-1 of nf frames (nf = 4 + (doc_id div 2) % 4).
+    "q260_video_neardup" ->
+      """WITH g AS (SELECT doc_id FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b,
+        |    CAST(4 + (doc_id // 2) % 4 AS BIGINT) AS nf
+        |  FROM g WHERE doc_id % 2 = 0)
+        |SELECT a, b, nf AS nf_a, nf AS nf_b,
+        |  nf - 1 AS shared,
+        |  (1000 * (nf - 1)) // nf AS overlap_permille
+        |FROM ev JOIN g ON g.doc_id = ev.b
+        |ORDER BY a, b""".stripMargin
+  )
+}

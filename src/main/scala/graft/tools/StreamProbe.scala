@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Streaming scale probe: runs streaming registry queries (q210, q201,
+  * ...) with a [[StreamingQueryListener]] that records EVERY trigger's
+  * wall time and input volume, then reports whether per-trigger cost is
+  * flat in the trigger index. This is the cost contract the batch-scale
+  * probes (ScaleUp/Probe) can't see: a streaming operator that re-reads
+  * its accumulated state per trigger looks fine on the total and only
+  * reveals its O(N²) lifetime cost in the trigger-by-trigger trend —
+  * trigger N's wall must scale with BATCH N's size, not with N.
+  *
+  * The flatness signal is the ratio of the mean trigger wall in the last
+  * third of triggers to the first third (ratio ≈ 1 → flat; each decade
+  * of accumulated state should not tax later triggers). Input rows per
+  * trigger are printed beside wall so planted-batch skew is visible.
+  *
+  * Usage: SPARK_GRAFT_ONLY=q210,q201 runMain graft.tools.StreamProbe <sfDir>
+  */
+object StreamProbe {
+
+  final case class Trigger(query: String, batchId: Long, inputRows: Long,
+      triggerMs: Long, addBatchMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q210,q201")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .appName("graft-streamprobe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val triggers =
+      new java.util.concurrent.ConcurrentLinkedQueue[Trigger]()
+    // one mutable label: queries run strictly sequentially below, so the
+    // listener attributes each progress event to the query running NOW
+    @volatile var current = ""
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        triggers.add(Trigger(current, p.batchId, p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+            .getOrElse(-1L),
+          Option(p.durationMs.get("addBatch")).map(_.toLong)
+            .getOrElse(-1L)))
+        ()
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
+    try {
+      val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.exists(n.startsWith) }
+      selected.foreach { case (name, fn) =>
+        current = name
+        val t0 = System.nanoTime()
+        val rows =
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[streamprobe] $name failed: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // progress events are delivered on the listener bus; drain
+        // before reading (bounded wait, probe-only)
+        Thread.sleep(2000)
+        val ts = {
+          import scala.jdk.CollectionConverters._
+          triggers.asScala.filter(_.query == name).toSeq.sortBy(_.batchId)
+        }
+        ts.foreach(t => println(
+          f"TRIGGER $name batch=${t.batchId}%d rows=${t.inputRows}%d " +
+          f"triggerMs=${t.triggerMs}%d addBatchMs=${t.addBatchMs}%d"))
+        // zero-row triggers are AvailableNow bookkeeping (no-data final
+        // batches); exclude them from the trend
+        val work = ts.filter(t => t.inputRows > 0 && t.triggerMs >= 0)
+        if (work.size >= 3) {
+          val third = math.max(1, work.size / 3)
+          val head = work.take(third).map(_.triggerMs.toDouble)
+          val tail = work.takeRight(third).map(_.triggerMs.toDouble)
+          val ratio = (tail.sum / tail.size) / math.max(1.0,
+            head.sum / head.size)
+          println(f"STREAMPROBE $name triggers=${work.size}%d " +
+            f"totalSec=$sec%.1f rows=$rows%d " +
+            f"firstThirdMeanMs=${head.sum / head.size}%.0f " +
+            f"lastThirdMeanMs=${tail.sum / tail.size}%.0f " +
+            f"lateOverEarly=$ratio%.2f")
+        } else {
+          println(f"STREAMPROBE $name triggers=${work.size}%d " +
+            f"totalSec=$sec%.1f rows=$rows%d (too few triggers for trend)")
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -214,6 +214,62 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "exchange; the ADC scan must stay shuffle-free")
   }
 
+  test("q219 TF-IDF pairs shuffle integer postings, never text") {
+    // The corpus-sized exchanges are the (doc_id, word, tf) aggregate
+    // and its two pair-side re-joins — short word keys + 8 B ids/weights,
+    // lz4'd — plus bare-id candidate pairs. Measured ~1.9 B of shuffle
+    // per corpus char at sf0.001. Budget 4 B/char ≈ 2x: document TEXT
+    // riding the candidate or dot exchanges (~300 B/doc per pass) or an
+    // uncapped pair fan-out roughly doubles the volume and overshoots.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q219_tfidf_pairs")
+    info(s"q219 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 4L * chars,
+      s"q219 shuffled $bytes B for a $chars-char corpus — text leaked " +
+        "into a postings/pair exchange, or the df cap stopped binding?")
+  }
+
+  test("q232 cell kNN shuffles the cell-keyed vectors once, ids after") {
+    // The one legitimate vector exchange is the cid-keyed self-join of
+    // the assignment output — and at this fixture scale AQE broadcasts
+    // one side, so the measured total (~55 KB, 0.4 payloads) is mostly
+    // id/edge traffic. Budget ONE corpus vector payload (2.3x measured):
+    // vectors riding the edge/reciprocity exchanges (k=3 edges per
+    // vector, each with two embeddings) add ≥ 3 payloads and overshoot
+    // in any plan.
+    val budget = vectorBudget()
+    val bytes = run("q232_knn_graph")
+    info(s"q232 shuffle write: $bytes B (budget $budget)")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < budget,
+      s"q232 shuffled $bytes B ≥ 3 corpus vector payloads — vectors " +
+        "leaked past the cell self-join into the edge exchanges?")
+  }
+
+  test("q251 PageRank shuffles one edge extraction, |E|-rows after") {
+    // Edge extraction joins the fact tables ONCE (Catalyst reuses the
+    // identical edge subplan across the 3 unrolled iterations + the
+    // in-degree census); each iteration then shuffles |E| ≤ |V|²
+    // contribution rows. Measured ~1.5 B of shuffle per fact row
+    // (lineitem + orders + customer + supplier, lz4'd ids). Budget
+    // 4 B/row ≈ 2.7x — a broken subplan reuse (edge build re-executed
+    // for each of the 3 iterations + the census) multiplies the
+    // fact-join volume ~4x to ~6 B/row and overshoots.
+    import org.apache.spark.sql.functions.{count, lit}
+    val facts = Seq("lineitem", "orders", "customer", "supplier")
+      .map(t => Tables.t(spark, TestSession.sfDir, t)
+        .agg(count(lit(1))).collect()(0).getLong(0)).sum
+    val bytes = run("q251_pagerank")
+    info(s"q251 shuffle write: $bytes B for $facts fact rows")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 4L * facts,
+      s"q251 shuffled $bytes B for $facts fact rows — the edge " +
+        "extraction re-ran per iteration, or rank rows grew past |V|?")
+  }
+
   test("q244 line dedup shuffles block hashes, never block text") {
     // each 10-word block crosses as a 32-hex md5 + doc_id (the groupBy
     // and the dup semi join) — ~1 block per 60 chars of corpus. Budget

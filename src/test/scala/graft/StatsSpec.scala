@@ -65,10 +65,8 @@ class StatsSpec extends AnyFunSuite {
 
   test("q257 integer fit tracks a double-precision recomputation") {
     val r = run("q257_ols_fit").head()
-    val (n, covN, varXN, varYN, slope, r2) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))
-    assert(n > 0 && varXN > 0 && varYN > 0)
+    val (n, slope, r2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0)
     assert(r2 >= 0 && r2 <= 1000, s"R² permille out of range: $r2")
     // independent double-precision recomputation from raw rows
     val xs = Tables.documents(spark, sf).select(
@@ -84,7 +82,6 @@ class StatsSpec extends AnyFunSuite {
     val cov = nn * sxy - sx * sy
     val vx = nn * sxx - sx * sx
     val vy = nn * syy - sy * sy
-    assert(math.abs(covN.toDouble - cov) < 1e-6 * math.abs(cov) + 1)
     val slopeD = 1e6 * cov / vx
     assert(math.abs(slope - slopeD) <= 1,
       s"slope_micro $slope vs double $slopeD")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Video near-dup (VideoQueries / Multimodal.aviFrameHashes): the planted
+  * even/odd clip pairs must be recovered exactly, and the per-frame aHash
+  * must survive the LOSSY JPEG round trip bit-for-bit (the fixture's 8x8
+  * block construction exists precisely to make that provable). */
+class VideoSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sfDir
+
+  test("q260 recovers every planted clip pair with the analytic overlap") {
+    val rows = SparkEntry.queries("q260_video_neardup")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs / 2, "one pair per even/odd doc couple")
+    rows.foreach { r =>
+      val (a, b, nfA, nfB, shared, overlap) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(b == a + 1 && a % 2 == 0, s"unexpected pair ($a, $b)")
+      val nf = 4 + (a / 2) % 4
+      assert(nfA == nf && nfB == nf)
+      assert(shared == nf - 1,
+        s"pair ($a, $b) must share all frames but the re-shot one")
+      assert(overlap == 1000 * (nf - 1) / nf)
+    }
+  }
+
+  test("frame aHash survives the lossy JPEG round trip bit-for-bit") {
+    // the fixture encodes framePattern(gid, key) as 8x8 blocks; decoding
+    // + thresholding must recover EXACTLY those 64 bits despite JPEG
+    // quantization — the analytic foundation of the q260 oracle
+    val fix = operators.VideoQueries.aviDupFixture(spark, sf)
+    val got = graft.multimodal.Multimodal
+      .aviFrameHashes(spark.read.parquet(fix))
+      .where(col("doc_id") < 16)
+      .select(col("doc_id"), col("frame_idx"), col("ahash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((id, f), h) =>
+      val key = if (id % 2 == 1 && f == 0) 64L else f.toLong
+      val want = operators.VideoQueries.framePattern(id / 2, key)
+      assert(h == want,
+        f"doc $id frame $f: ahash $h%016x != planted pattern $want%016x")
+    }
+  }
+}
