@@ -124,6 +124,7 @@ object Bench {
       operators.CorpusQueries.docsSourceSplitFixture(spark, sfDir)
       operators.CalibrationQueries.embSplitFixture(spark, sfDir)
       operators.VideoQueries.aviDupFixture(spark, sfDir)
+      operators.VideoQueries.aviSplitFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -38,7 +38,8 @@ object SparkEntry {
       operators.WebCurationQueries.oracleSql),
     (operators.GraphQueries.queries, operators.GraphQueries.oracleSql),
     (operators.StatsQueries.queries, operators.StatsQueries.oracleSql),
-    (operators.VideoQueries.queries, operators.VideoQueries.oracleSql)
+    (operators.VideoQueries.queries, operators.VideoQueries.oracleSql),
+    (operators.SpanQueries.queries, operators.SpanQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -25,11 +25,12 @@ object IncrementalQueries {
     * entry. The found-pair set is arrival-order-independent (a pair is
     * found exactly when its second member arrives), so the file order
     * needs no pinning. */
-  private[graft] def docsSplitFixture(s: SparkSession, d: String): String = {
-    val out = Scratch.fixtureDir(d, "docs_split3")
+  private[graft] def docsSplitFixture(s: SparkSession, d: String,
+      n: Int = 3): String = {
+    val out = Scratch.fixtureDir(d, s"docs_split$n")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T.documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(3).write.mode("overwrite").parquet(out)
+        .repartition(n).write.mode("overwrite").parquet(out)
     }
     out
   }
@@ -334,7 +335,14 @@ object IncrementalQueries {
     // streaming decomposition must find EXACTLY the batch pipeline's
     // pairs.
     "q210_stream_neardup" -> ((s, d) => {
-      val src = docsSplitFixture(s, d)
+      // micro-batch count is an operational knob (the reference's
+      // BatchSize analog): the pair set is arrival-order-independent by
+      // contract, so the result is identical at any split — StreamProbe
+      // raises it to measure the per-trigger cost trend over more
+      // triggers than the default 3
+      val nSplits = s.conf.getOption("spark.graft.stream.splits")
+        .map(_.toInt).getOrElse(3)
+      val src = docsSplitFixture(s, d, nSplits)
       val base = Scratch.runDir("graft_streamdedup")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema

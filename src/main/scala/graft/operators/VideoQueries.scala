@@ -73,6 +73,18 @@ object VideoQueries {
     out
   }
 
+  /** The dup-pair clip corpus split into n files so the streaming twin
+    * gets n micro-batches. */
+  private[graft] def aviSplitFixture(s: SparkSession, d: String,
+      n: Int = 4): String = {
+    val out = graft.Scratch.fixtureDir(d, s"docs_avi_split$n")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      s.read.parquet(aviDupFixture(s, d)).repartition(n)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Clip-level perceptual near-dup: per-frame aHash (decode stays on
@@ -102,6 +114,80 @@ object VideoQueries {
             .as("overlap_permille"))
         .where(col("overlap_permille") >= 500)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // CONTINUOUS video near-dup: q260's contract inside the streaming
+    // engine, the q210 pattern applied to frames. Clips arrive in
+    // micro-batches; each batch decodes and hashes its own frames ONCE,
+    // pairs come from (a) intra-batch hash joins and (b) one equi-join
+    // against the frame-hash index persisted by EARLIER batches, and the
+    // batch appends its hashes to the index — O(batch) decode work per
+    // trigger, history pixels never re-read. State writes are
+    // batch_id-partitioned with dynamic overwrite and the index read
+    // excludes the current batch (exactly-once under replays, no
+    // self-pairs). A pair completes when its SECOND clip arrives, so the
+    // union across batches must equal q260's one-shot batch result
+    // exactly — same oracle.
+    "q262_stream_video_neardup" -> ((s, d) => {
+      val src = aviSplitFixture(s, d)
+      val base = graft.Scratch.runDir("graft_streamvideo")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bh = graft.multimodal.Multimodal.aviFrameHashes(batch)
+            .select(col("doc_id"), col("n_frames").cast("long").as("nf"),
+              col("ahash"))
+            .localCheckpoint()
+          val hasHist = new java.io.File(s"$base/index").exists()
+          val intra = bh.select(col("doc_id").as("a"), col("nf").as("nf_a"),
+              col("ahash"))
+            .join(bh.select(col("doc_id").as("b"), col("nf").as("nf_b"),
+              col("ahash")), "ahash")
+            .where(col("a") < col("b"))
+          val cands = if (hasHist) {
+            // strictly-older index read: a replayed batch must not join
+            // against its own persisted hashes (self-pairs + reversed
+            // duplicates — q210's exactly-once contract)
+            val hist = s.read.parquet(s"$base/index")
+              .where(col("batch_id") < bid)
+            intra.unionByName(
+              hist.select(col("doc_id").as("a"), col("nf").as("nf_a"),
+                  col("ahash"))
+                .join(bh.select(col("doc_id").as("b"),
+                  col("nf").as("nf_b"), col("ahash")), "ahash"))
+          } else intra
+          cands
+            .groupBy(col("a"), col("b"), col("nf_a"), col("nf_b"))
+            .agg(count(lit(1)).as("shared"))
+            .select(col("a"), col("b"), col("nf_a"), col("nf_b"),
+              col("shared"),
+              expr("(1000 * shared) div least(nf_a, nf_b)")
+                .as("overlap_permille"))
+            .where(col("overlap_permille") >= 500)
+            .withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/pairs")
+          bh.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(s"$base/index")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val raw = s.read.parquet(s"$base/pairs")
+      // arrival order vs id order: normalize to a < b like q210
+      raw.select(
+          least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"),
+          when(col("a") <= col("b"), col("nf_a")).otherwise(col("nf_b"))
+            .as("nf_a"),
+          when(col("a") <= col("b"), col("nf_b")).otherwise(col("nf_a"))
+            .as("nf_b"),
+          col("shared"), col("overlap_permille"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -110,6 +196,19 @@ object VideoQueries {
     // The planted schedule, re-derived: every even doc with an odd twin
     // shares nf-1 of nf frames (nf = 4 + (doc_id div 2) % 4).
     "q260_video_neardup" ->
+      """WITH g AS (SELECT doc_id FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b,
+        |    CAST(4 + (doc_id // 2) % 4 AS BIGINT) AS nf
+        |  FROM g WHERE doc_id % 2 = 0)
+        |SELECT a, b, nf AS nf_a, nf AS nf_b,
+        |  nf - 1 AS shared,
+        |  (1000 * (nf - 1)) // nf AS overlap_permille
+        |FROM ev JOIN g ON g.doc_id = ev.b
+        |ORDER BY a, b""".stripMargin,
+
+    // the streaming decomposition must find EXACTLY the batch pairs
+    "q262_stream_video_neardup" ->
       """WITH g AS (SELECT doc_id FROM documents),
         |ev AS (
         |  SELECT doc_id AS a, doc_id + 1 AS b,

@@ -37,6 +37,10 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // more micro-batches than the registry default so the per-trigger
+    // trend has enough points (q210 honors this; others ignore it)
+    sys.env.get("SPARK_GRAFT_STREAM_SPLITS")
+      .foreach(n => spark.conf.set("spark.graft.stream.splits", n))
     val triggers =
       new java.util.concurrent.ConcurrentLinkedQueue[Trigger]()
     // one mutable label: queries run strictly sequentially below, so the

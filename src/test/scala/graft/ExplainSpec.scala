@@ -312,4 +312,46 @@ class ExplainSpec extends AnyFunSuite {
       }.nonEmpty, s"global window not over the pid offsets aggregate:\n$w")
     }
   }
+
+  test("CostModel join strategy flips with the registered stats") {
+    import org.apache.spark.sql.functions.col
+    val dir = Scratch.runDir("graft_cbostats")
+    val cust = Tables.customer(spark, TestSession.sfDir)
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+    val nat = Tables.nation(spark, TestSession.sfDir)
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    plans.CostModel.analyze(spark, dir, "customer", cust, Seq("nk"))
+    plans.CostModel.analyze(spark, dir, "nation", nat, Seq("nk"))
+    // Spark's own byte-size heuristic off: the ONLY broadcast channel
+    // left is our stats-driven hint, so the flip below is genuinely the
+    // registered stats deciding
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(abtKey)
+    spark.conf.set(abtKey, "-1")
+    try {
+      def planOf(rightName: String) = plans.CostModel
+        .planJoin(spark, dir, cust, "customer", nat, rightName, Seq("nk"))
+        .queryExecution.executedPlan.toString
+      // analyzed 25-row dim under the default 100k budget -> broadcast
+      val p1 = planOf("nation")
+      assert(p1.contains("BroadcastHashJoin"),
+        s"analyzed small dim must broadcast:\n$p1")
+      // budget below both analyzed cardinalities -> no hint, sort-merge
+      spark.conf.set(plans.CostModel.BroadcastRowsKey, "10")
+      val p2 = planOf("nation")
+      assert(!p2.contains("BroadcastHashJoin") &&
+        p2.contains("SortMergeJoin"),
+        s"over-budget stats must fall back to SMJ:\n$p2")
+      spark.conf.unset(plans.CostModel.BroadcastRowsKey)
+      // UNANALYZED sides never broadcast — unknown cardinality must
+      // fail safe to the shuffle, not gamble every executor's heap
+      val p3 = plans.CostModel
+        .planJoin(spark, dir, cust, "no_stats_l", nat, "no_stats_r",
+          Seq("nk"))
+        .queryExecution.executedPlan.toString
+      assert(!p3.contains("BroadcastHashJoin") &&
+        p3.contains("SortMergeJoin"),
+        s"unanalyzed sides must not broadcast:\n$p3")
+    } finally spark.conf.set(abtKey, prev)
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-substring dedup (SpanQueries q261): the reported longest shared
+  * span must equal a brute-force longest-common-token-substring computed
+  * directly on the pair's token arrays — the islands arithmetic (run +
+  * W − 1) is only correct if window hits really chain on the diagonal. */
+class SpanSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def lcsTokens(a: Array[String], b: Array[String]): Int = {
+    // O(|a|·|b|) dynamic program — fine for spec-sized inputs
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    best
+  }
+
+  test("q261 max span equals the brute-force longest common token run") {
+    val rows = SparkEntry.queries("q261_substring_dedup")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "corpus has natural substring dups at sf0.01")
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(lower(col("text"))), " "))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    rows.take(8).foreach { r =>
+      val (a, b, span) = (r.getLong(0), r.getLong(1), r.getLong(4))
+      val want = lcsTokens(texts(a), texts(b))
+      assert(span == want,
+        s"pair ($a, $b): reported span $span != brute-force LCS $want")
+    }
+    // pair set sanity: every reported pair meets the 2W floor and the
+    // windows/islands accounting is internally consistent
+    rows.foreach { r =>
+      val (nWin, nIsl, span) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(span >= 16)
+      assert(nWin >= nIsl, "each island holds at least one window")
+      assert(span - 7 <= nWin, "max island can't exceed total windows")
+    }
+  }
+}

@@ -28,6 +28,17 @@ class VideoSpec extends AnyFunSuite {
     }
   }
 
+  test("q262 streaming decomposition equals the q260 batch result exactly") {
+    val batch = SparkEntry.queries("q260_video_neardup")(spark, sf)
+      .collect().map(_.toSeq)
+    val stream = SparkEntry.queries("q262_stream_video_neardup")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty)
+    assert(stream.toSeq == batch.toSeq,
+      "per-trigger pair union must equal the one-shot batch pairs " +
+        "row-for-row")
+  }
+
   test("frame aHash survives the lossy JPEG round trip bit-for-bit") {
     // the fixture encodes framePattern(gid, key) as 8x8 blocks; decoding
     // + thresholding must recover EXACTLY those 64 bits despite JPEG
