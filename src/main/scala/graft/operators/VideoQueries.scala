@@ -89,27 +89,42 @@ object VideoQueries {
 
     // Clip-level perceptual near-dup: per-frame aHash (decode stays on
     // the executor), then clips pair when they SHARE frame signatures —
-    // shared / min(len) >= 1/2. The fixture plants one near-identical
-    // pair per even/odd doc pair (all frames shared but one), so every
+    // distinct shared hashes / min(len) >= 1/2. Candidates go through
+    // Dedup's per-bucket cap machinery: a frame signature shared by n
+    // clips is an LSH bucket, and a boilerplate frame (static intro,
+    // black frame) shared by 10k clips would otherwise contribute
+    // C(10k,2) pairs — the exact skew q30's star substitution bounds.
+    // The count join then qualifies candidates the jaccardVerify way.
+    // The fixture plants one near-identical pair per even/odd doc pair
+    // (all frames shared but one), every bucket is pair-sized, so every
     // pair, its shared count, and its overlap permille are analytic.
-    // Within a clip every frame hash is distinct by construction, so the
-    // equi-join count IS the shared-frame count (no multi-match
-    // inflation); an accidental single-frame collision across groups
-    // stays far below the 500-permille gate.
     "q260_video_neardup" -> ((s, d) => {
+      // one decode pass feeds buckets, both count-join sides, and the
+      // clip lengths — materialize the (clip, frame-hash) table once
       val fh = graft.multimodal.Multimodal
         .aviFrameHashes(s.read.parquet(aviDupFixture(s, d)))
         .select(col("doc_id"), col("n_frames").cast("long").as("nf"),
           col("ahash"))
-      val pairs = fh.select(col("doc_id").as("a"), col("nf").as("nf_a"),
-          col("ahash"))
-        .join(fh.select(col("doc_id").as("b"), col("nf").as("nf_b"),
-          col("ahash")), "ahash")
-        .where(col("a") < col("b"))
-        .groupBy(col("a"), col("b"), col("nf_a"), col("nf_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .select(col("a"), col("b"), col("nf_a"), col("nf_b"), col("shared"),
+        .localCheckpoint()
+      // distinct: a clip repeating one frame must not inflate counts
+      val hashes = fh.select(col("doc_id"), col("ahash")).distinct()
+      val cands = graft.dedup.Dedup.cappedSelfJoinPairs(
+        hashes.select(col("ahash"), col("doc_id").as("id")),
+        Seq("ahash"), graft.dedup.Dedup.DefaultBucketCap)
+      val nfs = fh.select(col("doc_id"), col("nf")).distinct()
+      val shared = cands
+        .join(hashes.select(col("doc_id").as("id_a"), col("ahash")),
+          "id_a")
+        .join(hashes.select(col("doc_id").as("id_b"), col("ahash")),
+          Seq("id_b", "ahash"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      shared
+        .join(nfs.select(col("doc_id").as("id_a"), col("nf").as("nf_a")),
+          "id_a")
+        .join(nfs.select(col("doc_id").as("id_b"), col("nf").as("nf_b")),
+          "id_b")
+        .select(col("id_a").as("a"), col("id_b").as("b"),
+          col("nf_a"), col("nf_b"), col("shared"),
           expr("(1000 * shared) div least(nf_a, nf_b)")
             .as("overlap_permille"))
         .where(col("overlap_permille") >= 500)
@@ -119,8 +134,10 @@ object VideoQueries {
     // CONTINUOUS video near-dup: q260's contract inside the streaming
     // engine, the q210 pattern applied to frames. Clips arrive in
     // micro-batches; each batch decodes and hashes its own frames ONCE,
-    // pairs come from (a) intra-batch hash joins and (b) one equi-join
-    // against the frame-hash index persisted by EARLIER batches, and the
+    // pairs come from (a) intra-batch buckets and (b) one equi-join
+    // against the frame-hash index persisted by EARLIER batches — both
+    // through Dedup's per-bucket caps (boilerplate frames skew-bound
+    // exactly like q117/q210's band buckets) — and the
     // batch appends its hashes to the index — O(batch) decode work per
     // trigger, history pixels never re-read. State writes are
     // batch_id-partitioned with dynamic overwrite and the index read
@@ -139,33 +156,49 @@ object VideoQueries {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // one decode pass; DISTINCT (clip, hash) rows so repeated
+          // frames never inflate the shared count (q260's contract)
           val bh = graft.multimodal.Multimodal.aviFrameHashes(batch)
             .select(col("doc_id"), col("n_frames").cast("long").as("nf"),
               col("ahash"))
+            .distinct()
             .localCheckpoint()
+          val cap = graft.dedup.Dedup.DefaultBucketCap
+          val bBuckets = bh.select(col("ahash"), col("doc_id").as("id"))
+          val intra = graft.dedup.Dedup.cappedSelfJoinPairs(
+            bBuckets, Seq("ahash"), cap)
           val hasHist = new java.io.File(s"$base/index").exists()
-          val intra = bh.select(col("doc_id").as("a"), col("nf").as("nf_a"),
-              col("ahash"))
-            .join(bh.select(col("doc_id").as("b"), col("nf").as("nf_b"),
-              col("ahash")), "ahash")
-            .where(col("a") < col("b"))
-          val cands = if (hasHist) {
-            // strictly-older index read: a replayed batch must not join
-            // against its own persisted hashes (self-pairs + reversed
-            // duplicates — q210's exactly-once contract)
-            val hist = s.read.parquet(s"$base/index")
+          // strictly-older index read: a replayed batch must not join
+          // against its own persisted hashes (self-pairs + reversed
+          // duplicates — q210's exactly-once contract)
+          val hist = if (hasHist)
+            Some(s.read.parquet(s"$base/index")
               .where(col("batch_id") < bid)
-            intra.unionByName(
-              hist.select(col("doc_id").as("a"), col("nf").as("nf_a"),
-                  col("ahash"))
-                .join(bh.select(col("doc_id").as("b"),
-                  col("nf").as("nf_b"), col("ahash")), "ahash"))
-          } else intra
+              .select(col("doc_id"), col("nf"), col("ahash")))
+          else None
+          val cands = hist match {
+            case Some(h) => intra.unionByName(
+              graft.dedup.Dedup.cappedIndexJoinPairs(
+                h.select(col("ahash"), col("doc_id").as("id")),
+                bBuckets, Seq("ahash"), cap)).distinct()
+            case None => intra
+          }
+          val all = hist.map(_.unionByName(bh)).getOrElse(bh)
+          val hashes = all.select(col("doc_id"), col("ahash"))
+          val nfs = all.select(col("doc_id"), col("nf")).distinct()
           cands
-            .groupBy(col("a"), col("b"), col("nf_a"), col("nf_b"))
+            .join(hashes.select(col("doc_id").as("id_a"), col("ahash")),
+              "id_a")
+            .join(hashes.select(col("doc_id").as("id_b"), col("ahash")),
+              Seq("id_b", "ahash"))
+            .groupBy(col("id_a"), col("id_b"))
             .agg(count(lit(1)).as("shared"))
-            .select(col("a"), col("b"), col("nf_a"), col("nf_b"),
-              col("shared"),
+            .join(nfs.select(col("doc_id").as("id_a"),
+              col("nf").as("nf_a")), "id_a")
+            .join(nfs.select(col("doc_id").as("id_b"),
+              col("nf").as("nf_b")), "id_b")
+            .select(col("id_a").as("a"), col("id_b").as("b"),
+              col("nf_a"), col("nf_b"), col("shared"),
               expr("(1000 * shared) div least(nf_a, nf_b)")
                 .as("overlap_permille"))
             .where(col("overlap_permille") >= 500)

@@ -68,7 +68,9 @@ class QueriesSpec extends AnyFunSuite {
     // Filter guard, re-verified structurally below
     "q259_filter_kappa" -> ("size(__toks", ">= 3"),
     "q109_ngram_stats" -> ("size(w", ">= 2"),
-    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"))
+    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"),
+    // q261's windows: sequence(1, size(w) - 7) under WHERE size(w) >= 8
+    "q261_substring_dedup" -> ("size(w", ">= 8"))
 
   /** Queries whose sequence() bounds are ascending by arithmetic that
     * the shape rules below cannot see:

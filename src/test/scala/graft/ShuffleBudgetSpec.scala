@@ -270,6 +270,43 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "extraction re-ran per iteration, or rank rows grew past |V|?")
   }
 
+  test("q260 video near-dup shuffles frame hashes, never pixels") {
+    // every exchange row is (clip id, 8 B frame signature) or smaller —
+    // the decode/hash pass is partition-local and the localCheckpoint is
+    // block-manager storage, not shuffle. Measured ~35 B of shuffle per
+    // frame across all exchanges; budget 96 B/frame ≈ 2.7x — ONE decoded
+    // 64x64 frame is 12 KB, so pixels riding any exchange overshoot by
+    // two orders immediately.
+    import org.apache.spark.sql.functions.{count, lit}
+    val frames = graft.multimodal.Multimodal.aviFrameHashes(
+      spark.read.parquet(operators.VideoQueries.aviDupFixture(
+        spark, TestSession.sfDir)))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val bytes = run("q260_video_neardup")
+    info(s"q260 shuffle write: $bytes B for $frames frames")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 96L * frames,
+      s"q260 shuffled $bytes B for $frames frames — pixel payloads " +
+        "leaked into a candidate exchange?")
+  }
+
+  test("q261 substring dedup shuffles window fingerprints, never text") {
+    // the corpus-sized exchanges carry (doc_id, pos, 8 B xxhash64) rows
+    // — one per token — plus id-sized anchors/islands. Measured ~1.8 B
+    // of shuffle per corpus char; budget 4 B/char ≈ 2.2x: the 8-token
+    // window STRINGS (~48 B + framing, per exchange) riding any shuffle
+    // overshoot immediately.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q261_substring_dedup")
+    info(s"q261 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 4L * chars,
+      s"q261 shuffled $bytes B for a $chars-char corpus — window text " +
+        "leaked into an exchange?")
+  }
+
   test("q244 line dedup shuffles block hashes, never block text") {
     // each 10-word block crosses as a 32-hex md5 + doc_id (the groupBy
     // and the dup semi join) — ~1 block per 60 chars of corpus. Budget
