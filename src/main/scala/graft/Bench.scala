@@ -125,6 +125,8 @@ object Bench {
       operators.CalibrationQueries.embSplitFixture(spark, sfDir)
       operators.VideoQueries.aviDupFixture(spark, sfDir)
       operators.VideoQueries.aviSplitFixture(spark, sfDir)
+      operators.VideoQueries.wavDupFixture(spark, sfDir)
+      operators.StorageQueries.docsV2Fixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

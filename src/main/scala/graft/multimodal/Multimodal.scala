@@ -636,6 +636,41 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class AudioHashRow(doc_id: Long, window_idx: Int,
+      n_windows: Int, whash: Long)
+
+  /** Per-window content hashes for an audio column: WAV decode → FNV-1a
+    * 64 over each `windowLen`-sample window's PCM bytes. The audio
+    * counterpart of [[aviFrameHashes]]: WAV is lossless, so identical
+    * recorded windows hash identically and clip-level near-dup becomes a
+    * capped hash equi-join over 8-byte signatures — samples never leave
+    * the executor. */
+  def wavWindowHashes(df: DataFrame, windowLen: Int = 256): DataFrame = {
+    implicit val inEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    implicit val outEnc: Encoder[AudioHashRow] =
+      Encoders.product[AudioHashRow]
+    df.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (_, samples) = WavCodec.decode(r.content)
+          val nWin = (samples.length + windowLen - 1) / windowLen
+          (0 until samples.length by windowLen).iterator.zipWithIndex
+            .map { case (start, wi) =>
+              val end = math.min(start + windowLen, samples.length)
+              var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+              var i = start
+              while (i < end) {
+                val s = samples(i)
+                h = (h ^ (s & 0xff)) * 0x100000001b3L
+                h = (h ^ ((s >> 8) & 0xff)) * 0x100000001b3L
+                i += 1
+              }
+              AudioHashRow(r.doc_id, wi, nWin, h)
+            }
+        }
+      }.toDF()
+  }
+
   final case class AudioWindowRow(doc_id: Long, window_idx: Int,
       n_samples: Int, sum_abs: Long, peak: Long)
 

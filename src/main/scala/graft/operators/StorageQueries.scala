@@ -50,7 +50,57 @@ object StorageQueries {
   private val triSet: Seq[String] =
     TriPattern.sliding(3).toSeq.distinct.sorted
 
+  /** A second snapshot of the documents table with a planted change
+    * schedule — the "yesterday vs today" pair every lakehouse diff runs
+    * against. Removal wins over change when a doc_id matches both rules;
+    * added docs carry ids above every v1 key. */
+  private[graft] def docsV2Fixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_v2")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val v1 = T.documents(s, d)
+      val kept = v1.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = v1.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      kept.unionByName(added).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Snapshot diff — the table-lifecycle audit between two versions of
+    // a lake table (the engine analog of the reference's
+    // create/drop-and-replace surface, sources/worker/worker.js:151:
+    // what actually CHANGED between loads): a doc_id-keyed full outer
+    // join of content fingerprints classifies every key as
+    // added/removed/changed/unchanged, aggregated to one bounded status
+    // account. Scale shape: both sides reduce to (key, md5) IN the scan
+    // projection — text never crosses an exchange — and the join is
+    // co-partitioned on the table key; output is 4 rows.
+    "q263_snapshot_diff" -> ((s, d) => {
+      val v1 = T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h1"),
+          col("n_chars").as("c1"))
+      val v2 = s.read.parquet(docsV2Fixture(s, d))
+        .select(col("doc_id"), md5(col("text")).as("h2"),
+          length(col("text")).cast("long").as("c2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c1")).as("n_chars_v1"),
+          sum(col("c2")).as("n_chars_v2"))
+        .orderBy(col("status"))
+    }),
 
     // Zone-map skipping, insertion layout vs clustered layout: per-block
     // min/max(n_chars) + the range predicate n_chars BETWEEN 200 AND 260.
@@ -310,6 +360,32 @@ object StorageQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // v2 reconstructed virtually from the same planted rules
+    "q263_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1, n_chars AS c1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |      ELSE text END) AS h2,
+        |    CAST(length(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |      ELSE text END) AS BIGINT) AS c2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, md5(text),
+        |    CAST(length(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |    WHEN h2 IS NULL THEN 'removed'
+        |    WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status,
+        |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT status, COUNT(*) AS n_docs,
+        |  CAST(SUM(c1) AS BIGINT) AS n_chars_v1,
+        |  CAST(SUM(c2) AS BIGINT) AS n_chars_v2
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "q241_zonemap_prune" ->
       """WITH bounds AS (

@@ -85,6 +85,44 @@ object VideoQueries {
     out
   }
 
+  /** Near-identical audio clip pairs, one per even/odd doc_id pair: the
+    * odd clip repeats its even twin's 256-sample windows except window 0
+    * (re-recorded with a pattern no other window uses). PCM is lossless,
+    * so planted-identical windows are byte-identical after the round
+    * trip; window count varies 4..7 by group like [[aviDupFixture]]. */
+  private[graft] def wavDupFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_wav_dup")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 2
+            val nw = (4 + gid % 4).toInt
+            val samples = new Array[Short](nw * 256)
+            var w = 0
+            while (w < nw) {
+              val key = if (id % 2 == 1 && w == 0) 64L else w.toLong
+              val seed = mix(gid * 7777L + key)
+              var i = 0
+              while (i < 256) {
+                samples(w * 256 + i) =
+                  (((seed >>> (i % 48)) + i * (w + 3)) & 0x7fff).toShort
+                i += 1
+              }
+              w += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.WavCodec.encode(samples))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Clip-level perceptual near-dup: per-frame aHash (decode stays on
@@ -126,6 +164,41 @@ object VideoQueries {
         .select(col("id_a").as("a"), col("id_b").as("b"),
           col("nf_a"), col("nf_b"), col("shared"),
           expr("(1000 * shared) div least(nf_a, nf_b)")
+            .as("overlap_permille"))
+        .where(col("overlap_permille") >= 500)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Audio near-dup: q260's shape on sound — WAV decode → per-window
+    // PCM content hash (FNV-1a 64 on the executor, lossless round trip)
+    // → capped signature buckets → distinct-shared-hash count join.
+    // Completes the image (q186) / video (q260) / audio modality trio on
+    // ONE candidate discipline. Same planted even/odd pair schedule, so
+    // the oracle is the same analytic account.
+    "q265_audio_neardup" -> ((s, d) => {
+      val wh = graft.multimodal.Multimodal
+        .wavWindowHashes(s.read.parquet(wavDupFixture(s, d)))
+        .select(col("doc_id"), col("n_windows").cast("long").as("nw"),
+          col("whash"))
+        .localCheckpoint()
+      val hashes = wh.select(col("doc_id"), col("whash")).distinct()
+      val cands = graft.dedup.Dedup.cappedSelfJoinPairs(
+        hashes.select(col("whash"), col("doc_id").as("id")),
+        Seq("whash"), graft.dedup.Dedup.DefaultBucketCap)
+      val nws = wh.select(col("doc_id"), col("nw")).distinct()
+      cands
+        .join(hashes.select(col("doc_id").as("id_a"), col("whash")),
+          "id_a")
+        .join(hashes.select(col("doc_id").as("id_b"), col("whash")),
+          Seq("id_b", "whash"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+        .join(nws.select(col("doc_id").as("id_a"), col("nw").as("nw_a")),
+          "id_a")
+        .join(nws.select(col("doc_id").as("id_b"), col("nw").as("nw_b")),
+          "id_b")
+        .select(col("id_a").as("a"), col("id_b").as("b"),
+          col("nw_a"), col("nw_b"), col("shared"),
+          expr("(1000 * shared) div least(nw_a, nw_b)")
             .as("overlap_permille"))
         .where(col("overlap_permille") >= 500)
         .orderBy(col("a"), col("b"))
@@ -237,6 +310,19 @@ object VideoQueries {
         |SELECT a, b, nf AS nf_a, nf AS nf_b,
         |  nf - 1 AS shared,
         |  (1000 * (nf - 1)) // nf AS overlap_permille
+        |FROM ev JOIN g ON g.doc_id = ev.b
+        |ORDER BY a, b""".stripMargin,
+
+    // same planted schedule as q260, window-count columns renamed
+    "q265_audio_neardup" ->
+      """WITH g AS (SELECT doc_id FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b,
+        |    CAST(4 + (doc_id // 2) % 4 AS BIGINT) AS nw
+        |  FROM g WHERE doc_id % 2 = 0)
+        |SELECT a, b, nw AS nw_a, nw AS nw_b,
+        |  nw - 1 AS shared,
+        |  (1000 * (nw - 1)) // nw AS overlap_permille
         |FROM ev JOIN g ON g.doc_id = ev.b
         |ORDER BY a, b""".stripMargin,
 

@@ -15,6 +15,22 @@ class StorageSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.01"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q263 snapshot diff matches the planted change schedule exactly") {
+    val rows = run("q263_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val removed = ids.count(_ % 17 == 0)
+    val added = ids.count(_ % 13 == 0)
+    val changed = ids.count(i => i % 17 != 0 && i % 10 == 0)
+    assert(rows("removed") == removed)
+    assert(rows("added") == added)
+    assert(rows("changed") == changed)
+    assert(rows("unchanged") == ids.length - removed - changed)
+    // every v1 ∪ v2 key classified exactly once
+    assert(rows.values.sum == ids.length + added)
+  }
+
   test("q241 zone map is sound and the clustered layout actually skips") {
     val r = run("q241_zonemap_prune").head()
     val (insBlocks, insScanned) = (r.getLong(0), r.getLong(1))

@@ -28,6 +28,23 @@ class VideoSpec extends AnyFunSuite {
     }
   }
 
+  test("q265 recovers every planted audio pair with the analytic overlap") {
+    val rows = SparkEntry.queries("q265_audio_neardup")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs / 2, "one pair per even/odd doc couple")
+    rows.foreach { r =>
+      val (a, b, nwA, nwB, shared, overlap) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(b == a + 1 && a % 2 == 0, s"unexpected pair ($a, $b)")
+      val nw = 4 + (a / 2) % 4
+      assert(nwA == nw && nwB == nw)
+      assert(shared == nw - 1,
+        s"pair ($a, $b) must share all windows but the re-recorded one")
+      assert(overlap == 1000 * (nw - 1) / nw)
+    }
+  }
+
   test("q262 streaming decomposition equals the q260 batch result exactly") {
     val batch = SparkEntry.queries("q260_video_neardup")(spark, sf)
       .collect().map(_.toSeq)
