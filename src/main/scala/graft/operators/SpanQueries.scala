@@ -42,13 +42,24 @@ object SpanQueries {
         .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("w"))
         .where(size(col("w")) >= W)
       // 8-byte window fingerprints computed inside the projection — the
-      // token array never leaves the scan side as window TEXT
+      // token array never leaves the scan side as window TEXT. The
+      // fingerprint table feeds the df census AND both sides of the
+      // anchor self-join; materialize it once (q30's shingle-table
+      // pattern — without the checkpoint the tokenize+hash scan runs
+      // three times)
+      // greatest(, 1) makes the sequence bound ascending BY SHAPE (the
+      // repo lint's provable form): the WHERE above already excludes
+      // size(w) < W rows, so the clamp never changes a surviving row —
+      // it exists because the localCheckpoint below truncates lineage
+      // and a Filter-guard whitelist entry could not be re-verified
+      // structurally behind it
       val win = toks.select(col("doc_id"),
           posexplode(expr(
-            s"transform(sequence(1, size(w) - ${W - 1}), " +
+            s"transform(sequence(1, greatest(size(w) - ${W - 1}, 1)), " +
               s"i -> xxhash64(array_join(slice(w, i, $W), ' ')))")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("h"))
+        .localCheckpoint()
       val keep = win.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") < DfCap)
         .select(col("h"))

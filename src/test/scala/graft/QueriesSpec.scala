@@ -68,9 +68,10 @@ class QueriesSpec extends AnyFunSuite {
     // Filter guard, re-verified structurally below
     "q259_filter_kappa" -> ("size(__toks", ">= 3"),
     "q109_ngram_stats" -> ("size(w", ">= 2"),
-    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"),
-    // q261's windows: sequence(1, size(w) - 7) under WHERE size(w) >= 8
-    "q261_substring_dedup" -> ("size(w", ">= 8"))
+    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"))
+    // q261's sequence(1, greatest(size(w) - 7, 1)) is ascending by
+    // shape; its WHERE size(w) >= 8 guard sits behind a localCheckpoint
+    // where no whitelist could be re-verified structurally
 
   /** Queries whose sequence() bounds are ascending by arithmetic that
     * the shape rules below cannot see:
