@@ -127,6 +127,7 @@ object Bench {
       operators.VideoQueries.aviSplitFixture(spark, sfDir)
       operators.VideoQueries.wavDupFixture(spark, sfDir)
       operators.StorageQueries.docsV2Fixture(spark, sfDir)
+      operators.SpanQueries.spanIndexFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -15,9 +15,19 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // shuffle/spill scratch on tmpfs like Bench: a decade-probe query
+    // shuffles GBs, and the container disk writes ~10 MB/s — without
+    // this the probe measures the disk, not the operator (q30 at sf10
+    // measured 782 s with /tmp scratch vs ~200 s on tmpfs)
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_probe_local"
+      else sys.props("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .appName("graft-probe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,9 +29,17 @@ object StreamProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q210,q201")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // tmpfs scratch for the same reason as Probe/Bench: measure the
+    // engine, not the container disk
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_probe_local"
+      else sys.props("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .appName("graft-streamprobe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

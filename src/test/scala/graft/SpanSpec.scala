@@ -46,4 +46,17 @@ class SpanSpec extends AnyFunSuite {
       assert(span - 7 <= nWin, "max island can't exceed total windows")
     }
   }
+
+  test("q264 increment equals q261 restricted to pairs touching the batch") {
+    val full = SparkEntry.queries("q261_substring_dedup")(spark, sf)
+      .collect().map(_.toSeq)
+      .filter(r => r(0).asInstanceOf[Long] % 10 == 0 ||
+        r(1).asInstanceOf[Long] % 10 == 0)
+    val incr = SparkEntry.queries("q264_incremental_substring")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(incr.nonEmpty, "batch must touch at least one span pair")
+    assert(incr.toSeq == full.toSeq,
+      "the O(batch) increment must find exactly the full-corpus pairs " +
+        "that involve a batch document")
+  }
 }
