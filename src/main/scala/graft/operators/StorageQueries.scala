@@ -73,8 +73,9 @@ object StorageQueries {
 
     // Snapshot diff — the table-lifecycle audit between two versions of
     // a lake table (the engine analog of the reference's
-    // create/drop-and-replace surface, sources/worker/worker.js:151:
-    // what actually CHANGED between loads): a doc_id-keyed full outer
+    // drop-and-replace load surface, sources/worker/worker.js:324
+    // `sequelize.sync({force: true})`: what actually CHANGED between
+    // loads): a doc_id-keyed full outer
     // join of content fingerprints classifies every key as
     // added/removed/changed/unchanged, aggregated to one bounded status
     // account. Scale shape: both sides reduce to (key, md5) IN the scan

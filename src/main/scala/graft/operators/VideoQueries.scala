@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * never cross an exchange; the pair join carries (doc_id, ahash) rows —
   * the same bucket-join discipline as text MinHash (q30). A crawl-scale
   * video corpus dedups with shuffle volume proportional to FRAME COUNT ×
-  * 16 B, not to video bytes. (Reference capability: the media ingest
-  * surface of sources/mediaingest — rebuilt Spark-first; the reference
-  * engine has no video dedup, this is the §"beyond the reference"
-  * training-data extension set.)
+  * 16 B, not to video bytes. (The reference has no media surface at all
+  * — this module belongs to the training-data extension set the build
+  * mandate adds beyond the reference's own operators, like the rest of
+  * the multimodal family.)
   */
 object VideoQueries {
 
