@@ -25,6 +25,16 @@ object Det {
   def davg(c: Column): Column =
     sum(c.cast(D)).cast("double") / count(c)
 
+  private val L = DecimalType(38, 0)
+
+  /** Overflow-safe long sum (result long): Spark's sum(LONG) is LONG and
+    * ANSI-crashes past 2^63 where DuckDB's SUM(BIGINT) widens to
+    * HUGEINT silently — route the accumulation through DECIMAL(38,0) so
+    * both engines accumulate exactly, then take the same BIGINT cast the
+    * oracle applies. (The q142/q257 class: any sum of squared or
+    * length-scaled counts crosses int64 at corpus scale.) */
+  def lsum(c: Column): Column = sum(c.cast(L)).cast("long")
+
   /** SQL fragment for the oracle side of [[dsum]]. */
   def sqlSum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"

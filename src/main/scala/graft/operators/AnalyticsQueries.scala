@@ -271,18 +271,26 @@ object AnalyticsQueries {
     }),
 
     // Market concentration (HHI) of per-user activity within each event
-    // type: Σ n_u² stays integer, the final share normalization is ONE
-    // IEEE divide by N² — so the concentration index gates exactly.
+    // type: Σ n_u² stays integer-exact, the final share normalization is
+    // ONE IEEE divide by N² — so the concentration index gates exactly.
+    // The squared terms route through DECIMAL(38,0) (q257's rule: n_u²
+    // sums overflow int64 at corpus scale, and N² overflows past ~3e9
+    // events per type — DuckDB's HUGEINT never crashes, Spark ANSI
+    // would); N² forms in double, which bit-matches DuckDB's
+    // HUGEINT→double rounding because double(N) is exact below 2^53.
     // Two partial-aggregated passes, no window.
     "q142_hhi" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       T.events(s, d)
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("n_u"))
         .groupBy(col("event_type"))
-        .agg(sum(col("n_u") * col("n_u")).as("sum_sq"),
+        .agg(sum(col("n_u").cast(dec) * col("n_u")).as("ssq"),
           sum(col("n_u")).as("n"))
-        .select(col("event_type"), col("sum_sq"),
-          (col("sum_sq").cast("double") / (col("n") * col("n")))
+        .select(col("event_type"),
+          col("ssq").cast("long").as("sum_sq"),
+          (col("ssq").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
             .as("hhi"))
         .orderBy(col("event_type"))
     }),

@@ -53,6 +53,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** Exact wide-integer type for count-product arithmetic that crosses
+    * int64 at corpus scale — mirrors DuckDB's silent HUGEINT widening
+    * (the q142/q257 overflow rule). */
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** floor(log2(x)) for x >= 1, engine-exact (DuckDB: length(bin(x)) - 1). */
   private def ilog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
 
@@ -407,7 +412,12 @@ object CorpusQueries {
       dots
         .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), "a")
         .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
-        .where(lit(4) * col("dot") * col("dot") >= col("na") * col("nb"))
+        // dot/na/nb are per-pair-bounded but their squares/products cross
+        // int64 for pathological term-repetition docs — form the
+        // cross-multiplied comparison in DECIMAL(38,0) like the oracle's
+        // HUGEINT arithmetic (q142/q257 rule)
+        .where(lit(4) * col("dot").cast(dec38) * col("dot") >=
+          col("na").cast(dec38) * col("nb"))
         .select(col("a"), col("b"), col("dot"), col("na"), col("nb"))
         .orderBy(col("a"), col("b"))
     }),
@@ -532,12 +542,17 @@ object CorpusQueries {
         side.select(
             substring(md5(col("k").cast("string")), off, 2).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as(name))
+      // bucket-count / per-key-count products overflow int64 at corpus
+      // scale (q142/q257 rule) — accumulate in DECIMAL(38,0), then the
+      // same BIGINT cast the oracle applies
       def est(off: Int, name: String): DataFrame =
         cm(ev, off, "ca").join(cm(od, off, "cb"), "b")
-          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as(name))
+          .agg(coalesce(sum(col("ca").cast(dec38) * col("cb"))
+            .cast("long"), lit(0L)).as(name))
       val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("na"))
         .join(od.groupBy(col("k")).agg(count(lit(1)).as("nb")), "k")
-        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
+        .agg(coalesce(sum(col("na").cast(dec38) * col("nb"))
+          .cast("long"), lit(0L)).as("exact"))
       exact
         .crossJoin(broadcast(est(1, "est_row1")))
         .crossJoin(broadcast(est(3, "est_row2")))

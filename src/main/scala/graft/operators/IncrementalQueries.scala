@@ -726,7 +726,12 @@ object IncrementalQueries {
       a.join(b, a("k") <=> b("k"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(a("k").isNull, 1L).otherwise(0L)).as("n_null_pairs"),
-          sum(col("n_a") * col("n_b")).as("sum_products"))
+          // per-key count products cross int64 at corpus scale —
+          // accumulate in DECIMAL(38,0) like the oracle's HUGEINT SUM,
+          // then the same BIGINT cast (q142/q257 rule)
+          sum(col("n_a")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            col("n_b")).cast("long").as("sum_products"))
     })
   )
 

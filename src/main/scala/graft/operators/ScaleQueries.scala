@@ -309,13 +309,17 @@ object ScaleQueries {
     // sample out of place fails the gate.
     "q145_wav_decode" -> ((s, d) => {
       val media = s.read.parquet(wavFixture(s, d))
+      // per-clip values are clip-bounded, but the corpus totals of
+      // squared/abs sample sums cross int64 at scale — Det.lsum routes
+      // the accumulation through DECIMAL(38,0) exactly like the
+      // oracle's HUGEINT SUM, then takes the same BIGINT cast
       graft.multimodal.Multimodal.decodeWav(media)
         .agg(count(lit(1)).as("n_clips"),
           sum(col("n_samples")).as("n_samples"),
-          sum(col("sum_abs")).as("sum_abs"),
+          Det.lsum(col("sum_abs")).as("sum_abs"),
           max(col("peak")).as("peak"),
-          sum(col("sum_sq")).as("sum_sq"),
-          sum(col("downsample_sum")).as("downsample_sum"))
+          Det.lsum(col("sum_sq")).as("sum_sq"),
+          Det.lsum(col("downsample_sum")).as("downsample_sum"))
     }),
 
     // Order-invariant table digest: a corpus fingerprint from the SUM
@@ -985,7 +989,13 @@ object ScaleQueries {
           coalesce(sum(col("np") * col("nn")), lit(0L)).as("ties"))
         .crossJoin(broadcast(conc))
         .select(col("n_pos"), col("n_neg"), col("concordant"), col("ties"),
-          expr("(2 * concordant + ties) * 1000000 div (2 * n_pos * n_neg)")
+          // concordant ≤ P·N, so 2·concordant·1e6 crosses int64 around
+          // 2e6 docs per class — form the ratio in DECIMAL(38,0) like
+          // the oracle's HUGEINT arithmetic (q142/q257 rule); operands
+          // non-negative, so truncating div == DuckDB's flooring //
+          expr("CAST((2 * CAST(concordant AS DECIMAL(38,0)) + ties) " +
+            "* 1000000 div " +
+            "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
             .as("auc_x1e6"))
     }),
 

@@ -166,12 +166,17 @@ object StatsQueries {
       val xy = T.documents(s, d).select(
         col("n_chars").as("x"),
         CorpusQueries.permilleScore.as("y"))
+      // Per-row products are small (x·y ≤ 1e7) but their SUMS cross
+      // int64 past ~1e10 docs, so the five classic sums ACCUMULATE in
+      // DECIMAL(38,0) — mirroring DuckDB's silent HUGEINT widening.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val sums = xy.agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
       // The moment combinations n·Σxy − Σx·Σy carry n²·σ terms that
       // overflow int64 near ~1e6 docs (x ≈ 1e4 chars, y ≤ 1000), so they
       // are formed in DECIMAL(38,0) and never surfaced raw; only the
@@ -329,10 +334,10 @@ object StatsQueries {
         |  FROM documents),
         |s AS (
         |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy
         |  FROM xy),
         |c AS (
         |  SELECT n,
