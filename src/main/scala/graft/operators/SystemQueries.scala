@@ -140,6 +140,115 @@ object SystemQueries {
         .orderBy(col("Name"))
     }),
 
+    // ---- identity sync: IAM snapshot diff -> registry action plan -------
+    // The engine analog of the reference's identitysync Lambda
+    // (sources/identitysync/identitysync.js:383 `rundiff` + :263
+    // `processidentitiesneworchanged` + :221 `processidentitiesremoved`):
+    // two AccountAuthorizationDetails snapshots (users/groups/policies)
+    // diff into a put/delete action plan. Semantics mirrored exactly:
+    // new+changed entries key on Arn, removals key on Name
+    // (identitysync.js:443-455 uses UserName/PolicyName/GroupName),
+    // change detection ignores the AttachmentCount-class noise column
+    // (:496 `filterproperties` omits it before the deep-equal), members
+    // of new-or-changed GROUPS cascade into the changed-user list unless
+    // already listed (:466-485), and users linked to new-or-changed
+    // POLICIES are re-persisted unless already planned (:283-292
+    // `getlinkedidentities` -> PersistAWSUserChange; we model every
+    // linked identity as an AWS user). Snapshots derive from customer/
+    // nation/supplier with deterministic planted rules so the oracle
+    // reconstructs them virtually. Scale shape: each entity class is one
+    // key-co-partitioned full-outer/anti join projected to (arn, name,
+    // compare-cols) in the scan; the cascade joins broadcast tiny
+    // changed-key sets against the new snapshot; output is bounded by
+    // change volume, never snapshot size — the CDC-diff shape that holds
+    // when the identity store is 10^9 rows.
+    "q266_identity_sync" -> ((s, d) => {
+      val cst = T.customer(s, d)
+      val ns = T.supplier(s, d).agg(count(lit(1)).as("ns"))
+      def users(pred: org.apache.spark.sql.Column, mutate: Boolean) =
+        cst.where(pred).crossJoin(broadcast(ns)).select(
+          concat(lit("arn:user/"), col("c_name")).as("arn"),
+          col("c_name").as("name"), col("c_nationkey").as("gkey"),
+          (if (mutate)
+             when(col("c_custkey") % 11 === 0, lit("MOVED"))
+               .otherwise(col("c_mktsegment"))
+           else col("c_mktsegment")).as("seg"),
+          (lit(1L) + col("c_custkey") % col("ns")).as("pkey"),
+          (if (mutate)
+             when(col("c_custkey") % 13 === 0, lit(2)).otherwise(lit(1))
+           else lit(1)).as("attach"))
+      val oldU = users(col("c_custkey") % 19 =!= 3, mutate = false)
+      val newU = users(col("c_custkey") % 23 =!= 5, mutate = true)
+      val nat = T.nation(s, d)
+      val oldG = nat.select(
+        concat(lit("arn:group/"), col("n_name")).as("arn"),
+        col("n_name").as("name"), col("n_nationkey").as("gkey"),
+        col("n_regionkey").as("rk"))
+      val newG = nat.where(col("n_nationkey") % 11 =!= 9).select(
+        concat(lit("arn:group/"), col("n_name")).as("arn"),
+        col("n_name").as("name"), col("n_nationkey").as("gkey"),
+        when(col("n_nationkey") % 7 === 2, col("n_regionkey") + 10)
+          .otherwise(col("n_regionkey")).as("rk"))
+      val sup = T.supplier(s, d)
+      val oldP = sup.where(col("s_suppkey") % 10 =!= 7).select(
+        concat(lit("arn:policy/"), col("s_name")).as("arn"),
+        col("s_name").as("name"), col("s_suppkey").as("pkey"),
+        col("s_nationkey").as("pv"))
+      val newP = sup.where(col("s_suppkey") % 17 =!= 4).select(
+        concat(lit("arn:policy/"), col("s_name")).as("arn"),
+        col("s_name").as("name"), col("s_suppkey").as("pkey"),
+        when(col("s_suppkey") % 9 === 1, col("s_nationkey") + 50)
+          .otherwise(col("s_nationkey")).as("pv"))
+      // generic rundiff: Arn-keyed new/changed, Name-keyed removed
+      def diff(o: DataFrame, n: DataFrame, ety: String,
+               changed: org.apache.spark.sql.Column)
+          : (DataFrame, DataFrame, DataFrame) = {
+        val j = o.as("o").join(n.as("n"),
+          col("o.arn") === col("n.arn"), "full_outer")
+        (j.where(col("o.arn").isNull)
+           .select(lit(ety).as("entity_type"), col("n.name").as("name"),
+             lit("put").as("action"), lit("new").as("reason")),
+         j.where(col("o.arn").isNotNull && col("n.arn").isNotNull &&
+             changed)
+           .select(lit(ety).as("entity_type"), col("n.name").as("name"),
+             lit("put").as("action"), lit("changed").as("reason")),
+         o.join(n, Seq("name"), "left_anti")
+           .select(lit(ety).as("entity_type"), col("name"),
+             lit("delete").as("action"),
+             lit("removed").as("reason")))
+      }
+      // attach is deliberately ABSENT from the user change predicate —
+      // filterproperties' AttachmentCount omission
+      val (uNew, uChg, uDel) =
+        diff(oldU, newU, "user", col("o.seg") =!= col("n.seg"))
+      val (gNew, gChg, gDel) =
+        diff(oldG, newG, "group", col("o.rk") =!= col("n.rk"))
+      val (pNew, pChg, pDel) =
+        diff(oldP, newP, "policy", col("o.pv") =!= col("n.pv"))
+      // new-or-changed group/policy keys (tiny -> broadcast) cascade
+      // into the new-snapshot membership, minus already-planned users
+      val gKeys = newG.join(
+        gNew.unionByName(gChg).select(col("name")), Seq("name"))
+        .select(col("gkey")).distinct()
+      val pKeys = newP.join(
+        pNew.unionByName(pChg).select(col("name")), Seq("name"))
+        .select(col("pkey")).distinct()
+      val uListed = uNew.unionByName(uChg).select(col("name"))
+      val uGCasc = newU.join(broadcast(gKeys), Seq("gkey"))
+        .join(uListed, Seq("name"), "left_anti")
+        .select(lit("user").as("entity_type"), col("name"),
+          lit("put").as("action"), lit("group_cascade").as("reason"))
+      val uPCasc = newU.join(broadcast(pKeys), Seq("pkey"))
+        .join(uListed.unionByName(uGCasc.select(col("name"))),
+          Seq("name"), "left_anti")
+        .select(lit("user").as("entity_type"), col("name"),
+          lit("put").as("action"), lit("policy_cascade").as("reason"))
+      Seq(uNew, uChg, uDel, uGCasc, uPCasc, gNew, gChg, gDel,
+        pNew, pChg, pDel)
+        .reduce(_ unionByName _)
+        .orderBy(col("entity_type"), col("name"))
+    }),
+
     // ---- as-of join (custom LogicalPlan + Strategy + SparkPlan) ---------
     // Enrich every event with the latest purchase checkpoint of its user
     // at or before the event time, then aggregate per event type. The
@@ -426,6 +535,91 @@ object SystemQueries {
         |  t(Name, n_inline, n_attached, n_user, select_decision,
         |    drop_decision)
         |ORDER BY Name""".stripMargin,
+
+    // snapshots reconstructed virtually from the same planted rules;
+    // removals join on name, new/changed on arn, cascades minus the
+    // already-planned set — mirroring rundiff's precedence exactly
+    "q266_identity_sync" ->
+      """WITH nsup AS (SELECT COUNT(*) AS ns FROM supplier),
+        |old_u AS (
+        |  SELECT 'arn:user/' || c_name AS arn, c_name AS name,
+        |    c_nationkey AS gkey, c_mktsegment AS seg,
+        |    1 + (c_custkey % (SELECT ns FROM nsup)) AS pkey
+        |  FROM customer WHERE c_custkey % 19 <> 3),
+        |new_u AS (
+        |  SELECT 'arn:user/' || c_name AS arn, c_name AS name,
+        |    c_nationkey AS gkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+        |      ELSE c_mktsegment END AS seg,
+        |    1 + (c_custkey % (SELECT ns FROM nsup)) AS pkey
+        |  FROM customer WHERE c_custkey % 23 <> 5),
+        |old_g AS (
+        |  SELECT 'arn:group/' || n_name AS arn, n_name AS name,
+        |    n_nationkey AS gkey, n_regionkey AS rk FROM nation),
+        |new_g AS (
+        |  SELECT 'arn:group/' || n_name AS arn, n_name AS name,
+        |    n_nationkey AS gkey,
+        |    CASE WHEN n_nationkey % 7 = 2 THEN n_regionkey + 10
+        |      ELSE n_regionkey END AS rk
+        |  FROM nation WHERE n_nationkey % 11 <> 9),
+        |old_p AS (
+        |  SELECT 'arn:policy/' || s_name AS arn, s_name AS name,
+        |    s_suppkey AS pkey, s_nationkey AS pv
+        |  FROM supplier WHERE s_suppkey % 10 <> 7),
+        |new_p AS (
+        |  SELECT 'arn:policy/' || s_name AS arn, s_name AS name,
+        |    s_suppkey AS pkey,
+        |    CASE WHEN s_suppkey % 9 = 1 THEN s_nationkey + 50
+        |      ELSE s_nationkey END AS pv
+        |  FROM supplier WHERE s_suppkey % 17 <> 4),
+        |u_new AS (SELECT n.name FROM new_u n LEFT JOIN old_u o
+        |  ON o.arn = n.arn WHERE o.arn IS NULL),
+        |u_chg AS (SELECT n.name FROM old_u o JOIN new_u n
+        |  ON o.arn = n.arn WHERE o.seg <> n.seg),
+        |u_del AS (SELECT o.name FROM old_u o LEFT JOIN new_u n
+        |  ON o.name = n.name WHERE n.name IS NULL),
+        |g_new AS (SELECT n.name FROM new_g n LEFT JOIN old_g o
+        |  ON o.arn = n.arn WHERE o.arn IS NULL),
+        |g_chg AS (SELECT n.name FROM old_g o JOIN new_g n
+        |  ON o.arn = n.arn WHERE o.rk <> n.rk),
+        |g_del AS (SELECT o.name FROM old_g o LEFT JOIN new_g n
+        |  ON o.name = n.name WHERE n.name IS NULL),
+        |p_new AS (SELECT n.name FROM new_p n LEFT JOIN old_p o
+        |  ON o.arn = n.arn WHERE o.arn IS NULL),
+        |p_chg AS (SELECT n.name FROM old_p o JOIN new_p n
+        |  ON o.arn = n.arn WHERE o.pv <> n.pv),
+        |p_del AS (SELECT o.name FROM old_p o LEFT JOIN new_p n
+        |  ON o.name = n.name WHERE n.name IS NULL),
+        |g_keys AS (SELECT DISTINCT g.gkey FROM new_g g
+        |  WHERE g.name IN (SELECT name FROM g_new
+        |                   UNION SELECT name FROM g_chg)),
+        |p_keys AS (SELECT DISTINCT p.pkey FROM new_p p
+        |  WHERE p.name IN (SELECT name FROM p_new
+        |                   UNION SELECT name FROM p_chg)),
+        |u_listed AS (SELECT name FROM u_new UNION SELECT name FROM u_chg),
+        |u_gcasc AS (SELECT n.name FROM new_u n
+        |  JOIN g_keys k ON n.gkey = k.gkey
+        |  WHERE n.name NOT IN (SELECT name FROM u_listed)),
+        |u_pcasc AS (SELECT n.name FROM new_u n
+        |  JOIN p_keys k ON n.pkey = k.pkey
+        |  WHERE n.name NOT IN (SELECT name FROM u_listed
+        |                       UNION SELECT name FROM u_gcasc))
+        |SELECT entity_type, name, action, reason FROM (
+        |  SELECT 'user' AS entity_type, name, 'put' AS action,
+        |    'new' AS reason FROM u_new
+        |  UNION ALL SELECT 'user', name, 'put', 'changed' FROM u_chg
+        |  UNION ALL SELECT 'user', name, 'delete', 'removed' FROM u_del
+        |  UNION ALL SELECT 'user', name, 'put', 'group_cascade'
+        |    FROM u_gcasc
+        |  UNION ALL SELECT 'user', name, 'put', 'policy_cascade'
+        |    FROM u_pcasc
+        |  UNION ALL SELECT 'group', name, 'put', 'new' FROM g_new
+        |  UNION ALL SELECT 'group', name, 'put', 'changed' FROM g_chg
+        |  UNION ALL SELECT 'group', name, 'delete', 'removed' FROM g_del
+        |  UNION ALL SELECT 'policy', name, 'put', 'new' FROM p_new
+        |  UNION ALL SELECT 'policy', name, 'put', 'changed' FROM p_chg
+        |  UNION ALL SELECT 'policy', name, 'delete', 'removed' FROM p_del)
+        |ORDER BY entity_type, name""".stripMargin,
 
     "q55_asof_join" -> {
       s"""WITH cp AS (
