@@ -33,6 +33,12 @@ class ExplainSpec extends AnyFunSuite {
       s"text column not pruned from scan:\n$p")
   }
 
+  test("q266 identity-sync cascades broadcast the changed-key sets") {
+    val p = plan("q266_identity_sync")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cascade key sets should broadcast, not shuffle:\n$p")
+  }
+
   test("q33 ANN uses the codegen'd dot-product kernel, not HOFs") {
     val p = plan("q33_ann_brute")
     assert(p.contains("dotproductf") || p.contains("DotProductF"),

@@ -116,6 +116,40 @@ class SystemSpec extends AnyFunSuite {
     assert(!CatalogOps.dropTable(spark, "graft_cat_test")) // already gone
   }
 
+  test("q266 identity sync: noise-only change filtered, cascades minus " +
+    "planned set, removals name-keyed") {
+    val d = TestSession.sfDir
+    val plan = operators.SystemQueries
+      .queries("q266_identity_sync")(spark, d).collect()
+    // an entity appears at most once in the plan (rundiff precedence)
+    assert(plan.groupBy(r => (r.getString(0), r.getString(1)))
+      .forall(_._2.length == 1))
+    val users = plan.filter(_.getString(0) == "user")
+    def names(reason: String) =
+      users.filter(_.getString(3) == reason).map(_.getString(1)).toSet
+    // independent derivation straight from the planted predicates
+    val c = Tables.customer(spark, d).select("c_custkey", "c_name")
+      .as[(Long, String)].collect()
+    def inOld(k: Long) = k % 19 != 3
+    def inNew(k: Long) = k % 23 != 5
+    val changedExp =
+      c.collect { case (k, n) if inOld(k) && inNew(k) && k % 11 == 0 => n }
+        .toSet
+    // k % 13 == 0 attach-only mutations exist but must NOT plan rows —
+    // the filterproperties AttachmentCount omission
+    assert(c.exists { case (k, _) =>
+      inOld(k) && inNew(k) && k % 13 == 0 && k % 11 != 0 })
+    assert(names("changed") == changedExp)
+    assert(names("new") ==
+      c.collect { case (k, n) if !inOld(k) && inNew(k) => n }.toSet)
+    assert(names("removed") ==
+      c.collect { case (k, n) if inOld(k) && !inNew(k) => n }.toSet)
+    val casc = names("group_cascade") ++ names("policy_cascade")
+    assert(casc.nonEmpty)
+    assert(casc.intersect(names("changed") ++ names("new")).isEmpty)
+    assert(names("group_cascade").intersect(names("policy_cascade")).isEmpty)
+  }
+
   test("IVF assigns every vector to a cell and recall is sane") {
     val emb = Tables.embeddings(spark, TestSession.sfDir)
     val cents = Similarity.ivfCentroids(emb, 8)
