@@ -73,11 +73,7 @@ object Bench {
     // container's disk reads ~10 MB/s cold, and benchmark scratch I/O
     // should measure the engine, not the disk. Executors on a real
     // cluster get this from the resource manager (SPARK_LOCAL_DIRS).
-    val localDir = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_bench_local"
-      else sys.props("java.io.tmpdir")
-    }
+    val localDir = graft.Scratch.sparkLocalDir("graft_bench_local")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)

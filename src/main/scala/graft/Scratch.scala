@@ -17,6 +17,13 @@ object Scratch {
     else sys.props("java.io.tmpdir")
   }
 
+  /** Spark shuffle/spill scratch (spark.local.dir) for the measurement
+    * mains: a named subdir on tmpfs when present, else the JVM temp dir
+    * as-is. One definition so a future tmpfs-policy change (capacity
+    * check, new fallback) lands everywhere at once. */
+  def sparkLocalDir(tag: String): String =
+    if (root == "/dev/shm") s"$root/$tag" else root
+
   /** Deterministic per-SF fixture dir; fixtures are written once per
     * (sf, kind) and re-used by later queries in the same JVM/container. */
   def fixtureDir(sfDir: String, kind: String): String =

@@ -932,7 +932,8 @@ object CorpusQueries {
         |SELECT a, b, dot, na.nn AS na, nb.nn AS nb
         |FROM dots JOIN norms na ON na.doc_id = a
         |JOIN norms nb ON nb.doc_id = b
-        |WHERE 4 * dot * dot >= na.nn * nb.nn
+        |WHERE 4 * CAST(dot AS HUGEINT) * dot
+        |  >= CAST(na.nn AS HUGEINT) * nb.nn
         |ORDER BY a, b""".stripMargin,
 
     "q220_hybrid_rrf" ->

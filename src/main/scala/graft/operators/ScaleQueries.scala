@@ -992,10 +992,14 @@ object ScaleQueries {
           // concordant ≤ P·N, so 2·concordant·1e6 crosses int64 around
           // 2e6 docs per class — form the ratio in DECIMAL(38,0) like
           // the oracle's HUGEINT arithmetic (q142/q257 rule); operands
-          // non-negative, so truncating div == DuckDB's flooring //
-          expr("CAST((2 * CAST(concordant AS DECIMAL(38,0)) + ties) " +
+          // non-negative, so truncating div == DuckDB's flooring //.
+          // One-class corpora guard to 0 on both engines (q224 rule:
+          // ANSI div throws where DuckDB // yields NULL)
+          expr("CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+            "(2 * CAST(concordant AS DECIMAL(38,0)) + ties) " +
             "* 1000000 div " +
-            "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+            "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+            "ELSE 0 END AS BIGINT)")
             .as("auc_x1e6"))
     }),
 
@@ -1994,8 +1998,9 @@ object ScaleQueries {
         |  CAST(n_neg AS BIGINT) AS n_neg,
         |  CAST(concordant AS BIGINT) AS concordant,
         |  CAST(ties AS BIGINT) AS ties,
-        |  CAST((2*concordant + ties) * 1000000 // (2 * n_pos * n_neg)
-        |    AS BIGINT) AS auc_x1e6
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (2*concordant + ties) * 1000000 // (2 * n_pos * n_neg)
+        |    ELSE 0 END AS BIGINT) AS auc_x1e6
         |FROM t, c""".stripMargin,
 
     // both the truth ranking (float brute force) and the system ranking

@@ -19,11 +19,7 @@ object Probe {
     // shuffles GBs, and the container disk writes ~10 MB/s — without
     // this the probe measures the disk, not the operator (q30 at sf10
     // measured 782 s with /tmp scratch vs ~200 s on tmpfs)
-    val localDir = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_probe_local"
-      else sys.props("java.io.tmpdir")
-    }
+    val localDir = graft.Scratch.sparkLocalDir("graft_probe_local")
     val spark = SparkSession.builder()
       .appName("graft-probe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

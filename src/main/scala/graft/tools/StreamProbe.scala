@@ -31,11 +31,7 @@ object StreamProbe {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     // tmpfs scratch for the same reason as Probe/Bench: measure the
     // engine, not the container disk
-    val localDir = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_probe_local"
-      else sys.props("java.io.tmpdir")
-    }
+    val localDir = graft.Scratch.sparkLocalDir("graft_probe_local")
     val spark = SparkSession.builder()
       .appName("graft-streamprobe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -52,13 +48,20 @@ object StreamProbe {
     val triggers =
       new java.util.concurrent.ConcurrentLinkedQueue[Trigger]()
     // one mutable label: queries run strictly sequentially below, so the
-    // listener attributes each progress event to the query running NOW
+    // listener attributes each progress event to the query running NOW.
+    // The label is CLEARED between queries (after each drain) and the
+    // listener drops events while it is empty — a progress event the
+    // async bus delivers after the drain is then dropped (a lost tail
+    // point, benign for the trend) instead of silently attributed to
+    // the NEXT query's trend.
     @volatile var current = ""
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val label = current
+        if (label.isEmpty) return
         val p = e.progress
-        triggers.add(Trigger(current, p.batchId, p.numInputRows,
+        triggers.add(Trigger(label, p.batchId, p.numInputRows,
           Option(p.durationMs.get("triggerExecution")).map(_.toLong)
             .getOrElse(-1L),
           Option(p.durationMs.get("addBatch")).map(_.toLong)
@@ -85,6 +88,7 @@ object StreamProbe {
           import scala.jdk.CollectionConverters._
           triggers.asScala.filter(_.query == name).toSeq.sortBy(_.batchId)
         }
+        current = "" // drop (never misattribute) post-drain stragglers
         ts.foreach(t => println(
           f"TRIGGER $name batch=${t.batchId}%d rows=${t.inputRows}%d " +
           f"triggerMs=${t.triggerMs}%d addBatchMs=${t.addBatchMs}%d"))

@@ -34,9 +34,17 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("q266 identity-sync cascades broadcast the changed-key sets") {
-    val p = plan("q266_identity_sync")
-    assert(p.contains("BroadcastHashJoin"),
-      s"cascade key sets should broadcast, not shuffle:\n$p")
+    // auto-broadcast off: at test scale every side fits Spark's own
+    // 10 MB threshold, so only the query's explicit broadcast() hints
+    // can produce these joins — the channel this test exists to pin
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(abtKey)
+    spark.conf.set(abtKey, "-1")
+    try {
+      val p = plan("q266_identity_sync")
+      assert(p.contains("BroadcastHashJoin"),
+        s"cascade key sets should broadcast by hint, not shuffle:\n$p")
+    } finally spark.conf.set(abtKey, prev)
   }
 
   test("q33 ANN uses the codegen'd dot-product kernel, not HOFs") {
@@ -349,6 +357,8 @@ class ExplainSpec extends AnyFunSuite {
         p2.contains("SortMergeJoin"),
         s"over-budget stats must fall back to SMJ:\n$p2")
       spark.conf.unset(plans.CostModel.BroadcastRowsKey)
+      // (the finally below also unsets it: an assertion failure above
+      // must not leak the 10-row budget into the shared session)
       // UNANALYZED sides never broadcast — unknown cardinality must
       // fail safe to the shuffle, not gamble every executor's heap
       val p3 = plans.CostModel
@@ -358,6 +368,9 @@ class ExplainSpec extends AnyFunSuite {
       assert(!p3.contains("BroadcastHashJoin") &&
         p3.contains("SortMergeJoin"),
         s"unanalyzed sides must not broadcast:\n$p3")
-    } finally spark.conf.set(abtKey, prev)
+    } finally {
+      spark.conf.set(abtKey, prev)
+      spark.conf.unset(plans.CostModel.BroadcastRowsKey)
+    }
   }
 }

@@ -106,8 +106,12 @@ def main():
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
                    if not d.endswith(".json"))
     for name in names:
-        got_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        # materialize each side ONCE — the value compare (fetchall) and
+        # the driver-parity dtype gate (.df()) both read the temp table,
+        # so the oracle SQL and the result parquet execute a single time
+        con.sql(f"CREATE OR REPLACE TEMP TABLE _got AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{name}/*.parquet')")
+        got_rel = con.sql("SELECT * FROM _got")
         got_cols = [c.lower() for c in got_rel.columns]
         got = canon(got_rel.fetchall(), got_cols)
         if name not in oracle:
@@ -116,7 +120,10 @@ def main():
                 failed.append(name + " (0 rows)")
             continue
         try:
-            exp_rel = con.sql(oracle[name])
+            # CTAS preserves column types (HUGEINT stays HUGEINT), so
+            # the dtype gate sees exactly what the oracle produced
+            con.sql(f"CREATE OR REPLACE TEMP TABLE _exp AS {oracle[name]}")
+            exp_rel = con.sql("SELECT * FROM _exp")
             exp_cols = [c.lower() for c in exp_rel.columns]
             exp = canon(exp_rel.fetchall(), exp_cols)
         except Exception as e:
@@ -136,9 +143,8 @@ def main():
             failed.append(name)
         else:
             dt_bad = dtype_mismatches(
-                con.sql(f"SELECT * FROM read_parquet("
-                        f"'{out_dir}/{name}/*.parquet')").df(),
-                con.sql(oracle[name]).df())
+                con.sql("SELECT * FROM _got").df(),
+                con.sql("SELECT * FROM _exp").df())
             if dt_bad:
                 print(f"  {name}: DTYPE MISMATCH (driver-hash red) "
                       f"{dt_bad}")
