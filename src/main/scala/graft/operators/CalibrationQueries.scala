@@ -514,6 +514,68 @@ object CalibrationQueries {
         .orderBy(col("rows_per_band"))
     }),
 
+    // Isotonic calibration of a quality-classifier score (PAV class —
+    // the monotone fit behind every "keep docs above score t" filter
+    // threshold: raw per-bin positive rates are noisy and need not be
+    // monotone in the score, the isotonic fit is the best monotone
+    // regression, and its value at t is the calibrated precision the
+    // threshold actually buys). Score = n_chars binned into 16
+    // equal-width buckets; labels = a deterministic noisy-threshold rule
+    // (hash noise of amplitude 400 around the range midpoint) so bin
+    // rates rise with score but wiggle. The fit uses the PAV minimax
+    // identity iso(k) = max_{i<=k} min_{j>=k} mean(i..j) on bin prefix
+    // sums — floor(1000·x) commutes with min/max, so the integer
+    // permille minimax IS the floored exact PAV value. Scale shape: the
+    // ONLY corpus pass is the 16-group map-side-combined binning agg;
+    // prefix sums, the B² segment means, and the B³ minimax all live on
+    // ≤16-row frames (no window, no collect) — corpus size never touches
+    // the fit.
+    "q267_isotonic_calibration" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val bounds = docs.agg(min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      val labeled = docs.crossJoin(broadcast(bounds)).select(
+        expr("((n_chars - lo) * 16) div (hi - lo + 1)").as("bin"),
+        // per-doc hash noise (amplitude 400) + a per-BIN pseudo-random
+        // threshold shift (amplitude 500): the shift plants genuine
+        // rate inversions (4 at every tested SF) on top of the rising
+        // trend, so the isotonic fit has actual pooling to do
+        expr("CASE WHEN 2 * (n_chars - lo) " +
+          "+ ((doc_id % 100000) * 2654435761) % 400 - 200 > hi - lo " +
+          "+ ((((n_chars - lo) * 16) div (hi - lo + 1)) " +
+          "* 1103515245) % 500 - 250 " +
+          "THEN 1 ELSE 0 END").as("label"))
+      val bins = labeled.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
+      // inclusive (p, w) and exclusive (ep, ew) prefixes via a B² self
+      // join over the observed bins — bounded, windowless
+      val pref = bins.as("a")
+        .join(bins.as("b"), col("b.bin") <= col("a.bin"))
+        .groupBy(col("a.bin").as("bin"))
+        .agg(sum(col("b.n_pos")).as("p"), sum(col("b.n_docs")).as("w"),
+          sum(when(col("b.bin") < col("a.bin"), col("b.n_pos"))
+            .otherwise(0L)).as("ep"),
+          sum(when(col("b.bin") < col("a.bin"), col("b.n_docs"))
+            .otherwise(0L)).as("ew"))
+      val pairs = pref.select(col("bin").as("i"), col("ep"), col("ew"))
+        .join(pref.select(col("bin").as("j"), col("p"), col("w")),
+          col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          expr("(1000 * (p - ep)) div (w - ew)").as("seg_permille"))
+      val ks = bins.select(col("bin").as("k"))
+      val minj = pairs
+        .join(ks, col("i") <= col("k") && col("k") <= col("j"))
+        .groupBy(col("k"), col("i"))
+        .agg(min(col("seg_permille")).as("mn"))
+      val iso = minj.groupBy(col("k"))
+        .agg(max(col("mn")).as("iso_permille"))
+      bins.join(iso, col("bin") === col("k"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          expr("(1000 * n_pos) div n_docs").as("raw_permille"),
+          col("iso_permille"))
+        .orderBy(col("bin"))
+    }),
+
     // Cross-language duplication flow (q226's provenance matrix keyed by
     // LANGUAGE): for every bag-of-words duplicate group spanning more
     // than one language, the unordered language-pair incidence — the
@@ -634,6 +696,43 @@ object CalibrationQueries {
       |  JOIN sizes nb ON nb.doc_id = agree.b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // same minimax-on-prefix-sums construction; all operands
+    // non-negative so DuckDB's flooring // equals Spark's truncating div
+    "q267_isotonic_calibration" ->
+      """WITH bounds AS (
+        |  SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+        |lab AS (
+        |  SELECT ((n_chars - lo) * 16) // (hi - lo + 1) AS bin,
+        |    CASE WHEN 2 * (n_chars - lo)
+        |         + ((doc_id % 100000) * 2654435761) % 400 - 200
+        |         > hi - lo
+        |           + ((((n_chars - lo) * 16) // (hi - lo + 1))
+        |              * 1103515245) % 500 - 250
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM documents, bounds),
+        |bins AS (SELECT bin, COUNT(*) AS n_docs, SUM(label) AS n_pos
+        |         FROM lab GROUP BY bin),
+        |pref AS (
+        |  SELECT a.bin, SUM(b.n_pos) AS p, SUM(b.n_docs) AS w,
+        |    SUM(CASE WHEN b.bin < a.bin THEN b.n_pos ELSE 0 END) AS ep,
+        |    SUM(CASE WHEN b.bin < a.bin THEN b.n_docs ELSE 0 END) AS ew
+        |  FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY a.bin),
+        |pairs AS (
+        |  SELECT i.bin AS i, j.bin AS j,
+        |    (1000 * (j.p - i.ep)) // (j.w - i.ew) AS seg_permille
+        |  FROM pref i JOIN pref j ON i.bin <= j.bin),
+        |minj AS (
+        |  SELECT k.bin AS k, pairs.i, MIN(seg_permille) AS mn
+        |  FROM pairs JOIN bins k ON pairs.i <= k.bin AND k.bin <= pairs.j
+        |  GROUP BY k.bin, pairs.i),
+        |iso AS (SELECT k, CAST(MAX(mn) AS BIGINT) AS iso_permille
+        |        FROM minj GROUP BY k)
+        |SELECT b.bin, b.n_docs, CAST(b.n_pos AS BIGINT) AS n_pos,
+        |  CAST((1000 * b.n_pos) // b.n_docs AS BIGINT) AS raw_permille,
+        |  iso_permille
+        |FROM bins b JOIN iso ON bin = k
+        |ORDER BY bin""".stripMargin,
 
     "q230_fasttext_score" ->
       """WITH ws AS (

@@ -239,6 +239,41 @@ class CalibrationSpec extends AnyFunSuite {
     }
   }
 
+  test("q267 isotonic fit equals brute-force PAV, floored to permille") {
+    val rows = run("q267_isotonic_calibration").collect()
+      .sortBy(_.getLong(0))
+    val iso = rows.map(_.getLong(4))
+    // non-decreasing by construction of the minimax
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // classic pool-adjacent-violators on the same (weight, positives)
+    // bins: merge any adjacent pool whose mean drops, left to right
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)] // (w, pos, members)
+    rows.foreach { r =>
+      pools += ((r.getLong(1), r.getLong(2), 1))
+      while (pools.length >= 2 && {
+        val (w2, p2, _) = pools(pools.length - 1)
+        val (w1, p1, _) = pools(pools.length - 2)
+        // mean(last) < mean(prev) compared exactly by cross-mult
+        p2 * w1 < p1 * w2
+      }) {
+        val (w2, p2, m2) = pools.remove(pools.length - 1)
+        val (w1, p1, m1) = pools.remove(pools.length - 1)
+        pools += ((w1 + w2, p1 + p2, m1 + m2))
+      }
+    }
+    val pav = pools.flatMap { case (w, p, m) =>
+      Seq.fill(m)(1000L * p / w) // floor(1000 · pool mean)
+    }
+    assert(iso.toSeq == pav.toSeq,
+      s"minimax ${iso.toSeq} != PAV ${pav.toSeq}")
+    // and the fit genuinely changed something: raw rates are NOT
+    // monotone on this corpus (otherwise the test proves nothing)
+    val raw = rows.map(_.getLong(3))
+    assert(raw.zip(raw.tail).exists { case (a, b) => a > b },
+      "planted noise should produce at least one raw-rate inversion")
+  }
+
   test("no cartesian products anywhere in the calibration layer") {
     Seq("q230_fasttext_score", "q231_minhash_calibration",
       "q232_knn_graph", "q233_curriculum").foreach { n =>
