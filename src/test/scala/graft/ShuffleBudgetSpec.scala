@@ -232,6 +232,26 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "into a postings/pair exchange, or the df cap stopped binding?")
   }
 
+  test("q266 identity-sync shuffles slim snapshot projections only") {
+    // The CDC diff's corpus-sized exchanges are the user full-outer
+    // join and the name-keyed anti joins — each row a (arn, name, gkey,
+    // seg, pkey, attach) projection of a customer, two snapshots, a
+    // handful of exchanges; groups/policies and the cascade key sets
+    // are dim-sized or broadcast. Measured ~117 B of shuffle per
+    // customer row at sf0.001 (lz4). Budget 250 B/row ≈ 2.1x: a
+    // whole-row payload (oldU/newU built from customer * without the
+    // projection) or a cascade side spilling to a shuffle join roughly
+    // doubles it and overshoots.
+    val rows = Tables.customer(spark, TestSession.sfDir).count()
+    val bytes = run("q266_identity_sync")
+    info(s"q266 shuffle write: $bytes B for $rows customer rows")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 250L * rows,
+      s"q266 shuffled $bytes B for $rows customers — a fat snapshot " +
+        "projection or a de-broadcast cascade join leaked into an " +
+        "exchange?")
+  }
+
   test("q232 cell kNN shuffles the cell-keyed vectors once, ids after") {
     // The one legitimate vector exchange is the cid-keyed self-join of
     // the assignment output — and at this fixture scale AQE broadcasts
