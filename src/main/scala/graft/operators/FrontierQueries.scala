@@ -103,6 +103,79 @@ object FrontierQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Probabilistic record linkage (Fellegi & Sunter 1969, public):
+    // the structured-record twin of q99's fuzzy text matching — two
+    // files of entity records, blocking, per-field agreement vectors,
+    // m/u-probability likelihood ratios, link/possible/nonlink classes.
+    // File B derives from customer with planted perturbations (1/11
+    // name typo, 1/5 segment change, 1/7 balance shift; 1/3 of
+    // entities absent) so truth = custkey equality. Everything is
+    // integer-exact: m_f = P(agree_f | match) and u_f = P(agree_f |
+    // unmatch) estimated as clipped permilles from the candidate pairs
+    // (supervised by the planted truth — production systems fit the
+    // same quantities with EM), and instead of summing float log2(m/u)
+    // weights, each pair's likelihood ratio is kept as the RATIONAL
+    // num/den = prod(agree ? m : 1000-m) / prod(agree ? u : 1000-u)
+    // (three factors <= 995 -> products < 1e9, safely int64) and the
+    // thresholds R >= 8 (link) / R <= 1/8 (nonlink) compare by
+    // cross-multiplication — no floats, no logs, bit-equal to the
+    // oracle. Scale shape: blocks are fixed-width custkey-centile
+    // prefixes, so per-block pair counts are CONSTANT and candidates
+    // grow linearly with the corpus (the q99 lesson — never block on a
+    // fixed key space); the m/u stats are a 1-row broadcast; output is
+    // 3 class rows.
+    "q268_record_linkage" -> ((s, d) => {
+      val a = T.customer(s, d).select(col("c_custkey").as("ka"),
+        col("c_name").as("na"), col("c_mktsegment").as("sa"),
+        col("c_acctbal").as("ba"),
+        expr("substr(c_name, 10, 7)").as("blk"))
+      val b = T.customer(s, d).where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("kb"),
+          expr("CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X' " +
+            "ELSE c_name END").as("nb"),
+          expr("CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' " +
+            "ELSE c_mktsegment END").as("sb"),
+          expr("CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0 " +
+            "ELSE c_acctbal END").as("bb"),
+          expr("substr(c_name, 10, 7)").as("blk"))
+      val cand = a.join(b, "blk").select(
+        (col("ka") === col("kb")).as("tr"),
+        (col("na") === col("nb")).as("g1"),
+        (col("sa") === col("sb")).as("g2"),
+        (abs(col("ba") - col("bb")) < 1.0).as("g3"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      // m/u permilles, clipped to [5, 995] (zero-factor smoothing)
+      def rate(num: String, den: String) =
+        expr(s"CASE WHEN $den > 0 THEN greatest(5L, least(995L, " +
+          s"(1000 * $num) div $den)) ELSE 500L END")
+      val st = cand.agg(cnt(col("tr")).as("nm"),
+          cnt(!col("tr")).as("nu"),
+          cnt(col("tr") && col("g1")).as("a1m"),
+          cnt(col("tr") && col("g2")).as("a2m"),
+          cnt(col("tr") && col("g3")).as("a3m"),
+          cnt(!col("tr") && col("g1")).as("a1u"),
+          cnt(!col("tr") && col("g2")).as("a2u"),
+          cnt(!col("tr") && col("g3")).as("a3u"))
+        .select(
+          rate("a1m", "nm").as("m1"), rate("a2m", "nm").as("m2"),
+          rate("a3m", "nm").as("m3"), rate("a1u", "nu").as("u1"),
+          rate("a2u", "nu").as("u2"), rate("a3u", "nu").as("u3"))
+      def f(g: String, r: String) =
+        when(col(g), col(r)).otherwise(lit(1000L) - col(r))
+      val scored = cand.crossJoin(broadcast(st)).select(col("tr"),
+        (f("g1", "m1") * f("g2", "m2") * f("g3", "m3")).as("num"),
+        (f("g1", "u1") * f("g2", "u2") * f("g3", "u3")).as("den"))
+      scored.select(col("tr"),
+          when(col("num") >= lit(8L) * col("den"), "link")
+            .when(lit(8L) * col("num") <= col("den"), "nonlink")
+            .otherwise("possible").as("class"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_pairs"), cnt(col("tr")).as("n_true"),
+          cnt(!col("tr")).as("n_false"))
+        .orderBy(col("class"))
+    }),
+
     // foreachBatch fan-out: ONE bounded stream lands in TWO sinks per
     // micro-batch — a raw parquet landing zone partitioned by batch_id
     // (dynamic-partition overwrite → a replayed batch rewrites its own
@@ -448,6 +521,73 @@ object FrontierQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // identical blocking/agreement/m-u/ratio construction; likelihood
+    // thresholds compare by cross-multiplication on both engines
+    "q268_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ka, c_name AS na, c_mktsegment AS sa,
+        |    c_acctbal AS ba, substr(c_name, 10, 7) AS blk
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS kb,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'
+        |      ELSE c_name END AS nb,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |      ELSE c_mktsegment END AS sb,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0
+        |      ELSE c_acctbal END AS bb,
+        |    substr(c_name, 10, 7) AS blk
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |cand AS (
+        |  SELECT ka = kb AS tr, na = nb AS g1, sa = sb AS g2,
+        |    abs(ba - bb) < 1.0 AS g3
+        |  FROM a JOIN b USING (blk)),
+        |st AS (
+        |  SELECT
+        |    SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS nm,
+        |    SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS nu,
+        |    SUM(CASE WHEN tr AND g1 THEN 1 ELSE 0 END) AS a1m,
+        |    SUM(CASE WHEN tr AND g2 THEN 1 ELSE 0 END) AS a2m,
+        |    SUM(CASE WHEN tr AND g3 THEN 1 ELSE 0 END) AS a3m,
+        |    SUM(CASE WHEN NOT tr AND g1 THEN 1 ELSE 0 END) AS a1u,
+        |    SUM(CASE WHEN NOT tr AND g2 THEN 1 ELSE 0 END) AS a2u,
+        |    SUM(CASE WHEN NOT tr AND g3 THEN 1 ELSE 0 END) AS a3u
+        |  FROM cand),
+        |mu AS (
+        |  SELECT
+        |    CASE WHEN nm > 0 THEN greatest(5, least(995,
+        |      (1000 * a1m) // nm)) ELSE 500 END AS m1,
+        |    CASE WHEN nm > 0 THEN greatest(5, least(995,
+        |      (1000 * a2m) // nm)) ELSE 500 END AS m2,
+        |    CASE WHEN nm > 0 THEN greatest(5, least(995,
+        |      (1000 * a3m) // nm)) ELSE 500 END AS m3,
+        |    CASE WHEN nu > 0 THEN greatest(5, least(995,
+        |      (1000 * a1u) // nu)) ELSE 500 END AS u1,
+        |    CASE WHEN nu > 0 THEN greatest(5, least(995,
+        |      (1000 * a2u) // nu)) ELSE 500 END AS u2,
+        |    CASE WHEN nu > 0 THEN greatest(5, least(995,
+        |      (1000 * a3u) // nu)) ELSE 500 END AS u3
+        |  FROM st),
+        |scored AS (
+        |  SELECT tr,
+        |    (CASE WHEN g1 THEN m1 ELSE 1000 - m1 END)
+        |    * (CASE WHEN g2 THEN m2 ELSE 1000 - m2 END)
+        |    * (CASE WHEN g3 THEN m3 ELSE 1000 - m3 END) AS num,
+        |    (CASE WHEN g1 THEN u1 ELSE 1000 - u1 END)
+        |    * (CASE WHEN g2 THEN u2 ELSE 1000 - u2 END)
+        |    * (CASE WHEN g3 THEN u3 ELSE 1000 - u3 END) AS den
+        |  FROM cand CROSS JOIN mu)
+        |SELECT
+        |  CASE WHEN num >= 8 * den THEN 'link'
+        |    WHEN 8 * num <= den THEN 'nonlink'
+        |    ELSE 'possible' END AS class,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true,
+        |  CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_false
+        |FROM scored GROUP BY 1 ORDER BY class""".stripMargin,
 
     "q105_foreach_batch" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -274,4 +274,23 @@ class FrontierSpec extends AnyFunSuite {
       assert(real == o.distinct().count(), "real (prio, day) slots wrong")
     } finally out.unpersist()
   }
+
+  test("q268 linkage separates planted matches: high-precision link " +
+    "class, bounded leakage") {
+    val d = TestSession.sfDir
+    val rows = SparkEntry.queries("q268_record_linkage")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (lp, lt, lf) = rows.getOrElse("link", (0L, 0L, 0L))
+    val (_, pt, _) = rows.getOrElse("possible", (0L, 0L, 0L))
+    val (_, nt, _) = rows.getOrElse("nonlink", (0L, 0L, 0L))
+    val truth = Tables.customer(spark, d)
+      .where(col("c_custkey") % 3 =!= 0).count() // one match per B row
+    assert(lt + pt + nt == truth, "true pairs must partition by class")
+    assert(lp == lt + lf)
+    // the likelihood-ratio gate must genuinely separate: >=90% of the
+    // link class true, and <=10% of all true matches lost to nonlink
+    assert(lt * 10L >= lp * 9L, s"link precision too low: $lt/$lp")
+    assert(nt * 10L <= truth, s"too many true matches in nonlink: $nt")
+  }
 }
