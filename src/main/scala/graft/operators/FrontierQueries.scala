@@ -120,10 +120,14 @@ object FrontierQueries {
     // thresholds R >= 8 (link) / R <= 1/8 (nonlink) compare by
     // cross-multiplication — no floats, no logs, bit-equal to the
     // oracle. Scale shape: blocks are fixed-width custkey-centile
-    // prefixes, so per-block pair counts are CONSTANT and candidates
-    // grow linearly with the corpus (the q99 lesson — never block on a
-    // fixed key space); the m/u stats are a 1-row broadcast; output is
-    // 3 class rows.
+    // prefixes, so on genuinely renumbered entities per-block pair
+    // counts are constant and candidates grow linearly with the corpus
+    // (measured ~67 pairs/record at sf0.001/sf0.01/sf0.1 — the q99
+    // lesson: never block on a fixed key space). The ScaleUp replica
+    // collapses name digits across copies, so its decade probe is the
+    // quadratic block-skew WORST case instead: 100x candidates for 10x
+    // rows at 2.3x warm wall (BENCH_sf1.json record_linkage_addendum).
+    // The m/u stats are a 1-row broadcast; output is 3 class rows.
     "q268_record_linkage" -> ((s, d) => {
       val a = T.customer(s, d).select(col("c_custkey").as("ka"),
         col("c_name").as("na"), col("c_mktsegment").as("sa"),

@@ -287,7 +287,19 @@ class FrontierSpec extends AnyFunSuite {
     val truth = Tables.customer(spark, d)
       .where(col("c_custkey") % 3 =!= 0).count() // one match per B row
     assert(lt + pt + nt == truth, "true pairs must partition by class")
-    assert(lp == lt + lf)
+    // total classified pairs must equal an INDEPENDENTLY computed
+    // blocked-join candidate count — no pair dropped or duplicated
+    // between blocking and classification
+    val blocked = Tables.customer(spark, d)
+      .select(expr("substr(c_name, 10, 7)").as("blk")).as("a")
+      .join(Tables.customer(spark, d)
+        .where(col("c_custkey") % 3 =!= 0)
+        .select(expr("substr(c_name, 10, 7)").as("blk")).as("bb"),
+        col("a.blk") === col("bb.blk"))
+      .count()
+    val allPairs = rows.values.map(_._1).sum
+    assert(allPairs == blocked,
+      s"classified $allPairs pairs but blocking generates $blocked")
     // the likelihood-ratio gate must genuinely separate: >=90% of the
     // link class true, and <=10% of all true matches lost to nonlink
     assert(lt * 10L >= lp * 9L, s"link precision too low: $lt/$lp")
