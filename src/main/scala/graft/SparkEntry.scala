@@ -39,7 +39,8 @@ object SparkEntry {
     (operators.GraphQueries.queries, operators.GraphQueries.oracleSql),
     (operators.StatsQueries.queries, operators.StatsQueries.oracleSql),
     (operators.VideoQueries.queries, operators.VideoQueries.oracleSql),
-    (operators.SpanQueries.queries, operators.SpanQueries.oracleSql)
+    (operators.SpanQueries.queries, operators.SpanQueries.oracleSql),
+    (operators.AnomalyQueries.queries, operators.AnomalyQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -361,4 +361,30 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q249 shuffled $bytes B for a $chars-char corpus — the gram " +
         "stream crossed more exchanges than the design allows?")
   }
+
+  test("q269 anomaly census shuffle is calendar-bounded, not volume-bounded") {
+    // The whole detector family's scale claim: after the map-side-combined
+    // (type, hour) count aggregate, everything that crosses an exchange is
+    // census cells — |types| x |hours| rows of (string, i64, i64) — plus
+    // the per-type collected series, NEVER the raw event stream. Budget
+    // 100 B per cell x 3 exchanges (count agg, grid join, series collect):
+    // independent of event volume by construction, so a ts/props/value
+    // event payload riding any exchange scales with rows and overshoots
+    // at every SF above the smallest.
+    import org.apache.spark.sql.functions.{col, countDistinct, lit, max, min, unix_micros}
+    val ev = Tables.events(spark, TestSession.sfDir)
+    val b = ev.select(
+        (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"),
+        col("event_type"))
+      .agg((max("h") - min("h") + lit(1L)).as("hours"),
+        countDistinct("event_type").as("types"))
+      .collect()(0)
+    val cells = b.getLong(0) * b.getLong(1)
+    val bytes = run("q269_ewma_anomaly")
+    info(s"q269 shuffle write: $bytes B for $cells census cells")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 300L * cells,
+      s"q269 shuffled $bytes B for $cells cells — an event-volume-sized " +
+        "payload leaked into the census exchanges?")
+  }
 }
