@@ -180,6 +180,66 @@ object FrontierQueries {
         .orderBy(col("class"))
     }),
 
+    // Golden-record survivorship — the consolidation step after q268's
+    // pair classification (the reference's identity layer persists ONE
+    // canonical row per identity: sources/identitysync/identitysync.js
+    // mirrors IAM entities into a single registry table). Three derived
+    // source files (A = base, prio 1; B = q268's perturbations on the
+    // %3!=0 subset, prio 2; C = upper-cased/moved/discounted variants on
+    // the %4!=0 subset, prio 3) consolidate per entity key under
+    // deterministic survivorship rules: name = longest value (tie →
+    // lexicographically smallest), segment = majority vote (tie →
+    // lowest source priority), balance = max, plus a source-presence
+    // bitmask. Scale shape: ONE groupBy on the entity key over the
+    // 3-file union — map-side-combined aggregates and a per-key
+    // collect_list bounded by |sources| = 3 structs of slim fields
+    // (never whole source rows), no windows, no joins; at 100 TB this
+    // is a single co-partitioned exchange of (key, prio, name, seg)
+    // rows. The vote/tiebreak algebra runs entirely inside ≤3-element
+    // arrays (array_sort on (−votes, prio) / (−length, name) structs —
+    // binary collation on both engines).
+    "q272_golden_record" -> ((s, d) => {
+      val cust = T.customer(s, d)
+      val a = cust.select(col("c_custkey").as("ck"),
+        col("c_name").as("nm"), col("c_mktsegment").as("sg"),
+        col("c_acctbal").as("bal"), lit(1).as("prio"))
+      val b = cust.where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("ck"),
+          expr("CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X' " +
+            "ELSE c_name END").as("nm"),
+          expr("CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' " +
+            "ELSE c_mktsegment END").as("sg"),
+          expr("CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0 " +
+            "ELSE c_acctbal END").as("bal"), lit(2).as("prio"))
+      val c = cust.where(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey").as("ck"),
+          expr("CASE WHEN c_custkey % 9 = 0 THEN upper(c_name) " +
+            "ELSE c_name END").as("nm"),
+          expr("CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' " +
+            "WHEN c_custkey % 6 = 0 THEN 'ONLINE' " +
+            "ELSE c_mktsegment END").as("sg"),
+          expr("CASE WHEN c_custkey % 8 = 0 THEN c_acctbal - 3.0 " +
+            "ELSE c_acctbal END").as("bal"), lit(3).as("prio"))
+      a.unionByName(b).unionByName(c)
+        .groupBy(col("ck"))
+        .agg(
+          collect_list(struct(col("prio"), col("nm"), col("sg")))
+            .as("arr"),
+          max(col("bal")).as("g_balance"),
+          expr("CAST(bit_or(shiftleft(1, prio)) AS BIGINT)")
+            .as("src_mask"),
+          count(lit(1)).as("n_src"))
+        .select(col("ck"),
+          expr("element_at(array_sort(transform(arr, x -> " +
+            "struct(-length(x.nm) AS nl, x.nm AS v))), 1).v")
+            .as("g_name"),
+          expr("element_at(array_sort(transform(arr, x -> " +
+            "struct(-size(filter(arr, y -> y.sg = x.sg)) AS nv, " +
+            "x.prio AS p, x.sg AS v))), 1).v").as("g_segment"),
+          col("g_balance"), col("src_mask"), col("n_src"))
+        .orderBy(col("ck"))
+    }),
+
     // foreachBatch fan-out: ONE bounded stream lands in TWO sinks per
     // micro-batch — a raw parquet landing zone partitioned by batch_id
     // (dynamic-partition overwrite → a replayed batch rewrites its own
@@ -592,6 +652,49 @@ object FrontierQueries {
         |  CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_false
         |FROM scored GROUP BY 1 ORDER BY class""".stripMargin,
+
+    // identical derived sources and survivorship algebra; vote/tiebreak
+    // via list_sort on (−votes, prio) / (−length, name) structs
+    "q272_golden_record" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ck, c_name AS nm, c_mktsegment AS sg,
+        |    c_acctbal AS bal, 1 AS prio FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'
+        |      ELSE c_name END AS nm,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |      ELSE c_mktsegment END AS sg,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0
+        |      ELSE c_acctbal END AS bal, 2 AS prio
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |c AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 9 = 0 THEN upper(c_name)
+        |      ELSE c_name END AS nm,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |      WHEN c_custkey % 6 = 0 THEN 'ONLINE'
+        |      ELSE c_mktsegment END AS sg,
+        |    CASE WHEN c_custkey % 8 = 0 THEN c_acctbal - 3.0
+        |      ELSE c_acctbal END AS bal, 3 AS prio
+        |  FROM customer WHERE c_custkey % 4 <> 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+        |      UNION ALL SELECT * FROM c),
+        |g AS (
+        |  SELECT ck,
+        |    list(struct_pack(prio := prio, nm := nm, sg := sg)) AS arr,
+        |    MAX(bal) AS g_balance,
+        |    CAST(bit_or(1 << prio) AS BIGINT) AS src_mask,
+        |    COUNT(*) AS n_src
+        |  FROM u GROUP BY ck)
+        |SELECT ck,
+        |  list_sort(list_transform(arr, x -> struct_pack(
+        |    nl := -length(x.nm), v := x.nm)))[1].v AS g_name,
+        |  list_sort(list_transform(arr, x -> struct_pack(
+        |    nv := -len(list_filter(arr, y -> y.sg = x.sg)),
+        |    p := x.prio, v := x.sg)))[1].v AS g_segment,
+        |  g_balance, src_mask, n_src
+        |FROM g ORDER BY ck""".stripMargin,
 
     "q105_foreach_batch" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -305,4 +305,55 @@ class FrontierSpec extends AnyFunSuite {
     assert(lt * 10L >= lp * 9L, s"link precision too low: $lt/$lp")
     assert(nt * 10L <= truth, s"too many true matches in nonlink: $nt")
   }
+
+  // ---- q272 golden-record survivorship ---------------------------------
+
+  test("q272 golden records match an independent survivorship recompute") {
+    val d = sf
+    case class Src(prio: Int, nm: String, sg: String, bal: Double)
+    val base = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val expected = base.map { case (ck, nm, sg, bal) =>
+      val srcs = Seq(Some(Src(1, nm, sg, bal)),
+        if (ck % 3 != 0) Some(Src(2,
+          if (ck % 11 == 0) nm + "X" else nm,
+          if (ck % 5 == 0) "MOVED" else sg,
+          if (ck % 7 == 0) bal + 5.0 else bal)) else None,
+        if (ck % 4 != 0) Some(Src(3,
+          if (ck % 9 == 0) nm.toUpperCase else nm,
+          if (ck % 5 == 0) "MOVED"
+          else if (ck % 6 == 0) "ONLINE" else sg,
+          if (ck % 8 == 0) bal - 3.0 else bal)) else None).flatten
+      val gName = srcs.map(_.nm).minBy(n => (-n.length, n))
+      val gSeg = srcs
+        .map(s => (-srcs.count(_.sg == s.sg), s.prio, s.sg))
+        .min._3
+      val gBal = srcs.map(_.bal).max
+      val mask = srcs.map(s => 1L << s.prio).distinct.sum
+      ck -> ((gName, gSeg, gBal, mask, srcs.size.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q272_golden_record")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expected.keySet, "entity key sets differ")
+    expected.foreach { case (ck, e) =>
+      assert(got(ck) == e, s"ck=$ck: engine ${got(ck)} vs reference $e")
+    }
+    // the vote genuinely overturns the base source somewhere: keys seen
+    // as MOVED by two sources (B and C) must surface MOVED, not A's value
+    val overturned = expected.filter { case (ck, e) =>
+      ck % 3 != 0 && ck % 4 != 0 && ck % 5 == 0 && e._2 == "MOVED"
+    }
+    assert(overturned.nonEmpty, "no key exercises majority-over-base")
+    val moved = base.count { case (ck, _, _, _) =>
+      ck % 3 != 0 && ck % 4 != 0 && ck % 5 == 0
+    }
+    assert(overturned.size == moved,
+      "every doubly-observed move must win the vote")
+  }
 }
