@@ -48,18 +48,22 @@ import org.apache.spark.sql.functions._
   */
 object AnomalyQueries {
 
-  /** Dense per-(event_type, hour-offset) census: columns (event_type,
-    * i ∈ [0, span], n ≥ 0, span), every hour of [min, max] present for
-    * every type. */
-  private def hourlyCensus(s: SparkSession, d: String): DataFrame = {
-    val ev = T.events(s, d).select(
-      (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"),
-      col("event_type"))
-    val bounds = ev.agg(min(col("h")).as("h0"),
-      (max(col("h")) - min(col("h"))).as("span"))
-    val counts = ev.groupBy(col("event_type"), col("h"))
+  /** Sparse per-(event_type, absolute-hour) counts — the only
+    * corpus-sized pass; map-side-combined. */
+  private def eventsHourCounts(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(
+        (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("cn"))
-      .crossJoin(broadcast(bounds))
+
+  /** Densify sparse (event_type, h, cn) counts into (event_type,
+    * i ∈ [0, span], n ≥ 0, span): every hour of [min, max] present for
+    * every type. */
+  private def densify(counts0: DataFrame): DataFrame = {
+    val bounds = counts0.agg(min(col("h")).as("h0"),
+      (max(col("h")) - min(col("h"))).as("span"))
+    val counts = counts0.crossJoin(broadcast(bounds))
       .select(col("event_type"), (col("h") - col("h0")).as("i"),
         col("cn"))
     val grid = counts.select(col("event_type")).distinct()
@@ -71,6 +75,42 @@ object AnomalyQueries {
       .select(col("event_type"), col("i"),
         coalesce(col("cn"), lit(0L)).as("n"), col("span"))
   }
+
+  /** Dense per-(event_type, hour-offset) census straight off the events
+    * table. */
+  private def hourlyCensus(s: SparkSession, d: String): DataFrame =
+    densify(eventsHourCounts(s, d))
+
+  /** q269's detector tail — sparse hour counts → dense planted census →
+    * EWMA fold — shared verbatim with the streaming twin q273 so the
+    * twins can only diverge in how the census was accumulated. */
+  private def ewmaFromHourCounts(counts: DataFrame): DataFrame =
+    plantSpike(densify(counts))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("i"), col("n"))))
+        .as("ser"))
+      .select(col("event_type"),
+        size(col("ser")).cast("long").as("n_hours"),
+        expr("""aggregate(ser,
+          named_struct('ew', CAST(-1 AS BIGINT),
+                       'an', CAST(0 AS BIGINT),
+                       'mx', CAST(0 AS BIGINT)),
+          (a, x) -> named_struct(
+            'ew', CASE WHEN a.ew < 0 THEN 1000 * x.n
+                       ELSE (7 * a.ew + 1000 * x.n) div 8 END,
+            'an', a.an + CASE WHEN a.ew >= 0 AND 1000 * x.n > 2 * a.ew
+                               AND x.n >= 3 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END,
+            'mx', CASE WHEN a.ew >= 0 AND 1000 * x.n > 2 * a.ew
+                        AND x.n >= 3
+                  THEN greatest(a.mx, (1000000 * x.n)
+                    div greatest(a.ew, CAST(1 AS BIGINT)))
+                  ELSE a.mx END))""").as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st.an").as("n_anom"),
+        col("st.mx").as("max_excess_permille"),
+        col("st.ew").as("ewma_final_milli"))
+      .orderBy(col("event_type"))
 
   /** The q269/q270 planted spike: one mid-series 'error' hour at 8n+40. */
   private def plantSpike(census: DataFrame): DataFrame =
@@ -101,33 +141,48 @@ object AnomalyQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q269_ewma_anomaly" -> ((s, d) => {
-      plantSpike(hourlyCensus(s, d))
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("i"), col("n"))))
-          .as("ser"))
-        .select(col("event_type"),
-          size(col("ser")).cast("long").as("n_hours"),
-          expr("""aggregate(ser,
-            named_struct('ew', CAST(-1 AS BIGINT),
-                         'an', CAST(0 AS BIGINT),
-                         'mx', CAST(0 AS BIGINT)),
-            (a, x) -> named_struct(
-              'ew', CASE WHEN a.ew < 0 THEN 1000 * x.n
-                         ELSE (7 * a.ew + 1000 * x.n) div 8 END,
-              'an', a.an + CASE WHEN a.ew >= 0 AND 1000 * x.n > 2 * a.ew
-                                 AND x.n >= 3 THEN CAST(1 AS BIGINT)
-                           ELSE CAST(0 AS BIGINT) END,
-              'mx', CASE WHEN a.ew >= 0 AND 1000 * x.n > 2 * a.ew
-                          AND x.n >= 3
-                    THEN greatest(a.mx, (1000000 * x.n)
-                      div greatest(a.ew, CAST(1 AS BIGINT)))
-                    ELSE a.mx END))""").as("st"))
-        .select(col("event_type"), col("n_hours"),
-          col("st.an").as("n_anom"),
-          col("st.mx").as("max_excess_permille"),
-          col("st.ew").as("ewma_final_milli"))
-        .orderBy(col("event_type"))
+    "q269_ewma_anomaly" -> ((s, d) =>
+      ewmaFromHourCounts(eventsHourCounts(s, d))),
+
+    // Streaming twin of q269: the corpus-sized census pass runs
+    // INSIDE the streaming engine — each micro-batch reduces its own
+    // events to (event_type, hour, count) partials (O(batch) work,
+    // map-side combined before anything persists) written under its
+    // batch_id with dynamic-partition overwrite, so a replayed batch
+    // rewrites its own partition and the merge can never double-count
+    // (the q210/q253 exactly-once discipline). Counts are additive and
+    // arrival-order-independent, so the merged cells equal the batch
+    // census at ANY split; the calendar-sized EWMA fold (shared
+    // verbatim with q269) then runs once over the merged cells. Gated
+    // row-for-row to q269 — same oracle.
+    "q273_stream_ewma" -> ((s, d) => {
+      val dir = FrontierQueries.eventsSplitFixture(s, d)
+      val base = graft.Scratch.runDir("graft_streamewma")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("ts"), col("event_type"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.select(
+              (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+                .as("h"), col("event_type"))
+            .groupBy(col("event_type"), col("h"))
+            .agg(count(lit(1)).as("cn"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/cells")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      ewmaFromHourCounts(
+        s.read.parquet(s"$base/cells")
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("cn")).as("cn")))
     }),
 
     "q270_mad_outliers" -> ((s, d) => {
@@ -192,10 +247,10 @@ object AnomalyQueries {
         .orderBy(col("event_type"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q269_ewma_anomaly" ->
-      s"""WITH RECURSIVE $censusSql,
+  /** One oracle for both EWMA twins: the streaming variant must equal
+    * the batch fold exactly. */
+  private val ewmaOracle: String =
+    s"""WITH RECURSIVE $censusSql,
          |r AS (
          |  SELECT event_type, i, 1000 * n AS ew,
          |         CAST(0 AS BIGINT) AS an, CAST(0 AS BIGINT) AS mx
@@ -215,7 +270,13 @@ object AnomalyQueries {
          |  CAST(mx AS BIGINT) AS max_excess_permille,
          |  CAST(ew AS BIGINT) AS ewma_final_milli
          |FROM r WHERE i = (SELECT span FROM b)
-         |ORDER BY event_type""".stripMargin,
+         |ORDER BY event_type""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q269_ewma_anomaly" -> ewmaOracle,
+
+    "q273_stream_ewma" -> ewmaOracle,
 
     "q270_mad_outliers" ->
       s"""WITH $censusSql,

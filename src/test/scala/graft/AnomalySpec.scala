@@ -150,6 +150,17 @@ class AnomalySpec extends AnyFunSuite {
     }
   }
 
+  test("q273 streaming EWMA equals batch q269 row-for-row") {
+    // the twins share the fold verbatim; this gates the part that can
+    // drift — the per-trigger census accumulation under replay/merge
+    val batch = SparkEntry.queries("q269_ewma_anomaly")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = SparkEntry.queries("q273_stream_ewma")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming census diverged:\n$streamed\nvs\n$batch")
+  }
+
   test("q271 locates the planted click level shift") {
     val rows = SparkEntry.queries("q271_cusum_changepoint")(spark, sf)
       .collect()
