@@ -85,6 +85,32 @@ object AnalyticsQueries {
     // aggregate + re-join — three narrow shuffles on user_id (the same
     // key every round, so exchanges line up), never a per-user sort of
     // the corpus. Durations stay integer micros.
+    // Behavioral transition matrix (first-order Markov counts): per
+    // user, events ordered by the unique (t, event_id) key; consecutive
+    // (src → dst) type pairs counted, then row-normalized to integer
+    // permilles. The ordering window is PARTITIONED by user_id (the
+    // bounded-history key — parallel across users, and the exchange
+    // carries only (user, t, id, type) slim rows, never props/value);
+    // transition counts reduce map-side to ≤ |types|² rows and the
+    // row totals are a broadcast. The next-event distribution this
+    // yields is the classic session-model input beside q125's funnel.
+    "q275_markov_transitions" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("t"),
+        col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val pairs = e
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), "src")
+        .select(col("src"), col("dst"), col("n"),
+          expr("CAST((1000 * n) div tot AS BIGINT)").as("permille"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     "q125_funnel" -> ((s, d) => {
       val e = ev(s, d)
       val s1 = e.where(col("event_type") === "view")
@@ -764,6 +790,26 @@ object AnalyticsQueries {
         |  COUNT(DISTINCT p.ip) AS n_ips
         |FROM parsed p JOIN blocks k ON p.b = k.b AND p.c = k.c
         |GROUP BY k.owner_nation ORDER BY k.owner_nation""".stripMargin,
+
+    // identical window pairing on the unique (t, event_id) order
+    "q275_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS dst
+        |  FROM e),
+        |c AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n,
+        |  CAST((1000 * c.n) // tt.tot AS BIGINT) AS permille
+        |FROM c JOIN tt ON tt.src = c.src
+        |ORDER BY c.src, c.dst""".stripMargin,
 
     "q125_funnel" ->
       """WITH e AS (

@@ -185,6 +185,38 @@ object AnomalyQueries {
           .agg(sum(col("cn")).as("cn")))
     }),
 
+    // Seasonal-profile outliers — q270's robust gate with the baseline
+    // conditioned on hour-of-day: per (type, i mod 24) cell, the lower
+    // median of that cell's ~|days| samples is the seasonal level and
+    // MAD its spread; a residual is anomalous iff |n − med| > 3·MAD
+    // WITHIN its own hour-of-day. The planted contrast is the point:
+    // a PERIODIC +20 on every (error, hod 7) hour raises that cell's
+    // median — so the recurring load is absorbed into the baseline and
+    // contributes zero outliers — while q269's spike plant (one
+    // aperiodic mid-series error burst) still trips its cell. Same
+    // calendar-bounded substrate; the per-cell algebra runs inside
+    // ≤|days|-element arrays, 120 output rows.
+    "q274_seasonal_outliers" -> ((s, d) => {
+      plantSpike(hourlyCensus(s, d))
+        .withColumn("n",
+          expr("CASE WHEN event_type = 'error' AND i % 24 = 7 " +
+            "THEN n + 20 ELSE n END"))
+        .withColumn("hod", expr("i % 24"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .withColumn("med",
+          expr("element_at(ns, CAST((size(ns) + 1) div 2 AS INT))"))
+        .withColumn("mad",
+          expr("element_at(array_sort(transform(ns, v -> abs(v - med))), " +
+            "CAST((size(ns) + 1) div 2 AS INT))"))
+        .select(col("event_type"), col("hod"),
+          size(col("ns")).cast("long").as("n_samples"),
+          col("med"), col("mad"),
+          expr("CAST(size(filter(ns, v -> abs(v - med) > 3 * mad)) " +
+            "AS BIGINT)").as("n_out"))
+        .orderBy(col("event_type"), col("hod"))
+    }),
+
     "q270_mad_outliers" -> ((s, d) => {
       plantSpike(hourlyCensus(s, d))
         .groupBy(col("event_type"))
@@ -277,6 +309,27 @@ object AnomalyQueries {
     "q269_ewma_anomaly" -> ewmaOracle,
 
     "q273_stream_ewma" -> ewmaOracle,
+
+    "q274_seasonal_outliers" ->
+      s"""WITH $censusSql,
+         |p2 AS (SELECT event_type, i,
+         |        CAST(CASE WHEN event_type = 'error' AND i % 24 = 7
+         |             THEN n + 20 ELSE n END AS BIGINT) AS n,
+         |        i % 24 AS hod
+         |       FROM p),
+         |l AS (SELECT event_type, hod, list(n ORDER BY n) AS ns
+         |      FROM p2 GROUP BY 1, 2),
+         |m AS (SELECT event_type, hod, ns,
+         |        ns[(len(ns) + 1) // 2] AS med FROM l),
+         |m2 AS (SELECT event_type, hod, ns, med,
+         |        list_sort(list_transform(ns, v -> abs(v - med)))
+         |          [(len(ns) + 1) // 2] AS mad FROM m)
+         |SELECT event_type, CAST(hod AS BIGINT) AS hod,
+         |  CAST(len(ns) AS BIGINT) AS n_samples,
+         |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+         |  CAST(len(list_filter(ns, v -> abs(v - med) > 3 * mad))
+         |    AS BIGINT) AS n_out
+         |FROM m2 ORDER BY event_type, hod""".stripMargin,
 
     "q270_mad_outliers" ->
       s"""WITH $censusSql,

@@ -302,4 +302,28 @@ class AnalyticsSpec extends AnyFunSuite {
         s"block filter should keep a strict subset: $joined of $total")
     } finally out.unpersist()
   }
+
+  test("markov transitions: pair accounting and row-normalization bounds") {
+    val rows = SparkEntry.queries("q275_markov_transitions")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // every user with k events contributes exactly k-1 transitions
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val expectedPairs = perUser.map(_ - 1).sum
+    assert(rows.map(_._3).sum == expectedPairs,
+      s"transition total ${rows.map(_._3).sum} != $expectedPairs")
+    // integer row-normalization: each src row's permilles sum to 1000
+    // minus at most (fanout - 1) floor losses, never over
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000 && s >= 1000 - (rs.length - 1),
+        s"$src permille sum $s out of bounds")
+      rs.foreach { case (_, dst, n, pm) =>
+        val tot = rs.map(_._3).sum
+        assert(pm == 1000L * n / tot, s"$src->$dst permille mismatch")
+      }
+    }
+  }
 }

@@ -106,6 +106,46 @@ class AnomalySpec extends AnyFunSuite {
     assert(got("error")._4 >= 1, "planted outlier not flagged")
   }
 
+  // ---- q274 seasonal profile --------------------------------------------
+
+  test("q274 absorbs periodic load into the hour-of-day baseline") {
+    // independent recompute: spiked census + periodic error plant at
+    // hod 7, then per-(type, hod) lower-median/MAD over that cell only
+    val planted: Map[String, Array[Long]] = spiked.map { case (t, ns) =>
+      t -> ns.zipWithIndex.map { case (v, i) =>
+        if (t == "error" && i % 24 == 7) v + 20 else v
+      }
+    }
+    val got = SparkEntry.queries("q274_seasonal_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    planted.foreach { case (t, ns) =>
+      (0 until 24).foreach { hod =>
+        val cell = ns.indices.filter(_ % 24 == hod).map(ns).toArray
+        val med = lowerMedian(cell)
+        val devs = cell.map(v => math.abs(v - med))
+        val mad = lowerMedian(devs)
+        val nOut = devs.count(_ > 3 * mad).toLong
+        assert(got((t, hod.toLong)) ==
+          ((cell.length.toLong, med, mad, nOut)),
+          s"($t, $hod): engine ${got((t, hod.toLong))} vs " +
+            s"(${cell.length}, $med, $mad, $nOut)")
+      }
+    }
+    // the periodic +20 lives ONLY in its own cell's baseline: hod 7's
+    // median carries it, every other error cell stays at noise level
+    val erMeds = (0 until 24)
+      .map(h => h -> got(("error", h.toLong))._2).toMap
+    assert(erMeds(7) >= 20, s"seasonal cell median ${erMeds(7)} low")
+    erMeds.filter(_._1 != 7).values.foreach(m =>
+      assert(m < 20, s"periodic load leaked into a foreign cell: $m"))
+    // and the APERIODIC q269-plant spike still trips its own cell
+    val spikeHod = ((census("error").length - 1) / 2) % 24
+    assert(got(("error", spikeHod.toLong))._4 >= 1,
+      "aperiodic spike not flagged by its seasonal cell")
+  }
+
   // ---- q271 CUSUM -------------------------------------------------------
 
   /** Reference CUSUM over the q271-planted series: returns
