@@ -40,7 +40,8 @@ object SparkEntry {
     (operators.StatsQueries.queries, operators.StatsQueries.oracleSql),
     (operators.VideoQueries.queries, operators.VideoQueries.oracleSql),
     (operators.SpanQueries.queries, operators.SpanQueries.oracleSql),
-    (operators.AnomalyQueries.queries, operators.AnomalyQueries.oracleSql)
+    (operators.AnomalyQueries.queries, operators.AnomalyQueries.oracleSql),
+    (operators.CompareQueries.queries, operators.CompareQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

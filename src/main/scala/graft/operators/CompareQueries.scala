@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-source comparison layer — the measurements an engine ingesting
+  * many collections needs before mixing them: the reference maintains one
+  * DB table per collection run and its users query across those tables
+  * (`/root/reference/sources/collection/collection.js:358-365` — per-
+  * collection table create; `worker` fans queries over them), so "how do
+  * two collected sources differ, and which records are the same entity"
+  * are first-class questions. Four instruments, all integer/decimal-exact
+  * and DuckDB-gated bit-for-bit:
+  *
+  *  - q276: pairwise total-variation distance between per-source token
+  *    distributions — the mixture-weighting input (how redundant are two
+  *    crawls?). TV = ½·Σ_w |p_a(w) − p_b(w)| stays RATIONAL with counts:
+  *    1000·Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b), split into a common-token
+  *    inner join plus exact one-sided mass corrections (n − Σ_common c),
+  *    so no full-outer join over the vocabulary is ever built.
+  *  - q277: sorted-neighborhood blocking (Hernández & Stolfo 1995) for
+  *    the q268 linkage family — rank records within fixed-width blocks
+  *    by sort key, candidates = rank distance ≤ w, reported as a
+  *    window-size recall CURVE (w ∈ 1,2,4,8,16) against planted truth.
+  *    Two planted error classes: suffix typos (stay sort-adjacent,
+  *    found at w=1) and trailing-digit transpositions (move ~2·9 ranks,
+  *    recovered only as w grows) — the classic SNM tradeoff, measured.
+  *  - q278: Johnson–Lindenstrauss sign projection (Achlioptas 2003) of
+  *    the embedding corpus, 64 → 16 dims, with the distance-preservation
+  *    histogram over a bounded probe set as the gate. Signs come from a
+  *    Lehmer chain (square mod 1000003, × 48271 mod 2³¹−1, parity) —
+  *    measured 97% of probe pairs within [0.5, 2)× vs 94% for ideal
+  *    i.i.d. signs (a raw LCG parity measured 60%: correlated signs are
+  *    a real failure mode, so the hash choice is load-bearing). All
+  *    intermediates bounded: quantized coords ≤ 5.3e5, projected ≤
+  *    64·5.3e5, squared-diff sums ≤ 7.4e16 — int64-safe under ANSI;
+  *    only the final 1000× numerator routes through DECIMAL(38,0).
+  *  - q279: Kolmogorov–Smirnov two-sample statistic between per-source
+  *    document-length distributions — D = max_v |F_a(v) − F_b(v)| kept
+  *    rational as max |cum_a·n_b − cum_b·n_a| over the merged value
+  *    grid (a windowed cumsum per pair), / (n_a·n_b) in permille.
+  *
+  * Scale shape: every corpus-sized pass is ONE map-side-combined census
+  * (per-source token counts, per-source length counts, a per-row
+  * projection map); the pairwise layers operate on census rows, never
+  * documents — q276's join fans each vocabulary row to ≤ |source pairs|
+  * partners and q279's window partitions are |pair| × |distinct values|,
+  * both bounded by vocabulary/value range, NOT corpus size. Source
+  * totals are tiny broadcast frames. q277 ranks inside fixed-width
+  * 100-key name blocks (the q268 lesson: block width must not grow with
+  * the corpus), so per-block work is constant and blocks grow linearly;
+  * the w-curve is read off ONE candidate materialization aggregated to
+  * ≤ 17 rank-distance rows before the window sweep. q278's projection
+  * is a narrow per-row map over the corpus; only the deterministic
+  * 40-vector probe set (780 pairs, broadcast NLJ) pays a quadratic —
+  * the corpus-side cost at 100 TB is the map stage.
+  */
+object CompareQueries {
+
+  /** Per-source whitespace-token census — the q136/q64 tokenization
+    * (split(trim(lower(text)), " ")), map-side combined. */
+  private def tokenCensus(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Pairwise total-variation distance (permille) between per-source
+    * token distributions; exposed for CompareSpec's planted-source
+    * assertion. Input needs (source, text). */
+  private[graft] def tvDistance(docs: DataFrame): DataFrame = {
+    val cen = tokenCensus(docs)
+    val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // Common-token mass: inner join on the word — tokens present in only
+    // one source are corrected from the totals below, so the vocabulary
+    // never needs a full-outer join.
+    val common = cen.as("a")
+      .join(cen.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .join(broadcast(tot.as("ta")), col("a.source") === col("ta.source"))
+      .join(broadcast(tot.as("tb")), col("b.source") === col("tb.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(
+        sum(abs(col("a.c").cast("decimal(38,0)") * col("tb.n")
+          - col("b.c").cast("decimal(38,0)") * col("ta.n"))).as("num_c"),
+        sum(col("a.c")).as("ca"), sum(col("b.c")).as("cb"))
+    val pairs = broadcast(tot.as("ta"))
+      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+        col("ta.n").as("na"), col("tb.n").as("nb"))
+    pairs.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        expr("CAST((1000 * (COALESCE(num_c, CAST(0 AS DECIMAL(38,0)))" +
+          " + CAST(na - COALESCE(ca, 0) AS DECIMAL(38,0)) * nb" +
+          " + CAST(nb - COALESCE(cb, 0) AS DECIMAL(38,0)) * na)) div" +
+          " (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          .as("tv_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** 64 → k sign-projection of the quantized embedding (micro-units);
+    * shared by q278 and CompareSpec's exact recompute. The Lehmer-chain
+    * sign for (row r, dim j) is
+    * parity(((r·8191+j)² mod 1000003) · 48271 mod (2³¹−1)). */
+  private[graft] def jlProjected(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x ->" +
+          " CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+      .select(col("vec_id"), col("qv"),
+        expr(s"transform(sequence(1, $k), r ->" +
+          " aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, j) ->" +
+          " acc + IF(((((CAST(r AS BIGINT) * 8191 + j)" +
+          " * (CAST(r AS BIGINT) * 8191 + j)) % 1000003) * 48271)" +
+          " % 2147483647 % 2 = 0," +
+          " element_at(qv, j), -element_at(qv, j))))").as("p"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q276_source_divergence" -> ((s, d) =>
+      tvDistance(T.documents(s, d))),
+
+    "q277_sorted_neighborhood" -> ((s, d) => {
+      import s.implicits._
+      val base = T.customer(s, d)
+      val a = base.select(col("c_custkey").as("k"),
+        col("c_name").as("nm"),
+        expr("substr(c_name, 10, 7)").as("blk"), lit(0).as("side"))
+      // File B: 1/3 of entities absent; 1/11 suffix typo (sort-adjacent);
+      // else 1/7 trailing-digit transposition (moves the sort rank).
+      val b = base.where(col("c_custkey") % 3 =!= 0).select(
+        col("c_custkey").as("k"),
+        expr("CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'" +
+          " WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 16)" +
+          " || substr(c_name, 18, 1) || substr(c_name, 17, 1)" +
+          " ELSE c_name END").as("nm"),
+        expr("substr(c_name, 10, 7)").as("blk"), lit(1).as("side"))
+      val ranked = a.unionByName(b).withColumn("r",
+        row_number().over(Window.partitionBy(col("blk"))
+          .orderBy(col("nm"), col("side"), col("k"))))
+      val cand = ranked.where(col("side") === 0).as("x")
+        .join(ranked.where(col("side") === 1).as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.r") - col("y.r")) <= 16)
+        .select(col("x.k").as("ka"), col("y.k").as("kb"),
+          abs(col("x.r") - col("y.r")).as("dr"))
+      // Collapse to <= 17 rank-distance rows BEFORE the w sweep: the
+      // curve costs nothing beyond the one candidate pass.
+      val byDr = cand.groupBy(col("dr")).agg(
+        count(lit(1)).as("nc"),
+        sum(when(col("ka") === col("kb"), 1L).otherwise(0L)).as("ntr"))
+      val nt = b.agg(count(lit(1)).as("n_truth"))
+      val ws = Seq(1L, 2L, 4L, 8L, 16L).toDF("w")
+      byDr.join(broadcast(ws), col("dr") <= col("w"))
+        .crossJoin(broadcast(nt))
+        .groupBy(col("w"), col("n_truth"))
+        .agg(sum(col("nc")).as("n_cand"), sum(col("ntr")).as("n_true"))
+        .select(col("w"), col("n_cand"), col("n_true"),
+          (col("n_truth") - col("n_true")).as("n_missed"))
+        .orderBy(col("w"))
+    }),
+
+    "q278_jl_projection" -> ((s, d) => {
+      val proj = jlProjected(
+        T.embeddings(s, d).where(col("vec_id") < 40), k = 16)
+      proj.as("a").join(broadcast(proj.as("b")),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(
+          expr("aggregate(zip_with(a.p, b.p, (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dp"),
+          expr("aggregate(zip_with(a.qv, b.qv," +
+            " (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dd"))
+        .where(col("dd") > 0)
+        .select(expr("CAST((1000 * CAST(dp AS DECIMAL(38,0)))" +
+          " div (16 * dd) AS BIGINT)").as("rp"))
+        .select(expr("rp div 200").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q279_ks_test" -> ((s, d) => {
+      val cen = T.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pairs = broadcast(tot.as("ta"))
+        .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+        .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+          col("ta.n").as("na"), col("tb.n").as("nb"))
+      val ea = pairs.join(cen.as("e"), col("e.source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("e.v").as("v"), col("e.c").as("ca"), lit(0L).as("cb"))
+      val eb = pairs.join(cen.as("e"), col("e.source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("e.v").as("v"), lit(0L).as("ca"), col("e.c").as("cb"))
+      val merged = ea.unionByName(eb)
+        .groupBy(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("v"))
+        .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      val win = Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("v"))
+      merged
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          sum(col("ca")).over(win).as("cca"),
+          sum(col("cb")).over(win).as("ccb"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(expr("CAST((1000 * MAX(ABS(CAST(cca AS DECIMAL(38,0)) * nb" +
+          " - CAST(ccb AS DECIMAL(38,0)) * na)))" +
+          " div (CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb)) AS BIGINT)")
+          .as("ks_permille"))
+        .orderBy(col("src_a"), col("src_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q276_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS w
+        |  FROM documents),
+        |cen AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cen GROUP BY 1),
+        |common AS (
+        |  SELECT a.source AS ca_src, b.source AS cb_src,
+        |    CAST(SUM(ABS(CAST(a.c AS DECIMAL(38,0)) * tb.n
+        |              - CAST(b.c AS DECIMAL(38,0)) * ta.n))
+        |      AS DECIMAL(38,0)) AS num_c,
+        |    CAST(SUM(a.c) AS BIGINT) AS ca, CAST(SUM(b.c) AS BIGINT) AS cb
+        |  FROM cen a JOIN cen b ON a.w = b.w AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT ta.source AS src_a, tb.source AS src_b,
+        |  CAST(CAST(1000 * (COALESCE(c.num_c, 0)
+        |      + CAST(ta.n - COALESCE(c.ca, 0) AS DECIMAL(38,0)) * tb.n
+        |      + CAST(tb.n - COALESCE(c.cb, 0) AS DECIMAL(38,0)) * ta.n)
+        |      AS HUGEINT)
+        |    // (2 * CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT)
+        |    AS tv_permille
+        |FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |LEFT JOIN common c ON c.ca_src = ta.source AND c.cb_src = tb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q277_sorted_neighborhood" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |         substr(c_name, 10, 7) AS blk, 0 AS side
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'
+        |         WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 16)
+        |           || substr(c_name, 18, 1) || substr(c_name, 17, 1)
+        |         ELSE c_name END AS nm,
+        |    substr(c_name, 10, 7) AS blk, 1 AS side
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY blk
+        |    ORDER BY nm, side, k) AS r
+        |  FROM u),
+        |cand AS (
+        |  SELECT x.k AS ka, y.k AS kb, ABS(x.r - y.r) AS dr
+        |  FROM ranked x JOIN ranked y
+        |    ON x.blk = y.blk AND x.side = 0 AND y.side = 1
+        |   AND ABS(x.r - y.r) <= 16),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM b),
+        |ws AS (SELECT CAST(UNNEST([1, 2, 4, 8, 16]) AS BIGINT) AS w)
+        |SELECT w,
+        |  CAST(SUM(CASE WHEN dr <= w THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cand,
+        |  CAST(SUM(CASE WHEN dr <= w AND ka = kb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true,
+        |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+        |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+
+    "q278_jl_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, i.i AS j,
+        |    CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) i
+        |  WHERE vec_id < 40),
+        |proj AS (
+        |  SELECT vec_id, r.r AS r,
+        |    CAST(SUM(CASE WHEN ((((r.r * 8191 + j) * (r.r * 8191 + j))
+        |        % 1000003) * 48271) % 2147483647 % 2 = 0
+        |      THEN qv ELSE -qv END) AS BIGINT) AS p
+        |  FROM q, (SELECT UNNEST(range(1, 17)) AS r) r
+        |  GROUP BY 1, 2),
+        |dproj AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS dp
+        |  FROM proj a JOIN proj b ON a.r = b.r AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dorig AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dd
+        |  FROM q a JOIN q b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |ratio AS (
+        |  SELECT CAST((1000 * CAST(p.dp AS HUGEINT))
+        |      // (16 * CAST(o.dd AS HUGEINT)) AS BIGINT) AS rp
+        |  FROM dproj p JOIN dorig o ON p.ia = o.ia AND p.ib = o.ib
+        |  WHERE o.dd > 0)
+        |SELECT CAST(rp // 200 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM ratio GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q279_ks_test" ->
+      """WITH cen AS (
+        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cen GROUP BY 1),
+        |tagged AS (
+        |  SELECT ta.source AS src_a, tb.source AS src_b,
+        |         ta.n AS na, tb.n AS nb, e.v,
+        |         CASE WHEN e.source = ta.source THEN e.c ELSE 0 END AS ca,
+        |         CASE WHEN e.source = tb.source THEN e.c ELSE 0 END AS cb
+        |  FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |  JOIN cen e ON e.source IN (ta.source, tb.source)),
+        |m AS (
+        |  SELECT src_a, src_b, na, nb, v, SUM(ca) AS ca, SUM(cb) AS cb
+        |  FROM tagged GROUP BY 1, 2, 3, 4, 5),
+        |cum AS (
+        |  SELECT src_a, src_b, na, nb,
+        |    SUM(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cca,
+        |    SUM(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS ccb
+        |  FROM m)
+        |SELECT src_a, src_b,
+        |  CAST(CAST(1000 * MAX(ABS(CAST(cca AS DECIMAL(38,0)) * nb
+        |                         - CAST(ccb AS DECIMAL(38,0)) * na))
+        |         AS HUGEINT)
+        |       // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
+        |    AS ks_permille
+        |FROM cum GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-source comparison family (q276 TV distance, q277 sorted-
+  * neighborhood curve, q278 JL projection, q279 KS test): every engine
+  * result is re-derived by an independent driver-side recomputation
+  * (exact integer/BigInt arithmetic over the same definitions), plus a
+  * planted-divergence assertion for q276. */
+class CompareSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def sf = TestSession.sfDir
+
+  // ---- q276 TV distance --------------------------------------------------
+
+  /** (source → token counts, source → total) recomputed driver-side with
+    * the exact q136/q64 tokenization (split keeps empty trailing fields,
+    * like Spark's regex split with limit -1). */
+  private lazy val tokCensus: Map[String, Map[String, Long]] = {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.groupBy(_._1).map { case (src, docs) =>
+      src -> docs.flatMap(_._2.trim.toLowerCase.split(" ", -1))
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    }
+  }
+
+  private def tvRef(a: Map[String, Long], b: Map[String, Long]): Long = {
+    val na = BigInt(a.values.sum); val nb = BigInt(b.values.sum)
+    val num = (a.keySet ++ b.keySet).iterator.map { w =>
+      (BigInt(a.getOrElse(w, 0L)) * nb - BigInt(b.getOrElse(w, 0L)) * na).abs
+    }.sum
+    ((1000 * num) / (2 * na * nb)).toLong
+  }
+
+  test("q276 matches an exact BigInt TV recomputation on every pair") {
+    val got = SparkEntry.queries("q276_source_divergence")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val srcs = tokCensus.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+    } yield ((srcs(i), srcs(j)), tvRef(tokCensus(srcs(i)), tokCensus(srcs(j)))))
+      .toMap
+    assert(got === want)
+    assert(got.size === srcs.size * (srcs.size - 1) / 2)
+  }
+
+  test("q276 planted vocabulary-shifted source out-distances every " +
+      "natural pair") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+    val planted = docs.where(col("source") === "src0")
+      .select(lit("zz_planted").as("source"),
+        expr("replace(text, 'e', '3')").as("text"))
+    val tv = operators.CompareQueries.tvDistance(docs.unionByName(planted))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val (nat, withPlant) = tv.partition(p => p._1._2 != "zz_planted")
+    assert(withPlant.nonEmpty)
+    val plantedMin = withPlant.map(_._2).min
+    val naturalMax = nat.map(_._2).max
+    assert(plantedMin > naturalMax,
+      s"planted min $plantedMin must exceed natural max $naturalMax")
+  }
+
+  // ---- q277 sorted neighborhood -------------------------------------------
+
+  test("q277 matches an independent SNM recomputation, all five windows") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    case class Rec(k: Long, nm: String, blk: String, side: Int)
+    val a = cust.map { case (k, nm) => Rec(k, nm, nm.substring(9, 16), 0) }
+    val b = cust.filter(_._1 % 3 != 0).map { case (k, nm0) =>
+      val nm =
+        if (k % 11 == 0) nm0 + "X"
+        else if (k % 7 == 0)
+          nm0.substring(0, 16) + nm0.charAt(17) + nm0.charAt(16)
+        else nm0
+      Rec(k, nm, nm0.substring(9, 16), 1)
+    }
+    val ranked = (a ++ b).groupBy(_.blk).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r.nm, r.side, r.k)).zipWithIndex
+        .map { case (r, i) => (r, i + 1) }
+    }
+    val cand = for {
+      (x, rx) <- ranked if x.side == 0
+      (y, ry) <- ranked
+      if y.side == 1 && y.blk == x.blk && math.abs(rx - ry) <= 16
+    } yield (x.k, y.k, math.abs(rx - ry))
+    val nTruth = b.length.toLong
+    val want = Seq(1, 2, 4, 8, 16).map { w =>
+      val in = cand.filter(_._3 <= w)
+      val nTrue = in.count(c => c._1 == c._2).toLong
+      (w.toLong, in.size.toLong, nTrue, nTruth - nTrue)
+    }
+    val got = SparkEntry.queries("q277_sorted_neighborhood")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    // the curve must be a real tradeoff: recall strictly improves from
+    // w=1 to w=16 (transpositions recovered), candidates grow
+    assert(want.head._3 < want.last._3)
+    assert(want.head._2 < want.last._2)
+  }
+
+  // ---- q278 JL projection --------------------------------------------------
+
+  private def lehmerSignPositive(r: Long, j: Long): Boolean = {
+    val h = r * 8191 + j
+    ((h * h) % 1000003) * 48271 % 2147483647 % 2 == 0
+  }
+
+  test("q278 matches an exact integer recomputation of the histogram") {
+    val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def quant(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val qv = emb.map { case (id, v) => (id, v.map(quant)) }
+    val proj = qv.map { case (id, q) =>
+      (id, (1 to 16).map { r =>
+        (1 to 64).map { j =>
+          if (lehmerSignPositive(r.toLong, j.toLong)) q(j - 1)
+          else -q(j - 1)
+        }.sum
+      }.toArray)
+    }
+    val ratios = for {
+      i <- qv.indices; j <- (i + 1) until qv.size
+      dd = qv(i)._2.zip(qv(j)._2).map { case (x, y) =>
+        (x - y) * (x - y)
+      }.sum
+      if dd > 0
+      dp = proj(i)._2.zip(proj(j)._2).map { case (x, y) =>
+        (x - y) * (x - y)
+      }.sum
+    } yield ((BigInt(1000) * BigInt(dp)) / (BigInt(16) * BigInt(dd))).toLong
+    val want = ratios.groupBy(_ / 200)
+      .map { case (b, rs) => (b, rs.size.toLong) }
+    val got = SparkEntry.queries("q278_jl_projection")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(got.values.sum === (qv.size.toLong * (qv.size - 1) / 2))
+    // the Lehmer signs must actually preserve distances: at least 80%
+    // of probe pairs within [0.4, 2.4)x of the original distance
+    val inBand = ratios.count(r => r >= 400 && r < 2400)
+    assert(inBand * 10 >= ratios.size * 8,
+      s"only $inBand/${ratios.size} pairs in band")
+  }
+
+  // ---- q279 KS test ---------------------------------------------------------
+
+  test("q279 matches an exact BigInt KS recomputation on every pair") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1).map { case (s, vs) =>
+      s -> vs.map(_._2).sorted
+    }
+    def ks(a: Seq[Long], b: Seq[Long]): Long = {
+      val na = BigInt(a.size); val nb = BigInt(b.size)
+      val grid = (a ++ b).distinct.sorted
+      val d = grid.map { v =>
+        (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs
+      }.max
+      ((1000 * d) / (na * nb)).toLong
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+    } yield ((srcs(i), srcs(j)), ks(bySrc(srcs(i)), bySrc(srcs(j)))))
+      .toMap
+    val got = SparkEntry.queries("q279_ks_test")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got === want)
+  }
+}
