@@ -41,6 +41,16 @@ import org.apache.spark.sql.functions._
   *    document-length distributions — D = max_v |F_a(v) − F_b(v)| kept
   *    rational as max |cum_a·n_b − cum_b·n_a| over the merged value
   *    grid (a windowed cumsum per pair), / (n_a·n_b) in permille.
+  *  - q280: 1-D Wasserstein distance on the same grid — the KS max
+  *    swapped for a gap-weighted integral of the CDF difference
+  *    (millichars). KS answers "do they differ", W1 answers "by how
+  *    much mass must move how far" — both off ONE shared pair grid.
+  *  - q281: Mann–Whitney probability of superiority P(A>B) + ½P(A=B)
+  *    in permille from the same cumsums — 2U_a = Σ c_a·(2·cum_b(<v) +
+  *    c_b(v)), no cross-pair rank materialization, ties at ×2 exact.
+  *  - q282: streaming twin of q276 — per-trigger token-census partials
+  *    under batch_id-partitioned exactly-once overwrite, merged, then
+  *    the SAME TV tail; gated row-for-row to the batch oracle.
   *
   * Scale shape: every corpus-sized pass is ONE map-side-combined census
   * (per-source token counts, per-source length counts, a per-row
@@ -70,8 +80,13 @@ object CompareQueries {
   /** Pairwise total-variation distance (permille) between per-source
     * token distributions; exposed for CompareSpec's planted-source
     * assertion. Input needs (source, text). */
-  private[graft] def tvDistance(docs: DataFrame): DataFrame = {
-    val cen = tokenCensus(docs)
+  private[graft] def tvDistance(docs: DataFrame): DataFrame =
+    tvFromCensus(tokenCensus(docs))
+
+  /** The TV tail over an already-accumulated (source, w, c) census —
+    * shared verbatim between q276 and its streaming twin q282, so the
+    * twins can only diverge in how the census was accumulated. */
+  private[graft] def tvFromCensus(cen: DataFrame): DataFrame = {
     val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
     // Common-token mass: inner join on the word — tokens present in only
     // one source are corrected from the totals below, so the vocabulary
@@ -98,6 +113,48 @@ object CompareQueries {
           " (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
           .as("tv_permille"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Paired per-source length-distribution grid — ONE definition shared
+    * by q279 (KS), q280 (Wasserstein) and q281 (Mann-Whitney), so the
+    * three two-sample statistics can never disagree about the
+    * distributions they compare. Output: (src_a, src_b, na, nb, v, ca,
+    * cb), one row per source pair × distinct n_chars value; the census
+    * is the only corpus-sized pass (map-side combined), the pair frame
+    * is a broadcast of the tiny per-source totals. */
+  private def lengthPairGrid(s: SparkSession, d: String): DataFrame = {
+    val cen = T.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = broadcast(tot.as("ta"))
+      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+        col("ta.n").as("na"), col("tb.n").as("nb"))
+    val ea = pairs.join(cen.as("e"), col("e.source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("e.v").as("v"), col("e.c").as("ca"), lit(0L).as("cb"))
+    val eb = pairs.join(cen.as("e"), col("e.source") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("e.v").as("v"), lit(0L).as("ca"), col("e.c").as("cb"))
+    ea.unionByName(eb)
+      .groupBy(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+  }
+
+  /** Documents (source, text) split into three parquet files so
+    * `maxFilesPerTrigger = 1` yields a genuinely multi-batch bounded
+    * stream for q282. Token counts are arrival-order-independent, so
+    * the file order needs no pinning. */
+  private[graft] def docsSourceSplitFixture(s: SparkSession, d: String)
+      : String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_split3_source")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.documents(s, d).select(col("source"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+    }
+    out
   }
 
   /** 64 → k sign-projection of the quantized embedding (micro-units);
@@ -181,27 +238,9 @@ object CompareQueries {
     }),
 
     "q279_ks_test" -> ((s, d) => {
-      val cen = T.documents(s, d)
-        .groupBy(col("source"), col("n_chars").as("v"))
-        .agg(count(lit(1)).as("c"))
-      val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
-      val pairs = broadcast(tot.as("ta"))
-        .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
-        .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
-          col("ta.n").as("na"), col("tb.n").as("nb"))
-      val ea = pairs.join(cen.as("e"), col("e.source") === col("src_a"))
-        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
-          col("e.v").as("v"), col("e.c").as("ca"), lit(0L).as("cb"))
-      val eb = pairs.join(cen.as("e"), col("e.source") === col("src_b"))
-        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
-          col("e.v").as("v"), lit(0L).as("ca"), col("e.c").as("cb"))
-      val merged = ea.unionByName(eb)
-        .groupBy(col("src_a"), col("src_b"), col("na"), col("nb"),
-          col("v"))
-        .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
       val win = Window.partitionBy(col("src_a"), col("src_b"))
         .orderBy(col("v"))
-      merged
+      lengthPairGrid(s, d)
         .select(col("src_a"), col("src_b"), col("na"), col("nb"),
           sum(col("ca")).over(win).as("cca"),
           sum(col("cb")).over(win).as("ccb"))
@@ -211,13 +250,97 @@ object CompareQueries {
           " div (CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb)) AS BIGINT)")
           .as("ks_permille"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // 1-D Wasserstein (earth mover's) distance between the same paired
+    // length distributions — W1 = ∫|F_a − F_b| dv, the KS max swapped
+    // for a gap-weighted sum over the same cumulative grid. Reported in
+    // millichars: 1000·Σ|cum_a·n_b − cum_b·n_a|·(v_next − v) / (n_a·n_b).
+    "q280_wasserstein" -> ((s, d) => {
+      val win = Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("v"))
+      lengthPairGrid(s, d)
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("v"),
+          sum(col("ca")).over(win).as("cca"),
+          sum(col("cb")).over(win).as("ccb"),
+          lead(col("v"), 1).over(win).as("vnext"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(expr("CAST((1000 * SUM(ABS(CAST(cca AS DECIMAL(38,0)) * nb" +
+          " - CAST(ccb AS DECIMAL(38,0)) * na)" +
+          " * (COALESCE(vnext, v) - v)))" +
+          " div (CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb)) AS BIGINT)")
+          .as("w1_millichars"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Mann-Whitney probability of superiority P(A > B) + ½P(A = B) in
+    // permille — the rank-based effect size beside q279's KS gate,
+    // computed from the SAME census cumsums without materializing any
+    // cross-pair ranks: 2U_a = Σ_v c_a(v)·(2·cum_b(<v) + c_b(v)), so
+    // ps = 1000·2U_a / (2·n_a·n_b) stays a non-negative exact rational
+    // (ties carried at ×2, no midrank floats; non-negative operands
+    // keep Spark div == DuckDB //).
+    "q281_mannwhitney" -> ((s, d) => {
+      val win = Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("v"))
+      lengthPairGrid(s, d)
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("ca"), col("cb"),
+          sum(col("cb")).over(win).as("ccb"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(expr("CAST((1000 * SUM(CAST(ca AS DECIMAL(38,0))" +
+          " * (2 * (ccb - cb) + cb)))" +
+          " div (2 * CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb))" +
+          " AS BIGINT)").as("ps_permille"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Streaming twin of q276: the corpus-sized token-census pass runs
+    // INSIDE the streaming engine — each micro-batch reduces its own
+    // documents to (source, token, count) partials (O(batch) work,
+    // map-side combined before anything persists) written under its
+    // batch_id with dynamic-partition overwrite, so a replayed batch
+    // rewrites its own partition and the merge can never double-count
+    // (the q210/q253/q273 exactly-once discipline). Token counts are
+    // additive and arrival-order-independent, so the merged census
+    // equals the batch census at ANY file split; the vocabulary-sized
+    // TV tail (shared verbatim with q276) then runs once over the
+    // merged cells. Gated row-for-row to q276 — same oracle.
+    "q282_stream_divergence" -> ((s, d) => {
+      val dir = docsSourceSplitFixture(s, d)
+      val base = graft.Scratch.runDir("graft_streamtv")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("source"), col("text"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.select(col("source"),
+              explode(split(trim(lower(col("text"))), " ")).as("w"))
+            .groupBy(col("source"), col("w"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/cells")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      tvFromCensus(
+        s.read.parquet(s"$base/cells")
+          .groupBy(col("source"), col("w"))
+          .agg(sum(col("c")).as("c")))
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q276_source_divergence" ->
-      """WITH tok AS (
+  /** q276's truth — and q282's: the streaming twin is gated to equal
+    * the batch TV exactly, so they share one oracle string. */
+  private val tvOracle: String =
+    """WITH tok AS (
         |  SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS w
         |  FROM documents),
         |cen AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -243,7 +366,63 @@ object CompareQueries {
         |    AS tv_permille
         |FROM tot ta JOIN tot tb ON ta.source < tb.source
         |LEFT JOIN common c ON c.ca_src = ta.source AND c.cb_src = tb.source
-        |ORDER BY src_a, src_b""".stripMargin,
+        |ORDER BY src_a, src_b""".stripMargin
+
+  /** Shared CTE prefix of the three two-sample oracles — the SQL twin
+    * of [[lengthPairGrid]]. */
+  private val pairGridCte: String =
+    """WITH cen AS (
+      |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |        FROM cen GROUP BY 1),
+      |tagged AS (
+      |  SELECT ta.source AS src_a, tb.source AS src_b,
+      |         ta.n AS na, tb.n AS nb, e.v,
+      |         CASE WHEN e.source = ta.source THEN e.c ELSE 0 END AS ca,
+      |         CASE WHEN e.source = tb.source THEN e.c ELSE 0 END AS cb
+      |  FROM tot ta JOIN tot tb ON ta.source < tb.source
+      |  JOIN cen e ON e.source IN (ta.source, tb.source)),
+      |m AS (
+      |  SELECT src_a, src_b, na, nb, v, SUM(ca) AS ca, SUM(cb) AS cb
+      |  FROM tagged GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q276_source_divergence" -> tvOracle,
+
+    "q282_stream_divergence" -> tvOracle,
+
+    "q280_wasserstein" -> (pairGridCte +
+      """,
+        |cum AS (
+        |  SELECT src_a, src_b, na, nb, v,
+        |    SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+        |    LEAD(v) OVER w AS vnext
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY src_a, src_b ORDER BY v))
+        |SELECT src_a, src_b,
+        |  CAST(CAST(1000 * SUM(ABS(CAST(cca AS DECIMAL(38,0)) * nb
+        |                         - CAST(ccb AS DECIMAL(38,0)) * na)
+        |            * (COALESCE(vnext, v) - v)) AS HUGEINT)
+        |       // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
+        |    AS w1_millichars
+        |FROM cum GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    "q281_mannwhitney" -> (pairGridCte +
+      """,
+        |cum AS (
+        |  SELECT src_a, src_b, na, nb, ca, cb,
+        |    SUM(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS ccb
+        |  FROM m)
+        |SELECT src_a, src_b,
+        |  CAST(CAST(1000 * SUM(CAST(ca AS DECIMAL(38,0))
+        |          * (2 * (ccb - cb) + cb)) AS HUGEINT)
+        |       // (2 * CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
+        |    AS ps_permille
+        |FROM cum GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin),
 
     "q277_sorted_neighborhood" ->
       """WITH a AS (
@@ -313,21 +492,8 @@ object CompareQueries {
         |FROM ratio GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q279_ks_test" ->
-      """WITH cen AS (
-        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
-        |        FROM cen GROUP BY 1),
-        |tagged AS (
-        |  SELECT ta.source AS src_a, tb.source AS src_b,
-        |         ta.n AS na, tb.n AS nb, e.v,
-        |         CASE WHEN e.source = ta.source THEN e.c ELSE 0 END AS ca,
-        |         CASE WHEN e.source = tb.source THEN e.c ELSE 0 END AS cb
-        |  FROM tot ta JOIN tot tb ON ta.source < tb.source
-        |  JOIN cen e ON e.source IN (ta.source, tb.source)),
-        |m AS (
-        |  SELECT src_a, src_b, na, nb, v, SUM(ca) AS ca, SUM(cb) AS cb
-        |  FROM tagged GROUP BY 1, 2, 3, 4, 5),
+      (pairGridCte +
+      """,
         |cum AS (
         |  SELECT src_a, src_b, na, nb,
         |    SUM(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cca,
@@ -340,6 +506,6 @@ object CompareQueries {
         |       // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
         |    AS ks_permille
         |FROM cum GROUP BY src_a, src_b
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin)
   )
 }

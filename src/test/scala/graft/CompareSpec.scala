@@ -153,15 +153,30 @@ class CompareSpec extends AnyFunSuite {
       s"only $inBand/${ratios.size} pairs in band")
   }
 
-  // ---- q279 KS test ---------------------------------------------------------
+  // ---- q279/q280/q281 two-sample statistics --------------------------------
 
-  test("q279 matches an exact BigInt KS recomputation on every pair") {
+  private lazy val lengthsBySrc: Map[String, Seq[Long]] = {
     val rows = Tables.documents(spark, sf)
       .select(col("source"), col("n_chars")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val bySrc = rows.groupBy(_._1).map { case (s, vs) =>
-      s -> vs.map(_._2).sorted
-    }
+    rows.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted.toSeq }
+  }
+
+  private def pairStats(f: (Seq[Long], Seq[Long]) => Long)
+      : Map[(String, String), Long] = {
+    val srcs = lengthsBySrc.keys.toSeq.sorted
+    (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+    } yield ((srcs(i), srcs(j)),
+      f(lengthsBySrc(srcs(i)), lengthsBySrc(srcs(j))))).toMap
+  }
+
+  private def collectPairs(name: String): Map[(String, String), Long] =
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+
+  test("q279 matches an exact BigInt KS recomputation on every pair") {
     def ks(a: Seq[Long], b: Seq[Long]): Long = {
       val na = BigInt(a.size); val nb = BigInt(b.size)
       val grid = (a ++ b).distinct.sorted
@@ -170,14 +185,41 @@ class CompareSpec extends AnyFunSuite {
       }.max
       ((1000 * d) / (na * nb)).toLong
     }
-    val srcs = bySrc.keys.toSeq.sorted
-    val want = (for {
-      i <- srcs.indices; j <- (i + 1) until srcs.size
-    } yield ((srcs(i), srcs(j)), ks(bySrc(srcs(i)), bySrc(srcs(j)))))
-      .toMap
-    val got = SparkEntry.queries("q279_ks_test")(spark, sf)
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .toMap
-    assert(got === want)
+    assert(collectPairs("q279_ks_test") === pairStats(ks))
+  }
+
+  test("q280 matches an exact BigInt Wasserstein recomputation") {
+    def w1(a: Seq[Long], b: Seq[Long]): Long = {
+      val na = BigInt(a.size); val nb = BigInt(b.size)
+      val grid = (a ++ b).distinct.sorted
+      val d = grid.zip(grid.tail).map { case (v, vn) =>
+        (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs *
+          BigInt(vn - v)
+      }.sum
+      ((1000 * d) / (na * nb)).toLong
+    }
+    assert(collectPairs("q280_wasserstein") === pairStats(w1))
+  }
+
+  test("q281 matches an exact all-pairs Mann-Whitney recomputation") {
+    // the census-free definition: 2U = Σ_{x∈a, y∈b} (2·[x>y] + [x=y])
+    def ps(a: Seq[Long], b: Seq[Long]): Long = {
+      val u2 = (for { x <- a; y <- b } yield
+        if (x > y) BigInt(2) else if (x == y) BigInt(1) else BigInt(0)).sum
+      ((1000 * u2) / (2 * BigInt(a.size) * BigInt(b.size))).toLong
+    }
+    assert(collectPairs("q281_mannwhitney") === pairStats(ps))
+  }
+
+  // ---- q282 streaming twin ---------------------------------------------------
+
+  test("q282 streaming census equals the q276 batch TV row-for-row") {
+    val batch = SparkEntry.queries("q276_source_divergence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val stream = SparkEntry.queries("q282_stream_divergence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(stream === batch)
   }
 }
