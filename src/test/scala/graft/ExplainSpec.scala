@@ -373,4 +373,16 @@ class ExplainSpec extends AnyFunSuite {
       spark.conf.unset(plans.CostModel.BroadcastRowsKey)
     }
   }
+
+  test("q284 resolves both ring layouts broadcast-side, no key shuffle " +
+      "join") {
+    // the 1088-interval ring and the wrap rows broadcast; the key scan
+    // must never enter a shuffled join — at 100 TB of keys a sort-merge
+    // here would shuffle the whole corpus twice (once per layout)
+    val p = plan("q284_shard_rebalance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q284 key assignments crossed a shuffled join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast interval joins in:\n$p")
+  }
 }

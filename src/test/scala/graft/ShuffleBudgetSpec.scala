@@ -387,4 +387,57 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q269 shuffled $bytes B for $cells cells — an event-volume-sized " +
         "payload leaked into the census exchanges?")
   }
+
+  test("q276 TV distance shuffles the token census, never documents") {
+    // Everything that crosses an exchange is census-shaped: (source,
+    // token, count) rows through the count aggregate and the common-token
+    // join, plus tiny per-pair partials. Measured 0.16 B of shuffle per
+    // corpus char at sf0.001 (the census is ~unique tokens, lz4'd);
+    // budget 1 B/char ≈ 6x headroom, while document text duplicated into
+    // any exchange adds ≥ 1 B/char on its own and overshoots.
+    import org.apache.spark.sql.functions.sum
+    val chars = Tables.documents(spark, TestSession.sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val bytes = run("q276_source_divergence")
+    info(s"q276 shuffle write: $bytes B for $chars corpus chars")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < chars,
+      s"q276 shuffled $bytes B for a $chars-char corpus — document " +
+        "text leaked past the census aggregate?")
+  }
+
+  test("q277/q283 SNM exchanges stay record-slim, linear in rows x w") {
+    // The rank window and block join shuffle (k, nm, blk, side, r) rows
+    // — ≈ 30 B/record measured for q277, ≈ 97 B/record for q283's two
+    // passes + distinct union at sf0.001. Budgets 150/400 B per record:
+    // candidates are aggregated before any wide exchange, so a
+    // candidate-pair blow-up (the q268 quadratic block-skew mode) or a
+    // payload column riding the pair exchange scales past them.
+    val n = Tables.customer(spark, TestSession.sfDir).count()
+    val b277 = run("q277_sorted_neighborhood")
+    info(s"q277 shuffle write: $b277 B for $n records")
+    assert(b277 > 0 && b277 < 150L * n,
+      s"q277 shuffled $b277 B for $n records")
+    val b283 = run("q283_multipass_linkage")
+    info(s"q283 shuffle write: $b283 B for $n records")
+    assert(b283 > 0 && b283 < 400L * n,
+      s"q283 shuffled $b283 B for $n records")
+  }
+
+  test("q284 rebalance shuffle is ring-sized, independent of key volume") {
+    // Both layouts resolve against the BROADCAST 1088-interval ring in
+    // the key scan's map stage; the only exchanges are the generated
+    // vnode relation's sort/window and two 1-row moved-census
+    // aggregates — a fixed cost (measured ~35 KB) that does not grow
+    // with keys. Budget: fixed 96 KB + 16 B/key slack; a key-key join
+    // materializing per-key assignments into a shuffle scales with the
+    // corpus and overshoots at any real SF.
+    val n = Tables.customer(spark, TestSession.sfDir).count()
+    val bytes = run("q284_shard_rebalance")
+    info(s"q284 shuffle write: $bytes B for $n keys")
+    assert(bytes > 0, "expected at least one shuffle")
+    assert(bytes < 96L * 1024 + 16L * n,
+      s"q284 shuffled $bytes B for $n keys — per-key assignments " +
+        "crossed an exchange?")
+  }
 }
