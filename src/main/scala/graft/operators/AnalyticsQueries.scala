@@ -111,6 +111,55 @@ object AnalyticsQueries {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // Revenue attribution — the marketing-analytics classic beside
+    // q125's funnel: each purchase credits the user's FIRST and LAST
+    // click inside a 24-hour lookback (tie-broken by event_id via
+    // struct min/max — one deterministic total order, no per-purchase
+    // window), bucketed by the touch click's hour-of-day; purchases
+    // with no qualifying click land in the 'none' row. Money stays
+    // DECIMAL(38,6) through every sum (the q168 discipline) and only
+    // the final per-bucket totals surface as doubles — exact-decimal →
+    // nearest-double is engine-independent. Scale shape: ONE equi-join
+    // on user_id (clicks within the lookback bound per-purchase fanout
+    // by the user's 24 h activity; AQE skew-split handles hot users),
+    // ONE per-purchase aggregate, and the first/last/none fan-out is a
+    // per-row array explode — no recomputation, no second corpus pass.
+    "q285_attribution" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val e = T.events(s, d)
+      val p = e.where(col("event_type") === "purchase").select(
+        col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), col("value").cast(dec).as("v"))
+      val c = e.where(col("event_type") === "click").select(
+        col("event_id").as("cid"), col("user_id").as("cuid"),
+        col("ts").as("cts"))
+      val agg = p.join(c,
+          col("user_id") === col("cuid") &&
+            col("cts") < col("pts") &&
+            col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"),
+          "left")
+        .groupBy(col("pid"))
+        .agg(max(col("v")).as("v"),
+          min(when(col("cid").isNotNull,
+            struct(col("cts"), col("cid")))).as("f"),
+          max(when(col("cid").isNotNull,
+            struct(col("cts"), col("cid")))).as("l"))
+      agg.select(col("v"), explode(when(col("f").isNotNull,
+          array(
+            struct(lit("first").as("model"),
+              hour(col("f.cts")).cast("long").as("touch_hour")),
+            struct(lit("last").as("model"),
+              hour(col("l.cts")).cast("long").as("touch_hour"))))
+          .otherwise(array(
+            struct(lit("none").as("model"),
+              lit(-1L).as("touch_hour"))))).as("m"))
+        .groupBy(col("m.model").as("model"),
+          col("m.touch_hour").as("touch_hour"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v")).cast("double").as("revenue"))
+        .orderBy(col("model"), col("touch_hour"))
+    }),
+
     "q125_funnel" -> ((s, d) => {
       val e = ev(s, d)
       val s1 = e.where(col("event_type") === "view")
@@ -810,6 +859,40 @@ object AnalyticsQueries {
         |  CAST((1000 * c.n) // tt.tot AS BIGINT) AS permille
         |FROM c JOIN tt ON tt.src = c.src
         |ORDER BY c.src, c.dst""".stripMargin,
+
+    "q285_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts,
+        |         CAST(value AS DECIMAL(38,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS cid, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.pid, p.v, c.cts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.pid
+        |      ORDER BY c.cts, c.cid) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY p.pid
+        |      ORDER BY c.cts DESC, c.cid DESC) AS rl
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 24 HOURS),
+        |un AS (
+        |  SELECT p.pid, p.v FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c
+        |    WHERE c.user_id = p.user_id
+        |      AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 24 HOURS)),
+        |allm AS (
+        |  SELECT 'first' AS model,
+        |    CAST(date_part('hour', cts) AS BIGINT) AS touch_hour, v
+        |  FROM j WHERE rf = 1
+        |  UNION ALL
+        |  SELECT 'last', CAST(date_part('hour', cts) AS BIGINT), v
+        |  FROM j WHERE rl = 1
+        |  UNION ALL
+        |  SELECT 'none', -1, v FROM un)
+        |SELECT model, touch_hour, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(v) AS DOUBLE) AS revenue
+        |FROM allm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q125_funnel" ->
       """WITH e AS (

@@ -326,4 +326,51 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q285 attribution matches an independent lookback recomputation") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val dayUs = 24L * 3600000000L
+    // BigDecimal.decimal == valueOf(double) (shortest repr) — the same
+    // route Spark's double→DecimalType cast takes
+    def money(d: Double): BigDecimal =
+      BigDecimal.decimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    case class Touch(model: String, hour: Long, v: BigDecimal)
+    val touches = ev.filter(_._4 == "purchase").flatMap {
+      case (_, uid, pts, _, value) =>
+        val v = money(value)
+        val cs = clicksByUser.getOrElse(uid, Array.empty)
+          .filter(c => c._3 < pts && c._3 >= pts - dayUs)
+        if (cs.isEmpty) Seq(Touch("none", -1L, v))
+        else {
+          val f = cs.minBy(c => (c._3, c._1))
+          val l = cs.maxBy(c => (c._3, c._1))
+          Seq(Touch("first", (f._3 / 3600000000L) % 24, v),
+            Touch("last", (l._3 / 3600000000L) % 24, v))
+        }
+    }
+    val want = touches.groupBy(t => (t.model, t.hour)).map {
+      case (k, ts) => k -> ((ts.length.toLong,
+        ts.map(_.v).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q285_attribution")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    // every purchase is credited exactly once per applicable model
+    val nP = ev.count(_._4 == "purchase").toLong
+    val byModel = touches.groupBy(_.model).map { case (m, ts) =>
+      m -> ts.length.toLong
+    }
+    assert(byModel.getOrElse("first", 0L) ===
+      byModel.getOrElse("last", 0L))
+    assert(byModel.getOrElse("first", 0L) +
+      byModel.getOrElse("none", 0L) === nP)
+  }
 }
