@@ -127,6 +127,54 @@ object GraphQueries {
           expr("CASE WHEN n_wedges > 0 " +
             "THEN (3000 * n_triangles) div n_wedges ELSE 0 END")
             .as("clustering_permille"))
+    }),
+
+    // Label propagation (Raghavan et al. 2007) — the community-detection
+    // primitive beside q251/q252, on a PLANTED partition so the result
+    // has ground truth: near-clique 10-key groups (k — k−δ, δ ≤ 3,
+    // same-decade) with rare weak ties (k — k−7 at k % 97 = 0). Three
+    // SYNCHRONOUS rounds, each the canonical distributed shape: labels
+    // ⋈ edges on the neighbor key (shuffle keyed by b, |E| label rows,
+    // map-side partial on (node, label)), then per-node majority with
+    // the deterministic (count desc, label asc) tie-break as ONE struct
+    // min — no per-node window. The three rounds unroll into one plan
+    // like q251's power iterations; per-round shuffle is |E| rows of
+    // (i64, i64, i64) regardless of corpus payload. Output is the
+    // community-size histogram: the planted signal is the n/10 groups
+    // of size 10 (137 at sf0.01), the boundary partials are the
+    // classic LPA non-convergence tail at 3 < diameter rounds.
+    "q286_label_propagation" -> ((s, d) => {
+      val n = T.customer(s, d).select(col("c_custkey").as("k"))
+      val near = n.select(col("k"),
+          explode(expr("array(1L, 2L, 3L)")).as("dd"))
+        .select(col("k").as("a"), (col("k") - col("dd")).as("b"))
+        .where(expr("b div 10 = a div 10"))
+      val weak = n.select(col("k").as("a"), (col("k") - 7).as("b"))
+        .where(col("a") % 97 === 0)
+      val eo = near.unionByName(weak)
+        .join(n.select(col("k").as("b")), Seq("b"), "left_semi")
+      // materialize the edge list and each round's labels (the q65
+      // discipline): the rounds are iterative, so without truncation
+      // the edge construction re-executes per round and the lineage
+      // deepens — on a cluster this would be `checkpoint`
+      val e = eo.select(col("a"), col("b"))
+        .unionByName(eo.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .localCheckpoint()
+      def step(l: DataFrame): DataFrame = {
+        val best = e.join(l.withColumnRenamed("k", "b"), "b")
+          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("a"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("a").as("k"), col("m.lbl").as("nl"))
+        n.join(best, Seq("k"), "left")
+          .select(col("k"), coalesce(col("nl"), col("k")).as("lbl"))
+          .localCheckpoint()
+      }
+      val l3 = step(step(step(n.select(col("k"), col("k").as("lbl")))))
+      l3.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("size"))
     })
   )
 
@@ -140,7 +188,41 @@ object GraphQueries {
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** One synchronous LPA round as SQL: majority label over neighbors
+    * with (count desc, label asc) tie-break; isolated nodes keep
+    * theirs. */
+  private def lpaRound(prev: String, out: String): String =
+    s"""r_$out AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT e.a AS v, l.lbl, COUNT(*) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.a
+       |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+       |    FROM e JOIN $prev l ON l.k = e.b GROUP BY e.a, l.lbl)
+       |  WHERE rn = 1),
+       |$out AS (SELECT n.k, COALESCE(r.lbl, n.k) AS lbl
+       |         FROM n LEFT JOIN r_$out r ON r.v = n.k)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q286_label_propagation" -> (
+      s"""WITH n AS (SELECT c_custkey AS k FROM customer),
+        |eo AS (
+        |  SELECT k AS a, k - d.d AS b
+        |  FROM n, (SELECT UNNEST([1, 2, 3]) AS d) d
+        |  WHERE (k - d.d) // 10 = k // 10
+        |    AND k - d.d IN (SELECT k FROM n)
+        |  UNION ALL
+        |  SELECT k, k - 7 FROM n
+        |  WHERE k % 97 = 0 AND k - 7 IN (SELECT k FROM n)),
+        |e AS (SELECT a, b FROM eo UNION SELECT b, a FROM eo),
+        |l0 AS (SELECT k, k AS lbl FROM n),
+        |${lpaRound("l0", "l1")},
+        |${lpaRound("l1", "l2")},
+        |${lpaRound("l2", "l3")},
+        |cs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size
+        |       FROM l3 GROUP BY 1)
+        |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q251_pagerank" -> (
       s"""WITH $edgeCte,

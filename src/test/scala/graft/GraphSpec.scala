@@ -91,4 +91,43 @@ class GraphSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"),
       "contribution sums must partial-aggregate")
   }
+
+  test("q286 label propagation matches an independent synchronous " +
+      "recomputation and finds the planted 10-key groups") {
+    val keys = Tables.customer(spark, TestSession.sfDir)
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val eo = (for {
+      k <- keys.toSeq; d <- Seq(1L, 2L, 3L)
+      if (k - d) / 10 == k / 10 && keys(k - d)
+    } yield (k, k - d)) ++
+      keys.toSeq.filter(k => k % 97 == 0 && keys(k - 7)).map(k => (k, k - 7))
+    val adj = (eo ++ eo.map(_.swap)).distinct
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    def step(l: Map[Long, Long]): Map[Long, Long] =
+      keys.iterator.map { k =>
+        adj.get(k) match {
+          case None => k -> l(k)
+          case Some(ns) =>
+            val counts = ns.map(l).groupBy(identity)
+              .map { case (lb, xs) => (lb, xs.size) }
+            k -> counts.toSeq.minBy { case (lb, c) => (-c, lb) }._1
+        }
+      }.toMap
+    val l0 = keys.iterator.map(k => k -> k).toMap
+    val l3 = step(step(step(l0)))
+    val want = l3.values.groupBy(identity).map(_._2.size)
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz.toLong, cs.size.toLong) }
+    val got = SparkEntry.queries("q286_label_propagation")(
+        spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    // the planted 10-key near-cliques dominate: most nodes converge to
+    // size-10 communities within three rounds
+    val n = keys.size.toLong
+    val inTens = got.getOrElse(10L, 0L) * 10
+    assert(inTens * 10 >= n * 8,
+      s"only $inTens of $n nodes in size-10 communities")
+  }
 }
