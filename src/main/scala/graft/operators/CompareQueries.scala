@@ -226,10 +226,14 @@ object CompareQueries {
       val nt = linkageUnion(s, d).where(col("side") === 1)
         .agg(count(lit(1)).as("n_truth"))
       val ws = Seq(1L, 2L, 4L, 8L, 16L).toDF("w")
-      byDr.join(broadcast(ws), col("dr") <= col("w"))
+      // ws on the LEFT of an outer join: a window with zero candidates
+      // must still emit its (w, 0, 0, n_truth) row like the oracle's
+      // cand x ws cross join does
+      broadcast(ws).join(byDr, col("dr") <= col("w"), "left")
         .crossJoin(broadcast(nt))
         .groupBy(col("w"), col("n_truth"))
-        .agg(sum(col("nc")).as("n_cand"), sum(col("ntr")).as("n_true"))
+        .agg(coalesce(sum(col("nc")), lit(0L)).as("n_cand"),
+          coalesce(sum(col("ntr")), lit(0L)).as("n_true"))
         .select(col("w"), col("n_cand"), col("n_true"),
           (col("n_truth") - col("n_true")).as("n_missed"))
         .orderBy(col("w"))
@@ -383,8 +387,12 @@ object CompareQueries {
             lead(col("pos"), 1).over(
               Window.orderBy(col("pos"), col("shard"))),
             lit(Long.MaxValue)).as("hi"))
+      // predecessor-interval semantics: the vnode at pos owns [pos,
+      // next_pos), so the wrap region below the global minimum belongs
+      // to the HIGHEST-position vnode (the ring's last interval wraps
+      // through zero)
       def wrap(ring: DataFrame): DataFrame =
-        ring.orderBy(col("pos"), col("shard")).limit(1)
+        ring.orderBy(col("pos").desc, col("shard").desc).limit(1)
           .select(col("shard").as("wrap_shard"))
       val r16 = vn.where(col("shard") < 16)
       val a = keys
@@ -398,18 +406,21 @@ object CompareQueries {
         .select(col("h"),
           coalesce(col("i16.shard"), col("wrap_shard")).as("s16"),
           coalesce(col("i17.shard"), col("wrap17")).as("s17"))
-      val modRow = a.agg(count(lit(1)).as("n_keys"),
+      // ONE aggregate carries both layouts' moved counters — the key
+      // scan and its interval resolution run once, then a 2-row unpivot
+      a.agg(count(lit(1)).as("n_keys"),
           sum(when(col("h") % 16 =!= col("h") % 17, 1L).otherwise(0L))
-            .as("n_moved"))
-        .select(lit("mod").as("strategy"), col("n_keys"), col("n_moved"))
-      val ringRow = a.agg(count(lit(1)).as("n_keys"),
+            .as("mod_moved"),
           sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L))
-            .as("n_moved"))
-        .select(lit("ring").as("strategy"), col("n_keys"),
-          col("n_moved"))
-      modRow.unionByName(ringRow)
-        .select(col("strategy"), col("n_keys"), col("n_moved"),
-          expr("(1000 * n_moved) div n_keys").as("moved_permille"))
+            .as("ring_moved"))
+        .select(explode(array(
+          struct(lit("mod").as("strategy"), col("n_keys"),
+            col("mod_moved").as("n_moved")),
+          struct(lit("ring").as("strategy"), col("n_keys"),
+            col("ring_moved").as("n_moved")))).as("r"))
+        .select(col("r.strategy").as("strategy"),
+          col("r.n_keys").as("n_keys"), col("r.n_moved").as("n_moved"),
+          expr("(1000 * r.n_moved) div r.n_keys").as("moved_permille"))
         .orderBy(col("strategy"))
     }),
 
@@ -643,9 +654,9 @@ object CompareQueries {
         |             9223372036854775807) AS hi
         |  FROM vn),
         |w16 AS (SELECT shard AS wrap16 FROM ring16
-        |        ORDER BY pos, shard LIMIT 1),
+        |        ORDER BY pos DESC, shard DESC LIMIT 1),
         |w17 AS (SELECT shard AS wrap17 FROM vn
-        |        ORDER BY pos, shard LIMIT 1),
+        |        ORDER BY pos DESC, shard DESC LIMIT 1),
         |a AS (
         |  SELECT k.h,
         |    COALESCE(i16.shard, w16.wrap16) AS s16,

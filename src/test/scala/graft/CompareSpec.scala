@@ -172,13 +172,14 @@ class CompareSpec extends AnyFunSuite {
       ((x * x) % 1000003L) * 48271L % 2147483647L
     }
     // interval semantics — key lands on the vnode whose interval
-    // [pos, next) contains h, i.e. the greatest pos <= h, wrap to the
-    // FIRST vnode if h precedes every pos
+    // [pos, next) contains h, i.e. the greatest pos <= h; the wrap
+    // region below every pos belongs to the HIGHEST-position vnode
+    // (its interval wraps through zero)
     def assignIv(nShards: Int, h: Long): Long = {
       val ring = (for {
         s <- 0L until nShards.toLong; v <- 0L until 64L
       } yield (vnPos(s, v), s)).sorted
-      ring.reverse.find(_._1 <= h).getOrElse(ring.head)._2
+      ring.reverse.find(_._1 <= h).getOrElse(ring.last)._2
     }
     val n = ks.length.toLong
     val movedMod = ks.count(k => keyH(k) % 16 != keyH(k) % 17).toLong
