@@ -240,6 +240,48 @@ object AnomalyQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Token-bucket rate-limiter audit — the engine-side twin of the
+    // reference's admission gates (`controller/controller.js:280-301`
+    // connection/memory caps; the S10 sink is connection-capacity-
+    // bounded): replay every (user, event_type) stream through a
+    // bucket of burst 3 tokens refilled 1 token/32 h (milli-token
+    // integer arithmetic, refill floored per step) and report how much
+    // traffic a production throttle WOULD have dropped. One shuffle
+    // keyed by (user, type); the fold runs inside a per-stream array
+    // bounded by that user's activity (the q73 session bound); refill
+    // products (Δt_µs · 1000) stay ≤ ~3e17 at decade spans — int64.
+    "q287_rate_limit_audit" -> ((s, d) => {
+      val refill = "least(3000L, a.tok + ((v - a.lt) * 1000L) " +
+        "div 115200000000L)"
+      T.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sort_array(collect_list(struct(col("t"), col("event_id"))))
+          .as("ser"))
+        .select(col("event_type"), size(col("ser")).cast("long")
+            .as("n_events"),
+          expr(s"""aggregate(transform(ser, x -> x.t),
+            named_struct('tok', CAST(0 AS BIGINT),
+                         'dr', CAST(0 AS BIGINT),
+                         'lt', CAST(-1 AS BIGINT)),
+            (a, v) -> CASE WHEN a.lt < 0
+              THEN named_struct('tok', 2000L, 'dr', 0L, 'lt', v)
+              ELSE named_struct(
+                'tok', CASE WHEN $refill >= 1000L
+                            THEN $refill - 1000L ELSE $refill END,
+                'dr', a.dr + CASE WHEN $refill >= 1000L
+                                  THEN 0L ELSE 1L END,
+                'lt', v) END)""").as("st"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_streams"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("st.dr")).as("n_dropped"))
+        .select(col("event_type"), col("n_streams"), col("n_events"),
+          col("n_dropped"),
+          expr("(1000 * n_dropped) div n_events").as("drop_permille"))
+        .orderBy(col("event_type"))
+    }),
+
     "q271_cusum_changepoint" -> ((s, d) => {
       val census = hourlyCensus(s, d)
       val tot = census.groupBy(col("event_type"))
@@ -309,6 +351,40 @@ object AnomalyQueries {
     "q269_ewma_anomaly" -> ewmaOracle,
 
     "q273_stream_ewma" -> ewmaOracle,
+
+    "q287_rate_limit_audit" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, rn, t,
+        |    CAST(2000 AS BIGINT) AS tok, CAST(0 AS BIGINT) AS dropped
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn, e.t,
+        |    CASE WHEN LEAST(3000, r.tok
+        |             + ((e.t - r.t) * 1000) // 115200000000) >= 1000
+        |         THEN LEAST(3000, r.tok
+        |             + ((e.t - r.t) * 1000) // 115200000000) - 1000
+        |         ELSE LEAST(3000, r.tok
+        |             + ((e.t - r.t) * 1000) // 115200000000) END,
+        |    r.dropped + CASE WHEN LEAST(3000, r.tok
+        |             + ((e.t - r.t) * 1000) // 115200000000) >= 1000
+        |         THEN 0 ELSE 1 END
+        |  FROM r JOIN ev e ON e.user_id = r.user_id
+        |   AND e.event_type = r.event_type AND e.rn = r.rn + 1),
+        |fin AS (
+        |  SELECT user_id, event_type, MAX(rn) AS n_events,
+        |    MAX_BY(dropped, rn) AS dropped
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_streams,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        |  CAST((1000 * SUM(dropped)) // SUM(n_events) AS BIGINT)
+        |    AS drop_permille
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q274_seasonal_outliers" ->
       s"""WITH $censusSql,

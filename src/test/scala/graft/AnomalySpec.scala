@@ -219,4 +219,43 @@ class AnomalySpec extends AnyFunSuite {
         s"planted |S| $maxS does not dominate $t's noise $s")
     }
   }
+
+  // ---- q287 token bucket -------------------------------------------------
+
+  test("q287 matches an independent token-bucket replay per stream") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val streams = ev.groupBy(e => (e._1, e._2))
+    def replay(ts: Seq[Long]): Long = {
+      var tok = 2000L; var dropped = 0L; var lt = ts.head
+      ts.tail.foreach { t =>
+        val refill = math.min(3000L, tok + (t - lt) * 1000L / 115200000000L)
+        if (refill >= 1000L) tok = refill - 1000L
+        else { tok = refill; dropped += 1 }
+        lt = t
+      }
+      dropped
+    }
+    val want = streams.toSeq.map { case ((_, ty), es) =>
+      val ts = es.sortBy(e => (e._3, e._4)).map(_._3).toSeq
+      (ty, ts.size.toLong, replay(ts))
+    }.groupBy(_._1).map { case (ty, xs) =>
+      val ne = xs.map(_._2).sum; val nd = xs.map(_._3).sum
+      ty -> ((xs.size.toLong, ne, nd, 1000 * nd / ne))
+    }
+    val got = SparkEntry.queries("q287_rate_limit_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // the audit must be non-trivial in both directions: some traffic
+    // drops, most traffic passes
+    val totDropped = want.values.map(_._3).sum
+    val totEvents = want.values.map(_._2).sum
+    assert(totDropped > 0, "no stream ever exceeded the bucket")
+    assert(totDropped * 2 < totEvents, "bucket dropped most traffic")
+  }
 }
