@@ -424,6 +424,49 @@ object CompareQueries {
         .orderBy(col("strategy"))
     }),
 
+    // Exact stratified sample allocation — Hamilton's largest-remainder
+    // apportionment of a 10% document budget across sources: base
+    // quota floor(B·n_i/N), then the B − Σfloor leftover units go to
+    // the largest scaled remainders (ties to the lexicographically
+    // first source). The property a float allocation cannot give: the
+    // quotas SUM TO B EXACTLY and each is within 1 of its real share —
+    // what a sampling pipeline needs before it hands per-source row
+    // budgets to q158's samplers. One census pass; the apportionment
+    // algebra runs on the |sources|-row aggregate with the leftover as
+    // a 1-row broadcast and the remainder rank as a broadcast
+    // self-join (≤ |sources|² comparisons — no global window). B·n
+    // routes through DECIMAL(38,0) (≤ N²/10 overflows int64 past ~1e9
+    // docs).
+    "q288_sample_quota" -> ((s, d) => {
+      val cen = T.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cen.agg(sum(col("n")).as("nn"),
+        expr("sum(n) div 10").as("b"))
+      val base = cen.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("b"), col("nn"),
+          expr("CAST((CAST(b AS DECIMAL(38,0)) * n) div nn AS BIGINT)")
+            .as("q0"),
+          expr("CAST(CAST(b AS DECIMAL(38,0)) * n" +
+            " - ((CAST(b AS DECIMAL(38,0)) * n) div nn)" +
+            " * CAST(nn AS DECIMAL(38,0)) AS BIGINT)").as("rem"))
+      val left = base.agg((max(col("b")) - sum(col("q0")))
+        .as("left_over"))
+      val rank = base.as("x")
+        .join(broadcast(base.as("y")),
+          col("y.rem") > col("x.rem") ||
+            (col("y.rem") === col("x.rem") &&
+              col("y.source") < col("x.source")),
+          "left")
+        .groupBy(col("x.source").as("source"), col("x.n").as("n_docs"),
+          col("x.q0").as("q0"))
+        .agg(count(col("y.source")).as("nahead"))
+      rank.crossJoin(broadcast(left))
+        .select(col("source"), col("n_docs"),
+          (col("q0") + when(col("nahead") < col("left_over"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy(col("source"))
+    }),
+
     // Streaming twin of q276: the corpus-sized token-census pass runs
     // INSIDE the streaming engine — each micro-batch reduces its own
     // documents to (source, token, count) partials (O(batch) work,
@@ -585,6 +628,29 @@ object CompareQueries {
         |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+
+    "q288_sample_quota" ->
+      """WITH cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(SUM(n) // 10 AS BIGINT) AS b FROM cen),
+        |base AS (
+        |  SELECT source, n, tot.b, tot.nn,
+        |    CAST(CAST(tot.b AS HUGEINT) * n // tot.nn AS BIGINT) AS q0,
+        |    CAST(CAST(tot.b AS HUGEINT) * n
+        |      - (CAST(tot.b AS HUGEINT) * n // tot.nn) * tot.nn
+        |      AS BIGINT) AS rem
+        |  FROM cen, tot),
+        |lft AS (SELECT MAX(b) - CAST(SUM(q0) AS BIGINT) AS left_over
+        |        FROM base),
+        |rk AS (
+        |  SELECT source, n, q0, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r
+        |  FROM base)
+        |SELECT rk.source, rk.n AS n_docs,
+        |  rk.q0 + CASE WHEN rk.r <= lft.left_over THEN 1 ELSE 0 END
+        |    AS quota
+        |FROM rk, lft ORDER BY rk.source""".stripMargin,
 
     "q283_multipass_linkage" ->
       """WITH a AS (

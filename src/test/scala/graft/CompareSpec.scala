@@ -301,6 +301,38 @@ class CompareSpec extends AnyFunSuite {
     assert(collectPairs("q281_mannwhitney") === pairStats(ps))
   }
 
+  // ---- q288 Hamilton quota ----------------------------------------------------
+
+  test("q288 matches an exact largest-remainder recomputation and " +
+      "holds the Hamilton properties") {
+    val n = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = n.values.sum
+    val b = total / 10
+    val base = n.map { case (s, ni) =>
+      val prod = BigInt(b) * ni
+      s -> ((prod / total).toLong, (prod % total).toLong)
+    }
+    val left = b - base.values.map(_._1).sum
+    val bonus = base.toSeq.sortBy { case (s, (_, rem)) => (-rem, s) }
+      .take(left.toInt).map(_._1).toSet
+    val want = n.keys.map { s =>
+      (s, n(s), base(s)._1 + (if (bonus(s)) 1L else 0L))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q288_sample_quota")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+    // Hamilton's guarantees: quotas sum to B exactly, and every quota
+    // is within one unit of its real (fractional) share
+    assert(got.map(_._3).sum === b)
+    got.foreach { case (s, ni, q) =>
+      val share = BigInt(b) * ni / total
+      assert((q - share.toLong).abs <= 1L, s"$s quota $q vs share $share")
+    }
+  }
+
   // ---- q282 streaming twin ---------------------------------------------------
 
   test("q282 streaming census equals the q276 batch TV row-for-row") {
