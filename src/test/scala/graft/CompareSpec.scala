@@ -333,6 +333,44 @@ class CompareSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q289 KMV sketch ----------------------------------------------------------
+
+  test("q289 matches an exact KMV recomputation and stays in the 1/sqrt(k) " +
+      "error band") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // fold over CODEPOINTS — Spark's substr/ascii and DuckDB's are
+    // codepoint-based, so UTF-16 code units would diverge on
+    // supplementary characters
+    def polyHash(t: String): Long =
+      t.codePoints().toArray
+        .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      val shingles = ds.flatMap { case (_, txt) =>
+        val w = txt.trim.toLowerCase.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet
+      val hs = shingles.map(polyHash)
+      val est =
+        if (hs.size < 64) hs.size.toLong
+        else 63L * 2147483647L / hs.toSeq.sorted.apply(63)
+      (s, (shingles.size.toLong, est,
+        1000L * math.abs(shingles.size - est) / shingles.size))
+    }
+    val got = SparkEntry.queries("q289_kmv_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === bySrc)
+    // estimates must be genuinely useful: every source within 2x, and
+    // the median error inside ~2/sqrt(k)
+    val errs = got.values.map(_._3).toSeq.sorted
+    assert(errs.last < 900, s"worst KMV error ${errs.last} permille")
+    assert(errs(errs.size / 2) < 250,
+      s"median KMV error ${errs(errs.size / 2)} permille")
+  }
+
   // ---- q282 streaming twin ---------------------------------------------------
 
   test("q282 streaming census equals the q276 batch TV row-for-row") {
