@@ -87,7 +87,11 @@ class QueriesSpec extends AnyFunSuite {
     // Filter guard, re-verified structurally below
     "q259_filter_kappa" -> ("size(__toks", ">= 3"),
     "q109_ngram_stats" -> ("size(w", ">= 2"),
-    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"))
+    "q99_fuzzy_pairs" -> ("size(gids", ">= 2"),
+    // q289's sequence(0, size(w) - 3) sits above WHERE size(w) >= 3;
+    // its inner sequence(1, length(t)) folds a shingle that the same
+    // guard makes non-empty (three tokens joined by two spaces)
+    "q289_kmv_distinct" -> ("size(w", ">= 3"))
     // q261's sequence(1, greatest(size(w) - 7, 1)) is ascending by
     // shape; its WHERE size(w) >= 8 guard sits behind a localCheckpoint
     // where no whitelist could be re-verified structurally
