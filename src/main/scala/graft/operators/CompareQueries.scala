@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/sources/collection/collection.js:358-365` — per-
   * collection table create; `worker` fans queries over them), so "how do
   * two collected sources differ, and which records are the same entity"
-  * are first-class questions. Four instruments, all integer/decimal-exact
-  * and DuckDB-gated bit-for-bit:
+  * are first-class questions. All instruments integer/decimal-exact and
+  * DuckDB-gated bit-for-bit:
   *
   *  - q276: pairwise total-variation distance between per-source token
   *    distributions — the mixture-weighting input (how redundant are two
@@ -58,6 +58,14 @@ import org.apache.spark.sql.functions._
   *    ring on a 16 → 17 grow: mod reassigns ~16/17 of all keys, the
   *    ring ~1/17; both layouts resolved in one corpus scan against the
   *    broadcast generated ring.
+  *  - q288: Hamilton largest-remainder sample quotas — per-source
+  *    budgets that sum to B EXACTLY, each within one unit of its
+  *    fractional share; remainder rank via a broadcast self-join over
+  *    the |sources|-row aggregate.
+  *  - q289: KMV distinct sketch priced against the exact shingle
+  *    cardinality — mergeable 64-entry bounded-heap state vs a
+  *    universe-sized COUNT(DISTINCT) shuffle; codepoint-fold hash
+  *    identical in both engines.
   *
   * Scale shape: every corpus-sized pass is ONE map-side-combined census
   * (per-source token counts, per-source length counts, a per-row
@@ -75,6 +83,15 @@ import org.apache.spark.sql.functions._
   * the corpus-side cost at 100 TB is the map stage.
   */
 object CompareQueries {
+
+  /** Ordered source pairs (src_a < src_b) with both totals, from a
+    * per-source totals frame (source, n) — the broadcast pair skeleton
+    * shared by the TV tail and the length-distribution grid. */
+  private def sourcePairs(tot: DataFrame): DataFrame =
+    broadcast(tot.as("ta"))
+      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+        col("ta.n").as("na"), col("tb.n").as("nb"))
 
   /** Per-source whitespace-token census — the q136/q64 tokenization
     * (split(trim(lower(text)), " ")), map-side combined. */
@@ -108,11 +125,7 @@ object CompareQueries {
         sum(abs(col("a.c").cast("decimal(38,0)") * col("tb.n")
           - col("b.c").cast("decimal(38,0)") * col("ta.n"))).as("num_c"),
         sum(col("a.c")).as("ca"), sum(col("b.c")).as("cb"))
-    val pairs = broadcast(tot.as("ta"))
-      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
-      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
-        col("ta.n").as("na"), col("tb.n").as("nb"))
-    pairs.join(common, Seq("src_a", "src_b"), "left")
+    sourcePairs(tot).join(common, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         expr("CAST((1000 * (COALESCE(num_c, CAST(0 AS DECIMAL(38,0)))" +
           " + CAST(na - COALESCE(ca, 0) AS DECIMAL(38,0)) * nb" +
@@ -134,10 +147,7 @@ object CompareQueries {
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
     val tot = cen.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val pairs = broadcast(tot.as("ta"))
-      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
-      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
-        col("ta.n").as("na"), col("tb.n").as("nb"))
+    val pairs = sourcePairs(tot)
     val ea = pairs.join(cen.as("e"), col("e.source") === col("src_a"))
       .select(col("src_a"), col("src_b"), col("na"), col("nb"),
         col("e.v").as("v"), col("e.c").as("ca"), lit(0L).as("cb"))

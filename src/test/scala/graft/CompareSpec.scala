@@ -65,13 +65,17 @@ class CompareSpec extends AnyFunSuite {
       s"planted min $plantedMin must exceed natural max $naturalMax")
   }
 
-  // ---- q277 sorted neighborhood -------------------------------------------
+  // ---- q277/q283 sorted neighborhood ----------------------------------------
 
-  test("q277 matches an independent SNM recomputation, all five windows") {
+  private case class Rec(k: Long, nm: String, blk: String, side: Int)
+
+  /** The q277/q283 linkage files re-derived independently: A = customer
+    * verbatim, B with 1/3 absent, 1/11 suffix typo, 1/7 trailing-digit
+    * transposition — ONE recompute shared by both tests. */
+  private lazy val linkageAB: (Array[Rec], Array[Rec]) = {
     val cust = Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_name")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    case class Rec(k: Long, nm: String, blk: String, side: Int)
     val a = cust.map { case (k, nm) => Rec(k, nm, nm.substring(9, 16), 0) }
     val b = cust.filter(_._1 % 3 != 0).map { case (k, nm0) =>
       val nm =
@@ -81,6 +85,11 @@ class CompareSpec extends AnyFunSuite {
         else nm0
       Rec(k, nm, nm0.substring(9, 16), 1)
     }
+    (a, b)
+  }
+
+  test("q277 matches an independent SNM recomputation, all five windows") {
+    val (a, b) = linkageAB
     val ranked = (a ++ b).groupBy(_.blk).toSeq.flatMap { case (_, rs) =>
       rs.sortBy(r => (r.nm, r.side, r.k)).zipWithIndex
         .map { case (r, i) => (r, i + 1) }
@@ -111,19 +120,7 @@ class CompareSpec extends AnyFunSuite {
 
   test("q283 matches an independent multi-pass recomputation and the " +
       "union recovers every planted pair") {
-    val cust = Tables.customer(spark, sf)
-      .select(col("c_custkey"), col("c_name")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    case class Rec(k: Long, nm: String, blk: String, side: Int)
-    val a = cust.map { case (k, nm) => Rec(k, nm, nm.substring(9, 16), 0) }
-    val b = cust.filter(_._1 % 3 != 0).map { case (k, nm0) =>
-      val nm =
-        if (k % 11 == 0) nm0 + "X"
-        else if (k % 7 == 0)
-          nm0.substring(0, 16) + nm0.charAt(17) + nm0.charAt(16)
-        else nm0
-      Rec(k, nm, nm0.substring(9, 16), 1)
-    }
+    val (a, b) = linkageAB
     val u = a ++ b
     def canon(nm: String): String = {
       val c17 = nm.substring(16, 17); val c18 = nm.substring(17, 18)
