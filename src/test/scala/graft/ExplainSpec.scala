@@ -374,6 +374,36 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("q276 TV pair layer joins census rows, totals broadcast, no " +
+      "cartesian") {
+    val p = plan("q276_source_divergence")
+    assert(!p.contains("CartesianProduct"),
+      s"vocabulary join went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"per-source totals should broadcast:\n$p")
+  }
+
+  test("q279/q280/q281 share the broadcast pair-grid shape") {
+    for (q <- Seq("q279_ks_test", "q280_wasserstein", "q281_mannwhitney")) {
+      val p = plan(q)
+      // the census joins against the tiny pair frame broadcast-side and
+      // the per-pair window is partitioned — no corpus-keyed sort-merge
+      assert(!p.contains("SortMergeJoin"),
+        s"$q census join sort-merged:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q expected broadcast census joins:\n$p")
+    }
+  }
+
+  test("q285 attribution resolves as one user_id equi-join, no " +
+      "nested loop over events") {
+    val p = plan("q285_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lookback predicate must ride the equi-join, not a NLJ:\n$p")
+  }
+
   test("q284 resolves both ring layouts broadcast-side, no key shuffle " +
       "join") {
     // the 1088-interval ring and the wrap rows broadcast; the key scan
