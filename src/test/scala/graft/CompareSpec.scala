@@ -368,6 +368,41 @@ class CompareSpec extends AnyFunSuite {
       s"median KMV error ${errs(errs.size / 2)} permille")
   }
 
+  // ---- q290 Kendall correlation ------------------------------------------------
+
+  test("q290 matches an exact pair-census recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def score(t: String): Long = {
+      val w = t.trim.toLowerCase.split(" ", -1)
+      1000L * w.distinct.length / w.length
+    }
+    val per = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ((1000L * ds.map(d => score(d._2)).sum / ds.length,
+        ds.map(_._3).sum / ds.length))
+    }
+    val srcs = per.keys.toSeq.sorted
+    val pairs = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+    } yield (per(srcs(i))._1 - per(srcs(j))._1,
+      per(srcs(i))._2 - per(srcs(j))._2)
+    val c = pairs.count(p => p._1 * p._2 > 0).toLong
+    val dd = pairs.count(p => p._1 * p._2 < 0).toLong
+    val n0 = pairs.size.toLong
+    val tau =
+      if (c >= dd) 1000 * (c - dd) / n0 else -(1000 * (dd - c) / n0)
+    val want = (n0, c, dd, pairs.count(_._1 == 0).toLong,
+      pairs.count(_._2 == 0).toLong, tau)
+    val got = SparkEntry.queries("q290_rank_correlation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got === want)
+    // the Heaps'-law confounder must be visible: strongly negative tau
+    assert(tau < -500,
+      s"expected a strong negative quality-vs-length correlation, got $tau")
+  }
+
   // ---- q282 streaming twin ---------------------------------------------------
 
   test("q282 streaming census equals the q276 batch TV row-for-row") {
