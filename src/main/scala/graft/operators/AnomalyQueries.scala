@@ -155,10 +155,10 @@ object AnomalyQueries {
     // census at ANY split; the calendar-sized EWMA fold (shared
     // verbatim with q269) then runs once over the merged cells. Gated
     // row-for-row to q269 — same oracle.
-    "q273_stream_ewma" -> ((s, d) => {
+    "q273_stream_ewma" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val dir = FrontierQueries.eventsSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamewma")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)

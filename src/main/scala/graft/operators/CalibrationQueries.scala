@@ -328,11 +328,11 @@ object CalibrationQueries {
     // double-count). Decimal partial sums are exact and order-free, so
     // the merged centroid means must equal q216's one-shot batch M-step
     // bit for bit — which is exactly what the oracle computes.
-    "q234_stream_kmeans" -> ((s, d) => {
+    "q234_stream_kmeans" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val cents = CorpusQueries.centroidsOf(T.embeddings(s, d))
       val src = embSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamkm")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)

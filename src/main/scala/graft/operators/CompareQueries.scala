@@ -237,8 +237,11 @@ object CompareQueries {
         .agg(count(lit(1)).as("n_truth"))
       val ws = Seq(1L, 2L, 4L, 8L, 16L).toDF("w")
       // ws on the LEFT of an outer join: a window with zero candidates
-      // must still emit its (w, 0, 0, n_truth) row like the oracle's
-      // cand x ws cross join does
+      // must still emit its (w, 0, 0, n_truth) row — the oracle builds
+      // the same unconditional w grid (ws CROSS JOIN nt LEFT JOIN cand),
+      // so the two sides agree even on a degenerate corpus where the
+      // candidate set is EMPTY (a plain cand-x-ws cross join would
+      // return zero rows there)
       broadcast(ws).join(byDr, col("dr") <= col("w"), "left")
         .crossJoin(broadcast(nt))
         .groupBy(col("w"), col("n_truth"))
@@ -573,10 +576,10 @@ object CompareQueries {
     // equals the batch census at ANY file split; the vocabulary-sized
     // TV tail (shared verbatim with q276) then runs once over the
     // merged cells. Gated row-for-row to q276 — same oracle.
-    "q282_stream_divergence" -> ((s, d) => {
+    "q282_stream_divergence" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val dir = docsSourceSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamtv")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -716,13 +719,14 @@ object CompareQueries {
         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM b),
         |ws AS (SELECT CAST(UNNEST([1, 2, 4, 8, 16]) AS BIGINT) AS w)
         |SELECT w,
-        |  CAST(SUM(CASE WHEN dr <= w THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_cand,
-        |  CAST(SUM(CASE WHEN dr <= w AND ka = kb THEN 1 ELSE 0 END)
+        |  CAST(COUNT(cand.dr) AS BIGINT) AS n_cand,
+        |  CAST(SUM(CASE WHEN cand.ka = cand.kb THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_true,
-        |  nt.n_truth - CAST(SUM(CASE WHEN dr <= w AND ka = kb
+        |  nt.n_truth - CAST(SUM(CASE WHEN cand.ka = cand.kb
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
-        |FROM cand, ws, nt GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
+        |FROM ws CROSS JOIN nt
+        |LEFT JOIN cand ON cand.dr <= ws.w
+        |GROUP BY w, nt.n_truth ORDER BY w""".stripMargin,
 
     "q290_rank_correlation" ->
       """WITH m AS (

@@ -244,10 +244,10 @@ object CorpusQueries {
     // oracle (q213's per-doc window SQL) checks. Histograms are the
     // canonical mergeable quantile state: increments sum, order never
     // matters.
-    "q221_stream_quantile" -> ((s, d) => {
+    "q221_stream_quantile" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val src = docsSourceSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamq")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -677,10 +677,10 @@ object CorpusQueries {
     // exactly what the oracle computes. Deltas are the canonical
     // mergeable index state: df increments sum, arrival order never
     // matters.
-    "q229_stream_index" -> ((s, d) => {
+    "q229_stream_index" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val src = docsSourceSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamidx")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)

@@ -68,18 +68,8 @@ object ExtendedQueries {
     * session. A bare conf.set here was a one-way mutation that made
     * every subsequent query's plan depend on registry iteration order. */
   private def withPlannedConf(s: SparkSession, key: String, value: String)(
-      build: => DataFrame): DataFrame = {
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, value)
-    try {
-      val df = build
-      df.queryExecution.executedPlan // force planning under the override
-      df
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+      build: => DataFrame): DataFrame =
+    graft.Confs.withPlannedConf(s, key, value)(build)
 
   /** Bucketed + per-bucket-sorted orders/customer tables (8 buckets on the
     * join/filter key), written once per sf: the layout that replaces the
@@ -325,7 +315,7 @@ object ExtendedQueries {
     // q37-q73 didn't cover: enrichment, not correlation, so no
     // watermarks and no join state to evict.
     "q80_stream_enrich" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -423,7 +413,7 @@ object ExtendedQueries {
     // conf is scoped to this query and restored after.
     "q85_transform_with_state" -> ((s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -436,11 +426,10 @@ object ExtendedQueries {
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update)
         .toDF("user_id", "n_events", "n_purchases")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      graft.Confs.withRunConf(s,
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider") {
         // fewer state partitions than the HDFS-backed queries: each one
         // is a full RocksDB instance (native alloc + changelog), and the
         // keyspace (1 user state per partition-row) never needs 8 of them
@@ -452,11 +441,6 @@ object ExtendedQueries {
           .agg(max(col("n_events")).as("n_events"),
             max(col("n_purchases")).as("n_purchases"))
           .orderBy(col("user_id"))
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
       }
     }),
 
@@ -471,18 +455,10 @@ object ExtendedQueries {
       val ev = T.events(s, d)
         .select(col("event_id"), col("value"), col("event_type"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
-      try {
+      graft.Confs.dynamicOverwrite(s) {
         ev.where(col("event_type") === "purchase")
           .withColumn("value", col("value") * 2)
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
       }
       s.read.parquet(out)
         .groupBy(col("event_type"))
@@ -598,7 +574,7 @@ object ExtendedQueries {
     // and q37's memory sink. Fresh output+checkpoint per invocation so a
     // replay can't double-append.
     "q94_stream_file_sink" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -647,7 +623,7 @@ object ExtendedQueries {
     // → 5× headroom; at these cardinalities HLL++ runs in its sparse,
     // effectively-exact regime, so the boolean is stable).
     "q92_stream_sketch_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")

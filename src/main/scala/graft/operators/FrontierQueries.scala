@@ -251,8 +251,9 @@ object FrontierQueries {
     // so the merge order can't perturb the result. The query returns
     // the final snapshot cross-checked against the landing zone; the
     // oracle is the plain batch aggregate over events.
-    "q105_foreach_batch" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q105_foreach_batch" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
+      graft.Confs.pinNanosAsLong(s)
       val dir = eventsSplitFixture(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
@@ -261,7 +262,6 @@ object FrontierQueries {
         .select(col("event_id"), col("event_type"), col("value"))
       val base = graft.Scratch.runDir("graft_multisink")
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val q = stream.writeStream
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -317,7 +317,7 @@ object FrontierQueries {
     // bounded run ends, which is what makes the batch left join a valid
     // oracle.
     "q106_stream_outer_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val dir = outerFlushFixture(s, d)
       val schema = s.read.parquet(dir).schema
       def src() = s.readStream.schema(schema)

@@ -218,9 +218,9 @@ object IncrementalQueries {
     * the planned mid-run death whose committed prefix the next
     * invocation must resume from. */
   private[graft] def checkpointRecoveryRun(s: SparkSession, dir: String,
-      base: String, failAfter: Option[Int]): Unit = {
+      base: String, failAfter: Option[Int]): Unit =
+    graft.Confs.dynamicOverwrite(s) {
     val schema = s.read.parquet(dir).schema
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -250,7 +250,7 @@ object IncrementalQueries {
     // batch equivalent (arg_max over the same nulled readings).
     "q148_stream_gauge" -> ((s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val dir = FrontierQueries.eventsSplitFixture(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
@@ -266,11 +266,10 @@ object IncrementalQueries {
           org.apache.spark.sql.streaming.OutputMode.Update)
         .toDF("user_id", "n_events", "n_nulled", "best_t", "best_id",
           "last_value")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      graft.Confs.withRunConf(s,
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider") {
         graft.streaming.StreamingCollect.runBounded(s, updates,
             "q148_stream_gauge_sink",
             statePartitions = 2, outputMode = "update")
@@ -287,11 +286,6 @@ object IncrementalQueries {
               expr("CAST(best_t AS DECIMAL(38,0)) * 1099511627776 " +
                 "+ best_id")).as("last_value"))
           .orderBy(col("user_id"))
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
       }
     }),
 
@@ -334,7 +328,8 @@ object IncrementalQueries {
     // the oracle is q30's exhaustive full-corpus pairwise scan — the
     // streaming decomposition must find EXACTLY the batch pipeline's
     // pairs.
-    "q210_stream_neardup" -> ((s, d) => {
+    "q210_stream_neardup" -> ((s, d) =>
+    graft.Confs.dynamicOverwrite(s) {
       // micro-batch count is an operational knob (the reference's
       // BatchSize analog): the pair set is arrival-order-independent by
       // contract, so the result is identical at any split — StreamProbe
@@ -344,7 +339,6 @@ object IncrementalQueries {
         .map(_.toInt).getOrElse(3)
       val src = docsSplitFixture(s, d, nSplits)
       val base = Scratch.runDir("graft_streamdedup")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -479,7 +473,7 @@ object IncrementalQueries {
     // plain batch aggregate; the spec asserts the second run really
     // processed a strict remainder.
     "q170_checkpoint_recovery" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val dir = FrontierQueries.eventsSplitFixture(s, d)
       val base = Scratch.runDir("graft_ckpt_recover")
       checkpointRecoveryRun(s, dir, base, failAfter = Some(2)) // dies mid-run
@@ -504,7 +498,7 @@ object IncrementalQueries {
     // (the dead-letter pattern, same shape as q122's corrupt routing).
     // The mark is one long carried across batches — O(1) driver state.
     "q151_late_routing" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val dir = lateFixture(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
@@ -677,7 +671,7 @@ object IncrementalQueries {
     // lifting (the per-batch aggregate) stays distributed, and the
     // writer count obeys the connection-capacity model via JdbcSink.
     "q130_stream_jdbc_upsert" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val dir = FrontierQueries.eventsSplitFixture(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)

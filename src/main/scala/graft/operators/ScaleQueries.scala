@@ -838,10 +838,10 @@ object ScaleQueries {
     // so the union across batches must equal the exact top-k (the q45
     // oracle) while the full stream → probe → sink path (checkpoint,
     // AvailableNow, foreachBatch idempotence) is exercised.
-    "q202_stream_ann" -> ((s, d) => {
+    "q202_stream_ann" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val fix = streamAnnFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamann")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(s"$fix/qs").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$fix/qs")

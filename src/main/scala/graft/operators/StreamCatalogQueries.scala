@@ -104,7 +104,7 @@ object StreamCatalogQueries {
 
     // Watermarked event-time windowed aggregation over the events stream.
     "q37_stream_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
@@ -134,7 +134,7 @@ object StreamCatalogQueries {
     // when the event-time column is part of the dedup key, so it would grow
     // without bound on a real stream.
     "q50_stream_dedup" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -194,7 +194,7 @@ object StreamCatalogQueries {
     // result is aggregated as a batch and checked against DuckDB's plain
     // range join.
     "q57_stream_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src() = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -235,7 +235,7 @@ object StreamCatalogQueries {
     // final state without assuming single-batch execution.
     "q70_stateful_user_agg" -> ((s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Confs.pinNanosAsLong(s)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")

@@ -215,13 +215,19 @@ object VideoQueries {
     // trigger, history pixels never re-read. State writes are
     // batch_id-partitioned with dynamic overwrite and the index read
     // excludes the current batch (exactly-once under replays, no
-    // self-pairs). A pair completes when its SECOND clip arrives, so the
-    // union across batches must equal q260's one-shot batch result
-    // exactly — same oracle.
-    "q262_stream_video_neardup" -> ((s, d) => {
+    // self-pairs). A pair completes when its SECOND clip arrives, so
+    // while every frame-hash bucket stays under Dedup.DefaultBucketCap
+    // (true for the fixture and asserted at gate scale) the union
+    // across batches equals q260's one-shot batch result exactly — same
+    // oracle. ABOVE the cap the two decompose differently (q260 caps
+    // the whole bucket's star; the stream caps intra-batch and
+    // batch-vs-index separately), so at boilerplate-frame scale the
+    // twins agree on sub-cap buckets only — the same scoping as q210's
+    // banded caps.
+    "q262_stream_video_neardup" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val src = aviSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_streamvideo")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)

@@ -229,10 +229,10 @@ object WebCurationQueries {
     // one-shot batch frontier account bit for bit (the oracle IS q245's).
     // This is the crawl-frontier contract: the frontier state is a
     // mergeable count table, arrival order never matters.
-    "q253_stream_frontier" -> ((s, d) => {
+    "q253_stream_frontier" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
       val src = CorpusQueries.docsSourceSplitFixture(s, d)
       val base = graft.Scratch.runDir("graft_frontier")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)

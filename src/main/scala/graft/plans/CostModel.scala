@@ -42,13 +42,48 @@ object CostModel {
     df.agg(aggs.head, aggs.tail: _*)
       .withColumn("analyzed_name", lit(name))
       .coalesce(1).write.mode("overwrite").parquet(s"$statsDir/$name")
+    statsCache.remove((statsDir, name)) // re-ANALYZE invalidates
   }
+
+  /** Driver-side stats memo: planJoin runs per query-build, and the
+    * stats row is tiny but the parquet open is not free — one read per
+    * (statsDir, name) per JVM. `analyze` invalidates its own key;
+    * stats written by anything else (there is nothing else) would need
+    * a restart, like any metastore cache. Negative results are NOT
+    * cached: the common not-yet-analyzed → analyze → planJoin sequence
+    * must see the fresh stats without an invalidation hook. */
+  private val statsCache =
+    new scala.collection.concurrent.TrieMap[(String, String), StatsRow]()
+
+  private[graft] case class StatsRow(rows: Long, ndv: Map[String, Long])
+
+  /** Full analyzed stats row for `name`, or None if never analyzed.
+    * Resolved through the table read itself (not a java.io probe of
+    * `_SUCCESS`, which silently reports every table unanalyzed on any
+    * non-local filesystem): a missing/empty stats dir surfaces as
+    * AnalysisException → None, every real filesystem Spark can read
+    * works unchanged. */
+  private[graft] def statsOf(s: SparkSession, statsDir: String,
+      name: String): Option[StatsRow] =
+    statsCache.get((statsDir, name)).orElse {
+      val loaded =
+        try {
+          val row = s.read.parquet(s"$statsDir/$name").head()
+          val ndv = row.schema.fieldNames.filter(_.startsWith("ndv_"))
+            .map(f => f.stripPrefix("ndv_") ->
+              row.getLong(row.fieldIndex(f))).toMap
+          Some(StatsRow(row.getLong(row.fieldIndex("rows")), ndv))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: java.util.NoSuchElementException => None // empty dir
+        }
+      loaded.foreach(statsCache.put((statsDir, name), _))
+      loaded
+    }
 
   /** Analyzed row count for `name`, or None if never analyzed. */
   def rowsOf(s: SparkSession, statsDir: String, name: String): Option[Long] =
-    if (!new java.io.File(s"$statsDir/$name/_SUCCESS").exists()) None
-    else Some(s.read.parquet(s"$statsDir/$name")
-      .select(col("rows")).head().getLong(0))
+    statsOf(s, statsDir, name).map(_.rows)
 
   /** Equi-join with the build strategy chosen from the stats store:
     * broadcast the smaller ANALYZED side iff its row count is under the
@@ -71,5 +106,65 @@ object CostModel {
     if (broadcastRight) left.join(broadcast(right), keys, joinType)
     else if (broadcastLeft) broadcast(left).join(right, keys, joinType)
     else left.join(right, keys, joinType)
+  }
+
+  /** Estimated output multiplier of the inner equi-join fact⋈dim —
+    * the System-R containment estimate |R⋈S| = |R|·|S| / max(V(R,k),
+    * V(S,k)) divided by |fact|, i.e. dimRows / max(ndv). Multi-column
+    * keys use the single most selective column (a tuple's NDV is ≥ any
+    * component's, so this is the conservative upper bound on growth).
+    * None when either side lacks the stats to price the join. */
+  private def joinMultiplier(factStats: StatsRow, dimStats: StatsRow,
+      keys: Seq[String]): Option[Double] = {
+    val priced = keys.flatMap { k =>
+      for (fn <- factStats.ndv.get(k); dn <- dimStats.ndv.get(k))
+        yield dimStats.rows.toDouble / math.max(1L, math.max(fn, dn))
+    }
+    if (priced.isEmpty) None else Some(priced.min)
+  }
+
+  /** The second stats-driven decision: JOIN ORDER for a fact + N dims
+    * star. Dims are joined in ascending estimated-multiplier order —
+    * the most output-reducing (selective) joins run first, so every
+    * intermediate is as small as the stats allow. At 100 TB the wrong
+    * order shuffles a grown intermediate through every later join; the
+    * right order pays each join on the smallest frame the plan can
+    * reach. Unpriceable dims (either side unanalyzed) keep their given
+    * relative order and join LAST: an unknown multiplier must not
+    * float above measured ones, and a dim that GROWS the fact (known
+    * multiplier > 1) still beats gambling on an unknown one.
+    * Returns dim names in join order; [[planStarJoin]] applies it. */
+  def starJoinOrder(s: SparkSession, statsDir: String, factName: String,
+      dims: Seq[(String, Seq[String])]): Seq[String] = {
+    val fact = statsOf(s, statsDir, factName)
+    val priced = dims.map { case (name, keys) =>
+      val m = for (f <- fact; d <- statsOf(s, statsDir, name);
+        mult <- joinMultiplier(f, d, keys)) yield mult
+      (name, m)
+    }
+    val (known, unknown) = priced.partition(_._2.isDefined)
+    // sortBy is stable: equal multipliers (and the unknown tail) keep
+    // the caller's order, so the decision is deterministic
+    known.sortBy(_._2.get).map(_._1) ++ unknown.map(_._1)
+  }
+
+  /** Multi-way equi-join with BOTH stats decisions applied: the dims
+    * join in [[starJoinOrder]]'s order, and each step goes through
+    * [[planJoin]]'s broadcast-or-shuffle choice. The accumulated fact
+    * keeps `factName`'s stats identity — the FK-star approximation
+    * (selective dims only shrink the fact, so its analyzed row count
+    * stays a safe upper bound for the broadcast decision). */
+  def planStarJoin(s: SparkSession, statsDir: String,
+      fact: DataFrame, factName: String,
+      dims: Seq[(DataFrame, String, Seq[String])],
+      joinType: String = "inner"): DataFrame = {
+    val byName = dims.map(d => d._2 -> d).toMap
+    require(byName.size == dims.size, "dim names must be unique")
+    val order = starJoinOrder(s, statsDir, factName,
+      dims.map(d => (d._2, d._3)))
+    order.foldLeft(fact) { case (acc, name) =>
+      val (df, _, keys) = byName(name)
+      planJoin(s, statsDir, acc, factName, df, name, keys, joinType)
+    }
   }
 }

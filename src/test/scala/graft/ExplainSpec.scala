@@ -415,4 +415,52 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast interval joins in:\n$p")
   }
+
+  test("CostModel star join ORDER reorders with the registered stats") {
+    import org.apache.spark.sql.functions.col
+    val dir = Scratch.runDir("graft_cbo_order")
+    val fact = Tables.orders(spark, TestSession.sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, TestSession.sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    // a GROWING "dim": 3 rows per key, so its System-R multiplier
+    // (rows / max ndv) prices at ~3 where customer's unique-key join
+    // prices at ~1 — the stats must move customer's join FIRST
+    val grower = cust.crossJoin(
+        spark.range(3).select(col("id").as("g_copy")))
+      .select(col("o_custkey"), col("c_name").as("g_name"), col("g_copy"))
+    val dims = Seq(
+      (grower, "grower", Seq("o_custkey")),
+      (cust, "customer", Seq("o_custkey")))
+    def treeOf = plans.CostModel.planStarJoin(spark, s"$dir/stats",
+        fact, "fact", dims).queryExecution.executedPlan.toString
+    // UNANALYZED: both dims unpriceable -> caller order (grower first).
+    // The first-joined dim sits in the LEFT (deeper) subtree, printed
+    // before the second dim's subtree; grower's subtree leads with its
+    // g_name projection.
+    assert(plans.CostModel.starJoinOrder(spark, s"$dir/stats", "fact",
+      dims.map(d => (d._2, d._3))) == Seq("grower", "customer"))
+    val p0 = treeOf
+    assert(p0.indexOf("g_name") >= 0 && p0.indexOf("c_name") >= 0)
+    assert(p0.indexOf("g_name") < p0.indexOf("c_name"),
+      s"without stats the caller's dim order must hold:\n$p0")
+    // ANALYZED: the multiplier estimate must flip the order
+    plans.CostModel.analyze(spark, s"$dir/stats", "fact", fact,
+      Seq("o_custkey"))
+    plans.CostModel.analyze(spark, s"$dir/stats", "customer", cust,
+      Seq("o_custkey"))
+    plans.CostModel.analyze(spark, s"$dir/stats", "grower", grower,
+      Seq("o_custkey"))
+    assert(plans.CostModel.starJoinOrder(spark, s"$dir/stats", "fact",
+      dims.map(d => (d._2, d._3))) == Seq("customer", "grower"))
+    val p1 = treeOf
+    assert(p1.indexOf("c_name") < p1.indexOf("g_name"),
+      s"with stats the selective dim must join first:\n$p1")
+    // the reordered star still computes the same rows
+    val a = plans.CostModel.planStarJoin(spark, s"$dir/stats", fact,
+      "fact", dims).groupBy().count().head().getLong(0)
+    val b = fact.join(grower, Seq("o_custkey"))
+      .join(cust, Seq("o_custkey")).groupBy().count().head().getLong(0)
+    assert(a == b, s"reorder changed the result: $a vs $b")
+  }
 }
