@@ -577,9 +577,20 @@ object CompareQueries {
     // TV tail (shared verbatim with q276) then runs once over the
     // merged cells. Gated row-for-row to q276 — same oracle.
     "q282_stream_divergence" -> ((s, d) =>
-      graft.Confs.dynamicOverwrite(s) {
+      streamDivergenceRun(s, d, graft.Scratch.runDir("graft_streamtv"),
+        failAfter = None))
+  )
+
+  /** One bounded run of the q282 streaming TV-divergence twin against
+    * the shared state under `base` (checkpoint + batch-partitioned
+    * census cells). `failAfter = Some(k)` throws once batch id reaches
+    * k — a planned mid-run death; re-invoking with the SAME base
+    * resumes from the committed prefix, and StreamingSpec gates that
+    * the recovered result equals an uninterrupted run bit-for-bit. */
+  private[graft] def streamDivergenceRun(s: SparkSession, d: String,
+      base: String, failAfter: Option[Int]): DataFrame =
+    graft.Confs.dynamicOverwrite(s) {
       val dir = docsSourceSplitFixture(s, d)
-      val base = graft.Scratch.runDir("graft_streamtv")
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -588,6 +599,8 @@ object CompareQueries {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (failAfter.exists(bid >= _))
+            throw new RuntimeException("planned mid-run stop")
           batch.select(col("source"),
               explode(split(trim(lower(col("text"))), " ")).as("w"))
             .groupBy(col("source"), col("w"))
@@ -598,13 +611,14 @@ object CompareQueries {
           ()
         }
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming
+        .StreamingQueryException if failAfter.nonEmpty => () }
       tvFromCensus(
         s.read.parquet(s"$base/cells")
           .groupBy(col("source"), col("w"))
           .agg(sum(col("c")).as("c")))
-    })
-  )
+    }
 
   /** q276's truth — and q282's: the streaming twin is gated to equal
     * the batch TV exactly, so they share one oracle string. */

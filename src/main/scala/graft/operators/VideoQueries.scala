@@ -225,9 +225,22 @@ object VideoQueries {
     // twins agree on sub-cap buckets only — the same scoping as q210's
     // banded caps.
     "q262_stream_video_neardup" -> ((s, d) =>
-      graft.Confs.dynamicOverwrite(s) {
+      streamVideoNeardupRun(s, d,
+        graft.Scratch.runDir("graft_streamvideo"), failAfter = None))
+  )
+
+  /** One bounded run of the q262 continuous video near-dup twin against
+    * the shared state under `base` (checkpoint + frame-hash index +
+    * pair store). `failAfter = Some(k)` throws once batch id reaches
+    * k — a planned mid-run death; re-invoking with the SAME base
+    * resumes from the committed prefix, and StreamingSpec gates that
+    * the recovered result equals an uninterrupted run bit-for-bit. The
+    * returned frame reads the persisted pair store — meaningful only
+    * after a run that reached the end of the input. */
+  private[graft] def streamVideoNeardupRun(s: SparkSession, d: String,
+      base: String, failAfter: Option[Int]): DataFrame =
+    graft.Confs.dynamicOverwrite(s) {
       val src = aviSplitFixture(s, d)
-      val base = graft.Scratch.runDir("graft_streamvideo")
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -235,6 +248,8 @@ object VideoQueries {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (failAfter.exists(bid >= _))
+            throw new RuntimeException("planned mid-run stop")
           // one decode pass; DISTINCT (clip, hash) rows so repeated
           // frames never inflate the shared count (q260's contract)
           val bh = graft.multimodal.Multimodal.aviFrameHashes(batch)
@@ -288,7 +303,9 @@ object VideoQueries {
           ()
         }
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming
+        .StreamingQueryException if failAfter.nonEmpty => () }
       val raw = s.read.parquet(s"$base/pairs")
       // arrival order vs id order: normalize to a < b like q210
       raw.select(
@@ -300,8 +317,7 @@ object VideoQueries {
             .as("nf_b"),
           col("shared"), col("overlap_permille"))
         .orderBy(col("a"), col("b"))
-    })
-  )
+    }
 
   def oracleSql: Map[String, String] = Map(
 

@@ -181,4 +181,54 @@ class StreamingSpec extends AnyFunSuite {
         s"audit_rows ${r.getLong(3)} != landed $landed")
     }
   }
+
+  // ---- crash-recovery fault injection for the index-building twins ------
+  //
+  // The three twins that build persisted state across micro-batches
+  // (q210 band index, q262 frame-hash index, q282 census cells) gate
+  // replay idempotence per-trigger, but a checkpoint is only proven by
+  // an actual mid-run death: each test below kills the stream once its
+  // batch id reaches 1 (so exactly one trigger committed), restarts
+  // against the SAME base dir, and asserts the recovered result equals
+  // an uninterrupted run on a fresh base BIT-FOR-BIT. The kill lands
+  // BEFORE batch 1 processes anything, which exercises the dangerous
+  // path: restart must resume from the committed offset log, re-run
+  // batch 1 exactly once, and the strictly-older index reads must not
+  // see any half-written state.
+
+  private def killAndRecover(
+      run: (String, Option[Int]) => org.apache.spark.sql.DataFrame,
+      tag: String): Unit = {
+    val killed = s"${Scratch.root}/spec_${tag}_${java.util.UUID.randomUUID}"
+    val clean = s"${Scratch.root}/spec_${tag}c_${java.util.UUID.randomUUID}"
+    run(killed, Some(1)) // dies once batch id reaches 1
+    // the death left a committed prefix, not a completed run
+    val committed = Option(
+      new java.io.File(s"$killed/ckpt/commits").listFiles())
+      .getOrElse(Array.empty).count(!_.getName.contains("."))
+    assert(committed == 1,
+      s"planned stop should commit exactly batch 0, saw $committed")
+    val recovered = run(killed, None).collect().toSeq
+    val uninterrupted = run(clean, None).collect().toSeq
+    assert(recovered.nonEmpty)
+    assert(recovered == uninterrupted,
+      s"recovered run diverged from uninterrupted run for $tag")
+  }
+
+  test("q210 twin: mid-run kill + checkpoint restart = uninterrupted run") {
+    killAndRecover((base, fail) => operators.IncrementalQueries
+      .streamNeardupRun(spark, TestSession.sfDir, base, fail), "q210kill")
+  }
+
+  test("q262 twin: mid-run kill + checkpoint restart = uninterrupted run") {
+    killAndRecover((base, fail) => operators.VideoQueries
+      .streamVideoNeardupRun(spark, TestSession.sfDir, base, fail),
+      "q262kill")
+  }
+
+  test("q282 twin: mid-run kill + checkpoint restart = uninterrupted run") {
+    killAndRecover((base, fail) => operators.CompareQueries
+      .streamDivergenceRun(spark, TestSession.sfDir, base, fail),
+      "q282kill")
+  }
 }
