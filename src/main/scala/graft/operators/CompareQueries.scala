@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Tables => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,12 @@ import org.apache.spark.sql.functions._
   *    cardinality — mergeable 64-entry bounded-heap state vs a
   *    universe-sized COUNT(DISTINCT) shuffle; codepoint-fold hash
   *    identical in both engines.
+  *  - q291: KMV sketch INTERSECTION — the pairwise source-overlap
+  *    matrix (|A∪B|, |A∩B|, Jaccard) estimated from merged 64-entry
+  *    sketches alone, priced against the exact pair matrix; the
+  *    sketch path shuffles 64 longs/source (duplicate-idempotent
+  *    [[graft.functions.KmvAgg]], no distinct anywhere), the exact
+  *    path shuffles the shingle universe.
   *
   * Scale shape: every corpus-sized pass is ONE map-side-combined census
   * (per-source token counts, per-source length counts, a per-row
@@ -200,6 +206,80 @@ object CompareQueries {
     * shared by q278 and CompareSpec's exact recompute. The Lehmer-chain
     * sign for (row r, dim j) is
     * parity(((r·8191+j)² mod 1000003) · 48271 mod (2³¹−1)). */
+  /** Distinct per-source 3-word shingles (source, t) — the exact-side
+    * universe shared by q289's COUNT(DISTINCT) pricing and q291's exact
+    * overlap matrix. Universe-sized by design: it exists to PRICE the
+    * sketches, the sketches exist to replace it. */
+  private def sourceShingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("source"),
+        split(trim(lower(col("text"))), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 3)," +
+          " i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("t"))
+      .distinct()
+
+  /** Deterministic polynomial codepoint-fold hash of string column `c`
+    * — (a·131 + code) mod 2³¹−1, identical in both engines (Spark
+    * `aggregate` HOF / DuckDB `list_reduce`, both codepoint-based).
+    * Shared by q289 and q291. */
+  private def shingleHash(c: String): Column = expr(
+    s"aggregate(sequence(1, length($c)), CAST(0 AS BIGINT)," +
+      s" (a, j) -> (a * 131 + ascii(substr($c, j, 1))) % 2147483647)")
+
+  /** Per-source 64-entry KMV sketch over the RAW shingle-hash stream —
+    * ONE scan, map-side combined, duplicate-idempotent state
+    * ([[graft.functions.KmvAgg]]): no distinct, no universe shuffle
+    * anywhere on this path (ShuffleBudgetSpec pins the measured bytes).
+    * Output: (source, sat, mins ascending). */
+  private[graft] def kmvSketches(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("source"),
+        split(trim(lower(col("text"))), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 3)," +
+          " i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("t"))
+      .select(col("source"), shingleHash("t").as("hv"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvAgg.kmvAgg(col("hv"), 64).as("sk"))
+      .select(col("source"), col("sk.sat").as("sat"),
+        col("sk.mins").as("mins"))
+
+  /** Pairwise source-overlap estimates from the sketches ALONE — the
+    * q291 sketch path. merged = the 64 smallest distinct values of the
+    * two sketches' union (a valid KMV sketch of A∪B, because each input
+    * holds the 64 smallest of its set or the whole set); every merged
+    * value is ≤ both sketches' thresholds, so sketch membership IS set
+    * membership and Ĵ = |merged ∩ A ∩ B| / 64. Unsaturated sketches
+    * are complete sets: the estimates degenerate to exact values. */
+  private[graft] def kmvOverlapEst(sk: DataFrame): DataFrame =
+    broadcast(sk.select(col("source").as("src_a"),
+        col("sat").as("sat_a"), col("mins").as("mins_a")))
+      .join(broadcast(sk.select(col("source").as("src_b"),
+        col("sat").as("sat_b"), col("mins").as("mins_b"))),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (!col("sat_a") && !col("sat_b")).as("small"),
+        col("mins_a"), col("mins_b"),
+        expr("array_sort(array_distinct(concat(mins_a, mins_b)))")
+          .as("mrg"))
+      .select(col("src_a"), col("src_b"), col("small"),
+        expr("CASE WHEN small" +
+          " THEN CAST(size(array_intersect(mins_a, mins_b)) AS BIGINT)" +
+          " ELSE CAST(size(array_intersect(array_intersect(" +
+          "slice(mrg, 1, 64), mins_a), mins_b)) AS BIGINT) END")
+          .as("nboth"),
+        expr("CASE WHEN small THEN CAST(size(mrg) AS BIGINT)" +
+          " ELSE CAST((63 * CAST(2147483647 AS DECIMAL(38,0)))" +
+          " div element_at(mrg, 64) AS BIGINT) END").as("d_union_est"))
+      .select(col("src_a"), col("src_b"), col("d_union_est"),
+        expr("CASE WHEN small THEN nboth" +
+          " ELSE (nboth * d_union_est) div 64 END").as("d_inter_est"),
+        expr("CASE WHEN small THEN (1000 * nboth) div d_union_est" +
+          " ELSE (1000 * nboth) div 64 END").as("jac_est_permille"))
+
   private[graft] def jlProjected(emb: DataFrame, k: Int): DataFrame =
     emb.select(col("vec_id"),
         expr("transform(embedding, x ->" +
@@ -495,18 +575,8 @@ object CompareQueries {
     // `list_reduce`), so est and err gate bit-for-bit. Measured err at
     // k=64: median ~6-9%, the 1/√k ≈ 12.5% KMV band.
     "q289_kmv_distinct" -> ((s, d) => {
-      val sh = T.documents(s, d)
-        .select(col("source"),
-          split(trim(lower(col("text"))), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("source"), explode(expr(
-          "transform(sequence(0, size(w) - 3)," +
-            " i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("t"))
-        .distinct()
-      val h = sh.select(col("source"), expr(
-          "aggregate(sequence(1, length(t)), CAST(0 AS BIGINT)," +
-            " (a, j) -> (a * 131 + ascii(substr(t, j, 1)))" +
-            " % 2147483647)").as("hv"))
+      val sh = sourceShingles(s, d)
+      val h = sh.select(col("source"), shingleHash("t").as("hv"))
         .distinct()
       val kmv = h.groupBy(col("source")).agg(
         count(lit(1)).as("nh"),
@@ -523,6 +593,52 @@ object CompareQueries {
           expr("(1000 * abs(d_exact - d_est)) div d_exact")
             .as("err_permille"))
         .orderBy(col("source"))
+    }),
+
+    // KMV/theta-sketch INTERSECTION — the 100 TB twin of the exact
+    // cross-source overlap matrix (q226's provenance question asked of
+    // shingle SETS): pairwise |A∪B|, |A∩B| and Jaccard per source pair,
+    // estimated from the merged 64-entry sketches alone and priced
+    // against the exact matrix computed beside it. The exact side needs
+    // the shingle universe in a pair equi-join; the sketch side needs
+    // 64 longs + 1 bit per source — and because [[graft.functions
+    // .KmvAgg]] is duplicate-idempotent, the RAW (unDISTINCTed) hash
+    // stream feeds it in one map-side-combined scan with no universe
+    // shuffle anywhere on the sketch path (ShuffleBudgetSpec pins the
+    // bytes). Estimators (Bar-Yossef 2002 / theta-sketch folklore):
+    // merged = 64 smallest of the sketch union (valid KMV of A∪B);
+    // D̂(A∪B) = 63·SPACE / merged[64]; Ĵ = |merged ∩ A ∩ B|/64 (merged
+    // values sit under both thresholds, so sketch membership IS set
+    // membership); D̂(A∩B) = (Ĵ-numerator · D̂(A∪B)) div 64. Unsaturated
+    // sketches are complete sets and every estimate degenerates to the
+    // exact value. All-integer, bit-identical in DuckDB (HUGEINT-floor
+    // discipline); CompareSpec gates the error band vs exact.
+    "q291_kmv_overlap" -> ((s, d) => {
+      val sh = sourceShingles(s, d)
+      val ex = sh.groupBy(col("source")).agg(count(lit(1)).as("d_exact"))
+      val inter = sh.select(col("source").as("src_a"), col("t"))
+        .join(sh.select(col("source").as("src_b"), col("t")), "t")
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("d_inter"))
+      val exact = broadcast(ex.select(col("source").as("src_a"),
+          col("d_exact").as("da")))
+        .join(broadcast(ex.select(col("source").as("src_b"),
+          col("d_exact").as("db"))), col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          (col("da") + col("db") - coalesce(col("d_inter"), lit(0L)))
+            .as("d_union"),
+          coalesce(col("d_inter"), lit(0L)).as("d_inter"))
+      kmvOverlapEst(kmvSketches(s, d))
+        .join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("d_union"),
+          col("d_inter"),
+          expr("(1000 * d_inter) div d_union").as("jac_exact_permille"),
+          col("d_union_est"), col("d_inter_est"), col("jac_est_permille"))
+        .withColumn("err_permille",
+          abs(col("jac_est_permille") - col("jac_exact_permille")))
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // Kendall rank correlation between two source ORDERINGS — are the
@@ -812,6 +928,71 @@ object CompareQueries {
         |  CAST((1000 * ABS(d_exact - d_est)) // d_exact AS BIGINT)
         |    AS err_permille
         |FROM est ORDER BY source""".stripMargin,
+
+    "q291_kmv_overlap" ->
+      """WITH g AS (
+        |  SELECT source, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)] AS s
+        |  FROM (SELECT source, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |tok AS (SELECT DISTINCT source, unnest(s) AS t FROM g),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, len(t) + 1)]),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS hv
+        |  FROM tok),
+        |sk AS (SELECT source, COUNT(*) > 64 AS sat,
+        |         (list_sort(list(hv)))[1:64] AS mins
+        |       FROM h GROUP BY source),
+        |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d_exact
+        |       FROM tok GROUP BY 1),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS d_inter
+        |       FROM tok a JOIN tok b
+        |         ON a.t = b.t AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |px AS (SELECT ea.source AS src_a, eb.source AS src_b,
+        |         CAST(ea.d_exact + eb.d_exact - COALESCE(i.d_inter, 0)
+        |           AS BIGINT) AS d_union,
+        |         CAST(COALESCE(i.d_inter, 0) AS BIGINT) AS d_inter
+        |       FROM ex ea JOIN ex eb ON ea.source < eb.source
+        |       LEFT JOIN ix i
+        |         ON i.src_a = ea.source AND i.src_b = eb.source),
+        |m AS (SELECT p.src_a, p.src_b, p.d_union, p.d_inter,
+        |        NOT sa.sat AND NOT sb.sat AS small,
+        |        sa.mins AS mins_a, sb.mins AS mins_b,
+        |        list_sort(list_distinct(list_concat(sa.mins, sb.mins)))
+        |          AS mrg
+        |      FROM px p JOIN sk sa ON sa.source = p.src_a
+        |      JOIN sk sb ON sb.source = p.src_b),
+        |e AS (SELECT src_a, src_b, d_union, d_inter, small,
+        |        CASE WHEN small
+        |          THEN CAST(len(list_intersect(mins_a, mins_b))
+        |            AS BIGINT)
+        |          ELSE CAST(len(list_intersect(list_intersect(
+        |            mrg[1:64], mins_a), mins_b)) AS BIGINT) END AS nboth,
+        |        CASE WHEN small THEN CAST(len(mrg) AS BIGINT)
+        |          ELSE CAST(63 * CAST(2147483647 AS HUGEINT) // mrg[64]
+        |            AS BIGINT) END AS d_union_est
+        |      FROM m)
+        |SELECT src_a, src_b, d_union, d_inter,
+        |  CAST((1000 * d_inter) // d_union AS BIGINT)
+        |    AS jac_exact_permille,
+        |  d_union_est,
+        |  CAST(CASE WHEN small THEN nboth
+        |    ELSE (nboth * d_union_est) // 64 END AS BIGINT)
+        |    AS d_inter_est,
+        |  CAST(CASE WHEN small THEN (1000 * nboth) // d_union_est
+        |    ELSE (1000 * nboth) // 64 END AS BIGINT)
+        |    AS jac_est_permille,
+        |  CAST(ABS(CAST(CASE WHEN small THEN (1000 * nboth) // d_union_est
+        |      ELSE (1000 * nboth) // 64 END AS BIGINT)
+        |    - CAST((1000 * d_inter) // d_union AS BIGINT)) AS BIGINT)
+        |    AS err_permille
+        |FROM e ORDER BY src_a, src_b""".stripMargin,
 
     "q288_sample_quota" ->
       """WITH cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

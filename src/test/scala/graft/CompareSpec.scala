@@ -368,6 +368,110 @@ class CompareSpec extends AnyFunSuite {
       s"median KMV error ${errs(errs.size / 2)} permille")
   }
 
+  // ---- q291 KMV overlap ----------------------------------------------------
+
+  test("KmvAgg: duplicate-idempotent 64-entry sketch with saturation flag") {
+    import spark.implicits._
+    // 200 distinct values, each offered 3 times in scrambled order:
+    // duplicates must not perturb the kept set, and >64 distinct must
+    // flip sat
+    val big = new scala.util.Random(7)
+      .shuffle((1L to 200L).flatMap(v => Seq(v, v, v)))
+      .toDF("hv").groupBy()
+      .agg(functions.KmvAgg.kmvAgg(col("hv"), 64).as("sk"))
+      .select(col("sk.sat"), col("sk.mins")).head()
+    assert(big.getBoolean(0), "200 distinct values must saturate k=64")
+    assert(big.getSeq[Long](1) == (1L to 64L),
+      s"sketch must be the 64 smallest distinct values: ${big.getSeq[Long](1)}")
+    val small = (1L to 10L).flatMap(v => Seq(v, v))
+      .toDF("hv").groupBy()
+      .agg(functions.KmvAgg.kmvAgg(col("hv"), 64).as("sk"))
+      .select(col("sk.sat"), col("sk.mins")).head()
+    assert(!small.getBoolean(0), "10 distinct values must stay unsaturated")
+    assert(small.getSeq[Long](1) == (1L to 10L))
+  }
+
+  test("q291 planted sketches: unsaturated pairs are exact, saturated " +
+      "follow the estimator formula") {
+    import spark.implicits._
+    val sk = Seq(
+      ("a", false, (1L to 50L)),                  // complete set 1..50
+      ("b", false, (26L to 75L)),                 // complete set 26..75
+      ("c", true, (2L to 128L by 2L)),            // evens, truncated
+      ("d", true, (3L to 192L by 3L))             // triples, truncated
+    ).toDF("source", "sat", "mins")
+    val got = operators.CompareQueries.kmvOverlapEst(sk).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a-b: both complete -> exact union 75, intersection 25..50 = 25,
+    // jaccard = 1000*25/75 = 333
+    assert(got(("a", "b")) == ((75L, 25L, 333L)))
+    // c-d: saturated — recompute the documented formula independently
+    val mrg = ((2L to 128L by 2L) ++ (3L to 192L by 3L))
+      .distinct.sorted.take(64)
+    val nboth = mrg.count(v => v % 6 == 0 && v <= 128 && v <= 192)
+    val unionEst = 63L * 2147483647L / mrg(63)
+    assert(got(("c", "d")) ==
+      ((unionEst, nboth * unionEst / 64, 1000L * nboth / 64)))
+  }
+
+  test("q291 matches an exact KMV-overlap recomputation and the " +
+      "estimates stay useful") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def polyHash(t: String): Long =
+      t.codePoints().toArray
+        .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val sh = ds.flatMap { case (_, txt) =>
+        val w = txt.trim.toLowerCase.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet
+      val hv = sh.map(polyHash)
+      (src, (sh, hv.toSeq.sorted.take(64), hv.size > 64))
+    }
+    val expected = (for {
+      (sa, (shA, skA, satA)) <- bySrc
+      (sb, (shB, skB, satB)) <- bySrc if sa < sb
+    } yield {
+      val dInter = (shA & shB).size.toLong
+      val dUnion = (shA | shB).size.toLong
+      val jacExact = 1000L * dInter / dUnion
+      val mrg = (skA ++ skB).distinct.sorted
+      val (nboth, dUnionEst) =
+        if (!satA && !satB)
+          ((skA.toSet & skB.toSet).size.toLong, mrg.size.toLong)
+        else (mrg.take(64).count(v =>
+          skA.contains(v) && skB.contains(v)).toLong,
+          63L * 2147483647L / mrg(63))
+      val (dInterEst, jacEst) =
+        if (!satA && !satB) (nboth, 1000L * nboth / dUnionEst)
+        else (nboth * dUnionEst / 64L, 1000L * nboth / 64L)
+      (sa, sb) -> ((dUnion, dInter, jacExact, dUnionEst, dInterEst,
+        jacEst, math.abs(jacEst - jacExact)))
+    }).toMap
+    val got = SparkEntry.queries("q291_kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got === expected)
+    // estimates must be genuinely useful, not just self-consistent:
+    // the union estimate within 2x for every pair, and the Jaccard
+    // error median within ~2 sketch quanta (2/k) with a bounded tail
+    val rows = got.values.toSeq
+    rows.foreach { case (dU, _, _, dUe, _, _, _) =>
+      assert(dUe * 2 >= dU && dUe <= dU * 2,
+        s"union estimate $dUe vs exact $dU outside 2x")
+    }
+    val errs = rows.map(_._7).sorted
+    assert(errs(errs.size / 2) <= 32,
+      s"median Jaccard error ${errs(errs.size / 2)} permille > 2/k")
+    assert(errs.last < 160,
+      s"worst Jaccard error ${errs.last} permille")
+  }
+
   // ---- q290 Kendall correlation ------------------------------------------------
 
   test("q290 matches an exact pair-census recomputation") {

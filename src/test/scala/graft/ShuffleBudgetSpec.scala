@@ -440,4 +440,32 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"q284 shuffled $bytes B for $n keys — per-key assignments " +
         "crossed an exchange?")
   }
+
+  test("q291 sketch path shuffles 64 longs per source, never the " +
+      "shingle universe") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val nSrc = Tables.documents(spark, TestSession.sfDir)
+      .select(countDistinct(col("source"))).head().getLong(0)
+    val sketchBytes = measureShuffleWrite {
+      operators.CompareQueries.kmvOverlapEst(
+        operators.CompareQueries.kmvSketches(spark, TestSession.sfDir))
+        .collect()
+    }
+    // contrast: the exact side of the same question (q289 carries the
+    // universe-sized DISTINCT the sketch exists to replace)
+    val exactBytes = run("q289_kmv_distinct")
+    info(s"q291 sketch-path shuffle: $sketchBytes B for $nSrc sources " +
+      s"(exact path: $exactBytes B)")
+    assert(sketchBytes > 0, "expected the sketch partial-agg exchange")
+    // each map task ships at most one ~520 B sketch buffer per source
+    // (64 longs + flag + framing); with every input split producing a
+    // partial, 32 tasks x 2 KB/source is a generous ceiling that any
+    // universe-sized leak (16 B x corpus shingles) overshoots by 10x+
+    assert(sketchBytes < 32L * nSrc * 2048L,
+      s"q291 sketch path shuffled $sketchBytes B for $nSrc sources — " +
+        "did the shingle stream leak into an exchange?")
+    assert(sketchBytes * 4 < exactBytes,
+      s"sketch path ($sketchBytes B) must undercut the exact " +
+        s"universe pass ($exactBytes B) by 4x+")
+  }
 }
