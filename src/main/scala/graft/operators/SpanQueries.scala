@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * stop-words: fan-out per window is bounded C(64,2) no matter the
   * corpus.
   *
+  * q292 is the EXHAUSTIVE member: distributed suffix ordering (prefix
+  * doubling with equivalence-class-representative ids — pure equi-joins,
+  * no global sort) detects every ≥50-token exact repeat definitionally,
+  * where the fingerprint path is window-quantized and probabilistic by
+  * hash; its oracle materializes the 50-gram strings outright.
+  *
   * q264 is the INCREMENTAL contract (q117's shape for spans): history
   * window fingerprints persist as an index, a new batch fingerprints
   * only itself, the df census merges stored history counts with batch
@@ -102,7 +108,135 @@ object SpanQueries {
     out
   }
 
+  /** q292 span width: the published exact-substring threshold (Lee et
+    * al. 2022 use 50 tokens). */
+  private val SuffixL = 50
+
+  /** Shared 60-token span planted on every 17th document so the fixture
+    * corpus provably contains cross-document ≥50-token exact repeats
+    * (the natural corpus may or may not). The literal is embedded in
+    * the oracle SQL verbatim — one definition. */
+  private[graft] val SuffixBoiler: String =
+    (0 until 60).map(i => "qz" + i).mkString(" ")
+
+  /** Position-packing base for suffix-class representative ids:
+    * did·2²⁰ + p is unique while docs stay under 2²⁰ tokens (the
+    * longest fixture doc is orders of magnitude shorter; a corpus with
+    * megatoken documents raises the constant). */
+  private val PosCap = 1L << 20
+
+  /** Planted corpus tokenized to (did, p, w) — per-document positions:
+    * suffix classes never cross documents, exactly like the reference
+    * concatenation-with-separators construction. */
+  private[graft] def suffixTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id").as("did"),
+        when(col("doc_id") % 17 === 0,
+          concat_ws(" ", trim(col("text")), lit(SuffixBoiler)))
+          .otherwise(trim(col("text"))).as("t2"))
+      .select(col("did"), split(lower(col("t2")), " ").as("w"))
+      // documents without a single full 50-token window contribute no
+      // 50-gram and no class EQUALITY information for anyone else —
+      // dropping them up front shrinks every round (class ids shift to
+      // different representatives; equality structure is untouched)
+      .where(size(col("w")) >= SuffixL)
+      .select(col("did"), posexplode(col("w")))
+      .select(col("did"), col("pos").cast("long").as("p"),
+        col("col").as("w"))
+
+  /** One prefix-doubling round (Manber–Myers distributed): positions p
+    * and p' land in the same 2k-class iff their k-classes agree at p
+    * and p+k. The class id is the EQUIVALENCE-CLASS REPRESENTATIVE
+    * (min packed position in the class) — equality-preserving and
+    * injective, which is all span detection needs, so each round is
+    * two equi-shuffles (pair join + class groupBy) and a join back:
+    * no global sort, no single-partition window anywhere. The inner
+    * shift join doubles as the boundary filter: a position without a
+    * full 2k-token window simply drops out of the round. */
+  private[graft] def doubling(r: DataFrame, k: Int): DataFrame = {
+    val paired = r.select(col("did"), col("p"), col("r").as("ra"))
+      .join(r.select(col("did"), (col("p") - k).as("p"),
+        col("r").as("rb")), Seq("did", "p"))
+    val rep = paired.groupBy(col("ra"), col("rb"))
+      .agg(min(col("did") * PosCap + col("p")).as("r2"))
+    paired.join(rep, Seq("ra", "rb"))
+      .select(col("did"), col("p"), col("r2").as("r"))
+      .localCheckpoint()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Suffix-ordering exact-substring dedup — the EXHAUSTIVE published
+    // method beside q261's windowed fingerprints (Lee et al. 2022:
+    // suffix-array the corpus, remove every ≥50-token span that occurs
+    // twice). Fingerprints (q261) are probabilistic-by-hash and
+    // window-quantized; this path is exact on token content: log₂(L)
+    // prefix-doubling rounds build 32-token suffix CLASSES (min-
+    // representative ids, pure equi-joins — see [[doubling]]), the
+    // 50-gram key is the classic (class[p], class[p+L−32]) overlap
+    // pair, and a class with ≥2 members marks every position whose
+    // 50-token span occurs elsewhere (same or other doc). Output is
+    // the per-document removal account: 50-gram positions, duplicated
+    // positions, and the token-coverage union a dedup pass would cut.
+    // Round 0 groups on raw token STRINGS (exact, not hashed — this is
+    // the exactness-over-speed member of the family); every later
+    // round shuffles only (did, p, class, class) longs. At 100 TB:
+    // 6 corpus-sized narrow shuffles/round × log₂(50) rounds, each
+    // map-side combinable, no all-pairs stage anywhere — the ScaleUp
+    // probe pins near-linear wall in corpus size.
+    "q292_suffix_dedup" -> ((s, d) => {
+      val toks = suffixTokens(s, d).localCheckpoint()
+      val r1 = toks.join(
+          toks.groupBy(col("w"))
+            .agg(min(col("did") * PosCap + col("p")).as("r")), "w")
+        .select(col("did"), col("p"), col("r"))
+        .localCheckpoint()
+      val r32 = Seq(1, 2, 4, 8, 16).foldLeft(r1)(doubling)
+      // 50-gram identity = (32-class at p, 32-class at p+18); the
+      // inner shift join IS the p+49 ≤ doc-end validity filter
+      val keyed = r32.select(col("did"), col("p"), col("r").as("ra"))
+        .join(r32.select(col("did"),
+          (col("p") - (SuffixL - 32)).as("p"), col("r").as("rb")),
+          Seq("did", "p"))
+        .localCheckpoint()
+      val marked = keyed.join(
+          keyed.groupBy(col("ra"), col("rb"))
+            .agg(count(lit(1)).as("n")).where(col("n") >= 2),
+          Seq("ra", "rb"))
+        .select(col("did"), col("p"))
+        .localCheckpoint()
+      val nPos = keyed.groupBy(col("did"))
+        .agg(count(lit(1)).as("n_pos"))
+      val nDup = marked.groupBy(col("did"))
+        .agg(count(lit(1)).as("n_dup50"))
+      // coverage union WITHOUT materializing tokens: the union of
+      // [p, p+49] intervals over sorted marked positions is
+      // Σ min(next_p − p, 50) + 50 for the last — a per-document
+      // window (partitioned, bounded by doc length), not a 50×-explode
+      // + corpus-sized distinct (measured 14.3× wall at the sf10 probe
+      // before this; the interval identity removes the blow-up while
+      // computing the identical value)
+      val covW = Window.partitionBy(col("did")).orderBy(col("p"))
+      val cov = marked
+        .withColumn("nxt", lead(col("p"), 1).over(covW))
+        .select(col("did"),
+          when(col("nxt").isNull, lit(SuffixL.toLong))
+            .otherwise(least(col("nxt") - col("p"),
+              lit(SuffixL.toLong))).as("c"))
+        .groupBy(col("did")).agg(sum(col("c")).as("n_dup_tokens"))
+      T.documents(s, d).select(col("doc_id"))
+        .join(nPos.withColumnRenamed("did", "doc_id"), Seq("doc_id"),
+          "left")
+        .join(nDup.withColumnRenamed("did", "doc_id"), Seq("doc_id"),
+          "left")
+        .join(cov.withColumnRenamed("did", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+          coalesce(col("n_dup50"), lit(0L)).as("n_dup50"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q261_substring_dedup" -> ((s, d) => {
       // The fingerprint table feeds the df census AND both sides of the
@@ -200,6 +334,45 @@ object SpanQueries {
       |$finalSelect""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // The truth is definitional: materialize every 50-token gram as a
+    // STRING, group, keep grams seen twice — exactly what the suffix
+    // classes must reproduce. (DuckDB zipped unnest pairs each gram
+    // with its 0-based position.)
+    "q292_suffix_dedup" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |      THEN trim(text) || ' ' || '$SuffixBoiler'
+        |      ELSE trim(text) END AS t2
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(lower(t2), ' ') AS w
+        |        FROM docs),
+        |g AS (SELECT doc_id,
+        |        unnest(range(0, greatest(len(w) - ${SuffixL - 1}, 0)))
+        |          AS p,
+        |        unnest([array_to_string(w[i:i + ${SuffixL - 1}], ' ')
+        |          for i in range(1, greatest(len(w) - ${SuffixL - 2},
+        |            1))]) AS gram
+        |      FROM tok),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos
+        |       FROM g GROUP BY 1),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup50
+        |       FROM m GROUP BY 1),
+        |cv AS (SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT)
+        |         AS n_dup_tokens
+        |       FROM (SELECT doc_id, p + u AS t
+        |             FROM m, range(0, $SuffixL) u(u)) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
+        |  CAST(COALESCE(nd.n_dup50, 0) AS BIGINT) AS n_dup50,
+        |  CAST(COALESCE(cv.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN np USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same construction; DuckDB list comprehension for the windows and a
     // window-function islands pass (different plan class, same values —

@@ -59,4 +59,46 @@ class SpanSpec extends AnyFunSuite {
       "the O(batch) increment must find exactly the full-corpus pairs " +
         "that involve a batch document")
   }
+
+  test("q292 suffix classes equal definitional 50-gram string grouping") {
+    // Recompute the truth the dumb way: materialize every 50-token gram
+    // as a string, group globally, mark positions whose gram repeats.
+    // The prefix-doubling class machinery must reproduce it EXACTLY —
+    // same marked positions, same coverage union.
+    val L = 50
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val planted =
+          if (r.getLong(0) % 17 == 0)
+            r.getString(1).trim + " " + operators.SpanQueries.SuffixBoiler
+          else r.getString(1).trim
+        r.getLong(0) -> planted.toLowerCase.split(" ", -1)
+      }
+    val grams = docs.flatMap { case (did, w) =>
+      (0 to w.length - L).map(p => (did, p.toLong, w.slice(p, p + L)
+        .mkString(" ")))
+    }
+    val dupGrams = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val marked = grams.filter(g => dupGrams.contains(g._3))
+    val expected = docs.map { case (did, w) =>
+      val m = marked.filter(_._1 == did)
+      val cover = m.flatMap(g => g._2 to (g._2 + L - 1)).toSet
+      did -> ((math.max(w.length - L + 1, 0).toLong, m.length.toLong,
+        cover.size.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q292_suffix_dedup")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the planted boiler must be FOUND: every 17th doc carries ≥ 11
+    // duplicated 50-gram starts and ≥ 60 covered tokens
+    val planted = got.filter(_._1 % 17 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (did, (_, nDup, nCov)) =>
+      assert(nDup >= 11 && nCov >= 60,
+        s"planted doc $did: nDup=$nDup nCov=$nCov — boiler span missed")
+    }
+  }
 }
