@@ -142,6 +142,7 @@ object Bench {
       operators.VideoQueries.aviDupFixture(spark, sfDir)
       operators.VideoQueries.aviSplitFixture(spark, sfDir)
       operators.VideoQueries.wavDupFixture(spark, sfDir)
+      operators.VideoQueries.stillFrameFixture(spark, sfDir)
       operators.StorageQueries.docsV2Fixture(spark, sfDir)
       operators.SpanQueries.spanIndexFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))

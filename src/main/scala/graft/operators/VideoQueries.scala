@@ -226,8 +226,70 @@ object VideoQueries {
     // banded caps.
     "q262_stream_video_neardup" -> ((s, d) =>
       streamVideoNeardupRun(s, d,
-        graft.Scratch.runDir("graft_streamvideo"), failAfter = None))
+        graft.Scratch.runDir("graft_streamvideo"), failAfter = None)),
+
+    // Cross-modality near-dup — clip CONTAINS image: still images and
+    // video frames share one signature space (q186's aHash = q260's
+    // per-frame aHash), so "which clips contain this image as a frame"
+    // is an equi-join between the image-hash table and the clip
+    // frame-hash table — never a pixel comparison, never a cross
+    // join. Every 5th document's still is a re-render of frame 1 of
+    // its clip group, so each planted image matches EXACTLY its
+    // group's two twin clips (frame 1 is one of the frames the twins
+    // share); unplanted stills render patterns from a disjoint key
+    // space and match nothing. Decode stays in the scan pass on each
+    // side (one aHash per image, one per frame); the join carries
+    // (id, 64-bit hash) rows through the q117 boilerplate cap — an
+    // oversized frame-hash bucket (think: black frames) pairs against
+    // its representative only, exactly like q262's index join.
+    "q293_clip_image_match" -> ((s, d) => {
+      val imgs = graft.multimodal.Multimodal
+        .aHash(s.read.parquet(stillFrameFixture(s, d)),
+          graft.multimodal.Multimodal.PngCodec.decode)
+        .select(col("ahash"), col("doc_id").as("id"))
+      val frames = graft.multimodal.Multimodal
+        .aviFrameHashes(s.read.parquet(aviDupFixture(s, d)))
+        .select(col("ahash"), col("doc_id").as("id"))
+        .distinct()
+      graft.dedup.Dedup.cappedIndexJoinPairs(
+          frames, imgs, Seq("ahash"), graft.dedup.Dedup.DefaultBucketCap)
+        .select(col("id_b").as("img_id"), col("id_a").as("clip_id"))
+        .orderBy(col("img_id"), col("clip_id"))
+    })
   )
+
+  /** Still-image corpus sharing the clip fixture's signature space:
+    * every 5th document renders FRAME 1 of clip group doc_id/2 (the
+    * planted clip-contains-image truth — both twins of the group carry
+    * that frame); every other document renders a pattern keyed outside
+    * the clip fixture's key space ({0..7, 64}), so it matches no frame.
+    * 64x64 with one 8x8 block per aHash cell, PNG (lossless) — the
+    * aHash recovers the planted bits exactly, like [[aviDupFixture]]. */
+  private[graft] def stillFrameFixture(s: SparkSession, d: String)
+      : String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_still_frames")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val p =
+              if (id % 5 == 0) framePattern(id / 2, 1L)
+              else framePattern(id, 7777L) // key outside {0..7, 64}
+            val bytes = graft.multimodal.Multimodal.PngCodec.encode(64, 64,
+              (x, y) =>
+                if (((p >>> ((y / 8) * 8 + (x / 8))) & 1L) == 1L)
+                  (255, 255, 255)
+                else (0, 0, 0))
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
 
   /** One bounded run of the q262 continuous video near-dup twin against
     * the shared state under `base` (checkpoint + frame-hash index +
@@ -359,6 +421,21 @@ object VideoQueries {
         |  nf - 1 AS shared,
         |  (1000 * (nf - 1)) // nf AS overlap_permille
         |FROM ev JOIN g ON g.doc_id = ev.b
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // planted truth: still of doc d (d % 5 = 0) is frame 1 of clip
+    // group d // 2, and frame 1 is shared by both twins of the group —
+    // so the matches are exactly the (image, clip) rows with equal
+    // doc_id // 2, for clips that exist in the corpus
+    "q293_clip_image_match" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS img_id, CAST(doc_id // 2 AS BIGINT) AS g
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |clips AS (
+        |  SELECT doc_id AS clip_id, CAST(doc_id // 2 AS BIGINT) AS g
+        |  FROM documents)
+        |SELECT img_id, clip_id
+        |FROM imgs JOIN clips USING (g)
+        |ORDER BY img_id, clip_id""".stripMargin
   )
 }

@@ -75,4 +75,25 @@ class VideoSpec extends AnyFunSuite {
         f"doc $id frame $f: ahash $h%016x != planted pattern $want%016x")
     }
   }
+
+  test("q293 finds exactly the planted clip-contains-image matches") {
+    val got = SparkEntry.queries("q293_clip_image_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // image d (d % 5 = 0) renders frame 1 of group d/2; both twin clips
+    // of the group carry frame 1, so the truth is analytic
+    val expected = (for {
+      d <- ids.toSeq.sorted if d % 5 == 0
+      c <- Seq(2 * (d / 2), 2 * (d / 2) + 1) if ids.contains(c)
+    } yield (d, c)).sorted
+    assert(got.sorted == expected)
+    // exclusivity: no unplanted still (disjoint pattern key space)
+    // matched any frame, and every planted one matched its two twins
+    assert(got.map(_._1).forall(_ % 5 == 0))
+    val perImage = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perImage.values.forall(_ == 2),
+      s"every planted image must match exactly its twin clips: " +
+        s"${perImage.filter(_._2 != 2)}")
+  }
 }
