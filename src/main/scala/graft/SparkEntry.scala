@@ -41,7 +41,8 @@ object SparkEntry {
     (operators.VideoQueries.queries, operators.VideoQueries.oracleSql),
     (operators.SpanQueries.queries, operators.SpanQueries.oracleSql),
     (operators.AnomalyQueries.queries, operators.AnomalyQueries.oracleSql),
-    (operators.CompareQueries.queries, operators.CompareQueries.oracleSql)
+    (operators.CompareQueries.queries, operators.CompareQueries.oracleSql),
+    (operators.DesignQueries.queries, operators.DesignQueries.oracleSql)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

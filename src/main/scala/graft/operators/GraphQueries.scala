@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   /** Nation → nation weighted trade edges (src buys from dst). */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[operators] def tradeEdges(s: SparkSession, d: String): DataFrame =
     T.customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("c_custkey") === col("o_custkey"))
@@ -178,7 +178,7 @@ object GraphQueries {
     })
   )
 
-  private val edgeCte =
+  private[operators] val edgeCte =
     """e AS (
       |  SELECT c.c_nationkey AS src, su.s_nationkey AS dst,
       |    COUNT(*) AS w

@@ -31,7 +31,10 @@ class QueriesSpec extends AnyFunSuite {
     * runs over a per-bucket offsets aggregate of ≤ 32 rows (the two-pass
     * prefix-sum pattern), which the lint verifies structurally below. */
   private val boundedGlobalWindow =
-    Set("q150_token_shards", "q173_pareto", "q242_compaction_plan")
+    Set("q150_token_shards", "q173_pareto", "q242_compaction_plan",
+      // q296's global window runs over the 256-row md5-prefix bucket
+      // (pid) totals aggregate — the same two-pass prefix-sum shape
+      "q296_pps_sample")
 
   /** Queries whose global window runs over a GENERATED relation (every
     * leaf under the window is a Range of ≤ 4096 elements — bounded by
@@ -91,7 +94,10 @@ class QueriesSpec extends AnyFunSuite {
     // q289's sequence(0, size(w) - 3) sits above WHERE size(w) >= 3;
     // its inner sequence(1, length(t)) folds a shingle that the same
     // guard makes non-empty (three tokens joined by two spaces)
-    "q289_kmv_distinct" -> ("size(w", ">= 3"))
+    "q289_kmv_distinct" -> ("size(w", ">= 3"),
+    // q291 feeds the same sourceShingles stream (WHERE size(w) >= 3)
+    // into KmvAgg — identical guard, identical shingle fold
+    "q291_kmv_overlap" -> ("size(w", ">= 3"))
     // q261's sequence(1, greatest(size(w) - 7, 1)) is ascending by
     // shape; its WHERE size(w) >= 8 guard sits behind a localCheckpoint
     // where no whitelist could be re-verified structurally
