@@ -463,4 +463,41 @@ class ExplainSpec extends AnyFunSuite {
       .join(cust, Seq("o_custkey")).groupBy().count().head().getLong(0)
     assert(a == b, s"reorder changed the result: $a vs $b")
   }
+
+  test("q294 bootstrap replicate partials combine map-side below the " +
+      "exchange") {
+    // the 32x explode must feed a PARTIAL (source, r) HashAggregate on
+    // the map side — the property that keeps the bootstrap's shuffle at
+    // 32x|sources| partial rows instead of 32x the corpus
+    val p = plan("q294_poisson_bootstrap")
+    val partial = "HashAggregate\\(keys=\\[source[^\\]]*, r[^\\]]*\\]," +
+      " functions=\\[partial_sum"
+    assert(partial.r.findFirstIn(p).nonEmpty,
+      s"no map-side partial (source, r) aggregate in:\n$p")
+  }
+
+  test("q298 builds both layouts' zone maps from bounded scans, one " +
+      "grouped exchange") {
+    // one scan feeds the min/max range aggregate and one the coded rows
+    // (layout-key explode doubles ROWS, not scans); the (layout, file)
+    // zone-map build is a single grouped exchange pair
+    val p = plan("q298_zorder_layout")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <= 2 orders scans, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in:\n$p")
+  }
+
+  test("q299 ANF propagates sketches by partial bit_or over hash " +
+      "exchanges keyed by vertex") {
+    // the per-round sketch merge must be a (v, t)-keyed hash aggregate
+    // with map-side partial bit_or — constant-space union, |E|*T-long
+    // shuffles. (The final 1-row readout assembly legitimately
+    // cross-joins 1x1 frames, so no blanket cartesian assertion here.)
+    val p = plan("q299_anf_sketch")
+    assert(p.contains("partial_bit_or"),
+      s"no map-side partial bit_or in:\n$p")
+    assert(p.contains("Exchange hashpartitioning(v"),
+      s"sketch rounds must exchange on the vertex key:\n$p")
+  }
 }

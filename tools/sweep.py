@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Full-board value sweep one decade above the driver's gate.
+
+Usage: python3 tools/sweep.py <verify_out_dir> <sf_dir> [out_json]
+
+Same compare as tools/check.py (values with columns sorted by name and
+rows sorted, plus the driver-parity int-vs-float pandas dtype gate), but
+each query runs in its OWN subprocess with a wall timeout, so the five
+documented quadratic all-pairs oracle constructions (q30/q65/q209/q210/
+q252 — fine at sf0.01, >120 s in DuckDB at sf0.1) are skipped-and-noted
+instead of hanging the board. Output: a JSON artifact listing EVERY
+query with ok/skip/fail status.
+"""
+import json
+import multiprocessing as mp
+import os
+import sys
+
+# Deliberately-quadratic oracle truth constructions, gated at sf0.01
+# (see .claude/skills/verify/SKILL.md): skip-and-note at sf0.1.
+SKIP = {
+    "q30_dedup_minhash": "quadratic all-pairs MinHash truth oracle",
+    "q65_dedup_clusters": "quadratic all-pairs cluster truth oracle",
+    "q209_soft_dedup": "quadratic all-pairs soft-dedup truth oracle",
+    "q210_stream_neardup": "quadratic all-pairs near-dup truth oracle",
+    "q252_triangles": "EXISTS-probe wedge closure, superlinear in DuckDB",
+}
+TIMEOUT_S = int(os.environ.get("SWEEP_TIMEOUT_S", "180"))
+JOBS = int(os.environ.get("SWEEP_JOBS", "6"))
+
+
+def compare_one(args):
+    """Runs inside a worker process: one query's full compare."""
+    name, out_dir, sf_dir, sql = args
+    import duckdb
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check  # reuse canon/norm/dtype_mismatches verbatim
+
+    con = duckdb.connect()
+    for t in check.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    con.sql(f"CREATE TEMP TABLE _got AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}/*.parquet')")
+    got_rel = con.sql("SELECT * FROM _got")
+    got_cols = [c.lower() for c in got_rel.columns]
+    got = check.canon(got_rel.fetchall(), got_cols)
+    if sql is None:
+        return (name, "ok" if len(got) > 0 else "fail",
+                f"rows-only: {len(got)} rows")
+    try:
+        con.sql(f"CREATE TEMP TABLE _exp AS {sql}")
+    except Exception as e:
+        return (name, "fail", f"oracle SQL error: {e}")
+    exp_rel = con.sql("SELECT * FROM _exp")
+    exp_cols = [c.lower() for c in exp_rel.columns]
+    exp = check.canon(exp_rel.fetchall(), exp_cols)
+    if sorted(got_cols) != sorted(exp_cols):
+        return (name, "fail",
+                f"schema {sorted(got_cols)} vs {sorted(exp_cols)}")
+    if len(got) != len(exp):
+        return (name, "fail", f"rowcount {len(got)} vs {len(exp)}")
+    if got != exp:
+        bad = [(g, e) for g, e in zip(got, exp) if g != e][:2]
+        return (name, "fail", f"value mismatch e.g. {bad}")
+    dt = check.dtype_mismatches(con.sql("SELECT * FROM _got").df(),
+                                con.sql("SELECT * FROM _exp").df())
+    if dt:
+        return (name, "fail", f"dtype (driver-hash red): {dt}")
+    return (name, "ok", f"rows={len(got)}")
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if not d.endswith(".json"))
+    results = {}
+    todo = []
+    for n in names:
+        if n in SKIP:
+            results[n] = {"status": "skip", "note": SKIP[n] +
+                          "; value-gated at sf0.01 by tools/check.py"}
+        else:
+            todo.append((n, out_dir, sf_dir, oracle.get(n)))
+    # Each query in its own process so a hung oracle is killable.
+    with mp.Pool(JOBS) as pool:
+        async_rs = {a[0]: pool.apply_async(compare_one, (a,))
+                    for a in todo}
+        for n, ar in async_rs.items():
+            try:
+                # slot-relative: earlier gets already waited their share,
+                # so a healthy later task is usually done by its turn
+                name, status, note = ar.get(timeout=TIMEOUT_S)
+                results[name] = {"status": status, "note": note}
+            except mp.TimeoutError:
+                results[n] = {"status": "fail",
+                              "note": f"timeout >{TIMEOUT_S}s"}
+            except Exception as e:
+                results[n] = {"status": "fail", "note": f"worker: {e}"}
+            print(f"  {n}: {results[n]['status']} {results[n]['note']}",
+                  flush=True)
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_skip = sum(1 for r in results.values() if r["status"] == "skip")
+    n_fail = len(results) - n_ok - n_skip
+    summary = {
+        "what": ("full-board sf0.1 value sweep: graft.Verify dumped every "
+                 "registry query at sf0.1 (10x the driver's gate SF), each "
+                 "DuckDB oracle re-run at sf0.1 under tools/check.py's "
+                 "value + pandas-dtype compare, one subprocess per query "
+                 f"with a {TIMEOUT_S}s timeout, {JOBS}-way parallel"),
+        "why": ("the driver gates only sf0.01; scale-dependent divergences "
+                "(tie-breaking, int64 overflow, div-by-zero, "
+                "plan-dependent float paths) would hide there"),
+        "n_ok": n_ok, "n_skip": n_skip, "n_fail": n_fail,
+        "queries": results,
+    }
+    print(f"\n{n_ok} ok / {n_skip} skip / {n_fail} fail "
+          f"of {len(results)}")
+    if out_json:
+        json.dump(summary, open(out_json, "w"), indent=1)
+        print(f"wrote {out_json}")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
