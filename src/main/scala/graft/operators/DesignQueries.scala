@@ -66,6 +66,10 @@ import org.apache.spark.sql.functions._
   *    the whole scale story: each round shuffles |E|·T longs (sketches
   *    union in constant space), where exact multi-hop reachability
   *    shuffles the frontier product.
+  *  - q300: streaming twin of q294 — per-trigger Poisson partials +
+  *    census rows under batch_id dynamic overwrite, merged by
+  *    summation into the same CI assembly; the mergeable-bootstrap
+  *    property gated bit-for-bit against the batch oracle.
   *
   * Scale shape: every corpus-sized pass is one scan with map-side
   * combine (q294's replicate partials, q296's bucket sums, q297's
@@ -151,6 +155,61 @@ object DesignQueries {
   private val By0 = 32
   private val By1 = 127
 
+  /** Per-(source, replicate) Poisson partials of a (doc_id, source,
+    * n_chars) frame: (source, r, sw = Σk·x, sk = Σk) — additive, so
+    * partials from disjoint corpus slices merge by summation (the
+    * mergeability that makes the bootstrap streamable). */
+  private def bootstrapPartials(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(expr("sequence(0, 31)")).as("r"))
+      .withColumn("u", expr("substring(md5(concat(" +
+        "cast(doc_id as string), ':', cast(r as string))), 1, 15)"))
+      .withColumn("k", expr(poissonCase("u")))
+      .groupBy(col("source"), col("r"))
+      .agg(sum(expr("k * n_chars")).as("sw"), sum(col("k")).as("sk"))
+
+  /** CI assembly from merged partials (source, r, sw, sk) + the point
+    * census (source, n_docs, sx): replicate means in exact permille,
+    * CI = 2nd/31st of the sorted replicate means. Empty replicates
+    * (Σk = 0, probability e^{-n} per source) are dropped and n_reps
+    * reports the survivors. */
+  private def bootstrapAssemble(rm0: DataFrame, cen: DataFrame)
+      : DataFrame = {
+    val point = cen.select(col("source"), col("n_docs"),
+      expr("CAST((1000 * CAST(sx AS DECIMAL(38,0)))" +
+        " div n_docs AS BIGINT)").as("mean_permille"))
+    val ci = rm0.where(col("sk") > 0)
+      .select(col("source"),
+        expr("CAST((1000 * CAST(sw AS DECIMAL(38,0))) div sk" +
+          " AS BIGINT)").as("m"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_reps"),
+        expr("sort_array(collect_list(m))").as("a"))
+      .select(col("source"), col("n_reps"),
+        expr("element_at(a, least(2, cast(size(a) as int)))")
+          .as("ci_lo_permille"),
+        expr("element_at(a, greatest(cast(size(a) as int) - 1, 1))")
+          .as("ci_hi_permille"))
+    point.join(ci, "source")
+      .select(col("source"), col("n_docs"), col("mean_permille"),
+        col("n_reps"), col("ci_lo_permille"), col("ci_hi_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** documents as 3 parquet files of (doc_id, source, n_chars) — the
+    * micro-batch fixture for q300; built once per sf. */
+  private[graft] def docsBootSplitFixture(s: SparkSession, d: String)
+      : String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_split3_boot")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Poisson bootstrap CI for the per-source mean document length.
@@ -159,41 +218,57 @@ object DesignQueries {
     // aggregation combines map-side, so the shuffle is 32·|sources|
     // rows however big the corpus is. Replicate means are exact
     // permille rationals; the CI is the 2nd/31st of the 32 sorted
-    // replicate means (a ~94% percentile interval). Empty replicates
-    // (Σk = 0, probability e^{-n} per source) are dropped and n_reps
-    // reports the survivors.
+    // replicate means (a ~94% percentile interval).
     "q294_poisson_bootstrap" -> ((s, d) => {
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val point = docs.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        expr("CAST((1000 * CAST(sum(n_chars) AS DECIMAL(38,0)))" +
-          " div count(1) AS BIGINT)").as("mean_permille"))
-      val reps = docs
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          explode(expr("sequence(0, 31)")).as("r"))
-        .withColumn("u", expr("substring(md5(concat(" +
-          "cast(doc_id as string), ':', cast(r as string))), 1, 15)"))
-        .withColumn("k", expr(poissonCase("u")))
-      val rm = reps.groupBy(col("source"), col("r"))
-        .agg(sum(expr("k * n_chars")).as("sw"), sum(col("k")).as("sk"))
-        .where(col("sk") > 0)
-        .select(col("source"),
-          expr("CAST((1000 * CAST(sw AS DECIMAL(38,0))) div sk" +
-            " AS BIGINT)").as("m"))
-      val ci = rm.groupBy(col("source")).agg(
-        count(lit(1)).as("n_reps"),
-        expr("sort_array(collect_list(m))").as("a"))
-        .select(col("source"), col("n_reps"),
-          expr("element_at(a, least(2, cast(size(a) as int)))")
-            .as("ci_lo_permille"),
-          expr("element_at(a, greatest(cast(size(a) as int) - 1, 1))")
-            .as("ci_hi_permille"))
-      point.join(ci, "source")
-        .select(col("source"), col("n_docs"), col("mean_permille"),
-          col("n_reps"), col("ci_lo_permille"), col("ci_hi_permille"))
-        .orderBy(col("source"))
+      bootstrapAssemble(
+        bootstrapPartials(docs),
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sx")))
     }),
+
+    // STREAMING bootstrap twin — the mergeability claim made concrete:
+    // each micro-batch reduces ITS OWN slice to (source, r, sw, sk)
+    // Poisson partials plus a (source, n, sx) census row set — O(batch)
+    // work, 32·|sources| + |sources| state rows per trigger — persisted
+    // under batch_id with dynamic overwrite (replay-idempotent,
+    // exactly-once); the final CI reads the merged sums through the
+    // SAME assembly as q294. Additive partials merge arrival-order-
+    // independently, so the stream must equal the batch run
+    // bit-for-bit — same oracle.
+    "q300_stream_bootstrap" -> ((s, d) =>
+      graft.Confs.dynamicOverwrite(s) {
+        val dir = docsBootSplitFixture(s, d)
+        val base = graft.Scratch.runDir("graft_streamboot")
+        val schema = s.read.parquet(dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            bootstrapPartials(batch)
+              .withColumn("batch_id", lit(bid))
+              .write.mode("overwrite").partitionBy("batch_id")
+              .parquet(s"$base/partials")
+            batch.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
+              .withColumn("batch_id", lit(bid))
+              .write.mode("overwrite").partitionBy("batch_id")
+              .parquet(s"$base/census")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        bootstrapAssemble(
+          s.read.parquet(s"$base/partials")
+            .groupBy(col("source"), col("r"))
+            .agg(sum(col("sw")).as("sw"), sum(col("sk")).as("sk")),
+          s.read.parquet(s"$base/census")
+            .groupBy(col("source"))
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("sx")).as("sx")))
+      }),
 
     // ε-DP release (ε = ln 2) of per-event-type user counts under the
     // truncated geometric mechanism. Contribution bounding first: each
@@ -416,10 +491,8 @@ object DesignQueries {
     GeomRows.map { case (k, lo, hi) => s"($k, '$lo', '$hi')" }
       .mkString(", ")
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q294_poisson_bootstrap" ->
-      s"""WITH reps AS (
+  private val bootstrapOracle =
+    s"""WITH reps AS (
         |  SELECT d.source, d.n_chars, r.r,
         |    substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
         |      CAST(r.r AS VARCHAR)), 1, 15) AS u
@@ -442,7 +515,15 @@ object DesignQueries {
         |SELECT pt.source, pt.n_docs, pt.mean_permille, ci.n_reps,
         |  a[CAST(least(2, len(a)) AS BIGINT)] AS ci_lo_permille,
         |  a[CAST(greatest(len(a) - 1, 1) AS BIGINT)] AS ci_hi_permille
-        |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin,
+        |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q294_poisson_bootstrap" -> bootstrapOracle,
+
+    // the stream merges additive partials, so it must equal the batch
+    // run bit-for-bit — the batch oracle IS the streaming oracle
+    "q300_stream_bootstrap" -> bootstrapOracle,
 
     "q295_dp_release" ->
       s"""WITH modal AS (

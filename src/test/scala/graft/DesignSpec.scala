@@ -87,6 +87,16 @@ class DesignSpec extends AnyFunSuite {
     }
   }
 
+  test("q300 streaming bootstrap equals the batch run row-for-row") {
+    // additive (source, r, sw, sk) partials must merge arrival-order-
+    // independently into exactly q294's result
+    val a = SparkEntry.queries("q294_poisson_bootstrap")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q300_stream_bootstrap")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(b === a)
+  }
+
   // ---- q295 DP release ----------------------------------------------------
 
   /** Truncated-geometric cutoffs rebuilt from the dyadic masses
