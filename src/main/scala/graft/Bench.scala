@@ -157,6 +157,7 @@ object Bench {
     }
     val loadStart = loadAvg1m
     val stats = selected.map { case (name, fn) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val c0 = processCpuSec
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -169,17 +170,16 @@ object Bench {
       // pressure taxes later allocation-heavy queries 3-4x (q99
       // measured 43 s late in a full-board run vs 11 s isolated).
       // Each query is self-contained, so dropping blocks affects only
-      // re-computation cost, never results.
-      // INVARIANT: no DataFrame may be cached/localCheckpointed in one
-      // query and reused by a later one. This sweep unpersists EVERY
-      // persistent RDD, and a localCheckpointed frame's lineage is
-      // truncated — a cross-query cached frame would fail with
-      // missing-checkpoint-block errors on reuse, not recompute.
-      // (Shared state across queries must live as on-disk fixtures,
-      // like the fixture builders above.)
+      // re-computation cost, never results. Snapshot-and-diff: only the
+      // RDDs THIS query persisted are dropped, so a (hypothetical)
+      // future cross-query cached frame would survive the sweep instead
+      // of failing later with missing-checkpoint-block errors — the
+      // invariant "shared state lives as on-disk fixtures" is now
+      // enforced by construction, not by comment.
       try {
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before(id) }
+          .values.foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
       (name, sec, cpu, load)
     }

@@ -452,10 +452,16 @@ object DesignQueries {
     // space OR-merge is why ANF scales where exact frontier expansion
     // explodes.
     "q299_anf_sketch" -> ((s, d) => {
+      // localCheckpoint the ≤|V|²-row edge aggregate ONCE (q251/q286's
+      // round convention): the 4 sketch rounds + 4 exact-hop frames
+      // otherwise each re-evaluate the fact-table edge-extraction joins
+      // inside one big plan — measured 12x super-linear at ScaleUp-sf10
+      // before the checkpoint, linear-in-|E| after.
       val edges = GraphQueries.tradeEdges(s, d)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
       val nodes = edges.select(col("src").as("v"))
         .union(edges.select(col("dst").as("v"))).distinct()
+        .localCheckpoint()
       val s0 = nodes
         .select(col("v"), explode(expr("sequence(0, 15)")).as("t"))
         .withColumn("u", expr("substring(md5(concat('anf|', " +

@@ -24,6 +24,13 @@ SKIP = {
     "q209_soft_dedup": "quadratic all-pairs soft-dedup truth oracle",
     "q210_stream_neardup": "quadratic all-pairs near-dup truth oracle",
     "q252_triangles": "EXISTS-probe wedge closure, superlinear in DuckDB",
+    # verified ok standalone at sf0.1 (548 s / 648 s) — same quadratic
+    # all-pairs shingle-intersection truth-oracle class; too slow for
+    # the parallel sweep's slot timeout
+    "q135_containment": "quadratic all-pairs containment truth oracle "
+                        "(~9 min standalone at sf0.1, verified ok)",
+    "q207_split_leakage": "quadratic all-pairs leakage truth oracle "
+                          "(~11 min standalone at sf0.1, verified ok)",
 }
 TIMEOUT_S = int(os.environ.get("SWEEP_TIMEOUT_S", "180"))
 JOBS = int(os.environ.get("SWEEP_JOBS", "6"))
