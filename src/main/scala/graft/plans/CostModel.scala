@@ -32,13 +32,26 @@ object CostModel {
   val BroadcastRowsKey = "spark.graft.cbo.broadcastRowThreshold"
   val DefaultBroadcastRows = 100000L
 
+  /** Equi-depth histogram resolution: 32 equal-mass buckets = 33 bounds
+    * (min, 31 interior percentiles, max) per analyzed column. */
+  val HistBuckets = 32
+
   /** ANALYZE-TABLE analog: one stats row (row count + approx NDV per
-    * requested key) persisted to `statsDir/name`. One aggregate pass,
-    * map-side combined; HLL keeps the NDV pass scan-shaped at any scale. */
+    * requested key + an optional [[HistBuckets]]-bucket equi-depth
+    * histogram per requested numeric column) persisted to
+    * `statsDir/name`. One aggregate pass, map-side combined; HLL keeps
+    * the NDV pass scan-shaped at any scale, and `percentile_approx`'s
+    * mergeable summary does the same for the histogram bounds. */
   def analyze(s: SparkSession, statsDir: String, name: String,
-      df: DataFrame, keyCols: Seq[String]): Unit = {
-    val aggs = count(lit(1)).as("rows") +:
-      keyCols.map(k => approx_count_distinct(col(k)).as(s"ndv_$k"))
+      df: DataFrame, keyCols: Seq[String],
+      histCols: Seq[String] = Nil): Unit = {
+    val pcts = (0 to HistBuckets)
+      .map(i => i.toDouble / HistBuckets).mkString(", ")
+    val aggs = (count(lit(1)).as("rows") +:
+      keyCols.map(k => approx_count_distinct(col(k)).as(s"ndv_$k"))) ++
+      histCols.map(c => expr(
+        s"percentile_approx(CAST($c AS DOUBLE), array($pcts), 10000)")
+        .as(s"hist_$c"))
     df.agg(aggs.head, aggs.tail: _*)
       .withColumn("analyzed_name", lit(name))
       .coalesce(1).write.mode("overwrite").parquet(s"$statsDir/$name")
@@ -55,7 +68,8 @@ object CostModel {
   private val statsCache =
     new scala.collection.concurrent.TrieMap[(String, String), StatsRow]()
 
-  private[graft] case class StatsRow(rows: Long, ndv: Map[String, Long])
+  private[graft] case class StatsRow(rows: Long, ndv: Map[String, Long],
+      hist: Map[String, Seq[Double]] = Map.empty)
 
   /** Full analyzed stats row for `name`, or None if never analyzed.
     * Resolved through the table read itself (not a java.io probe of
@@ -72,7 +86,10 @@ object CostModel {
           val ndv = row.schema.fieldNames.filter(_.startsWith("ndv_"))
             .map(f => f.stripPrefix("ndv_") ->
               row.getLong(row.fieldIndex(f))).toMap
-          Some(StatsRow(row.getLong(row.fieldIndex("rows")), ndv))
+          val hist = row.schema.fieldNames.filter(_.startsWith("hist_"))
+            .map(f => f.stripPrefix("hist_") ->
+              row.getSeq[Double](row.fieldIndex(f)).toSeq).toMap
+          Some(StatsRow(row.getLong(row.fieldIndex("rows")), ndv, hist))
         } catch {
           case _: org.apache.spark.sql.AnalysisException => None
           case _: java.util.NoSuchElementException => None // empty dir
@@ -106,6 +123,74 @@ object CostModel {
     if (broadcastRight) left.join(broadcast(right), keys, joinType)
     else if (broadcastLeft) broadcast(left).join(right, keys, joinType)
     else left.join(right, keys, joinType)
+  }
+
+  /** A closed range predicate `lo <= col <= hi` on an analyzed column —
+    * the input both to the frame filter and to the histogram estimate,
+    * so the plan always filters exactly what the estimate priced. */
+  case class RangePred(column: String, lo: Double, hi: Double)
+
+  /** Equi-depth selectivity of [lo, hi]: each of the [[HistBuckets]]
+    * buckets holds mass 1/HistBuckets; a bucket contributes its linear
+    * overlap fraction (the textbook intra-bucket uniformity assumption),
+    * and a zero-width bucket (heavy single value) contributes fully iff
+    * the range covers that value. None when `col` was never
+    * histogram-analyzed. */
+  private[graft] def selectivity(stats: StatsRow, pred: RangePred)
+      : Option[Double] =
+    stats.hist.get(pred.column).map { bounds =>
+      val per = 1.0 / (bounds.size - 1)
+      bounds.sliding(2).map { w =>
+        val (b0, b1) = (w.head, w.last)
+        if (pred.hi < b0 || pred.lo > b1) 0.0
+        else if (b1 == b0) per
+        else per * math.min(1.0,
+          math.max(0.0, (math.min(pred.hi, b1) - math.max(pred.lo, b0))
+            / (b1 - b0)))
+      }.sum
+    }
+
+  /** Post-filter cardinality estimate: analyzed rows × Π selectivity of
+    * the predicates whose columns carry histograms. A predicate on an
+    * unhistogrammed column contributes NO reduction (selectivity 1) —
+    * the conservative direction for a broadcast decision. */
+  private[graft] def effectiveRows(stats: StatsRow,
+      preds: Seq[RangePred]): Long = {
+    val sel = preds.flatMap(selectivity(stats, _)).product
+    math.ceil(stats.rows * sel).toLong
+  }
+
+  /** The THIRD stats-driven decision: broadcast-by-post-filter-
+    * cardinality. Spark's size heuristic prices the RELATION; a
+    * filtered fact side's dangerous-or-cheap question depends on the
+    * filter's selectivity, which only column statistics can answer at
+    * plan time. Each side's range predicates are applied to the frame
+    * AND priced against its equi-depth histograms; the broadcast choice
+    * then runs on the EFFECTIVE row counts through the same budget conf
+    * as [[planJoin]]. A side whose predicate columns lack histograms
+    * keeps its full analyzed row count (never broadcast on a guess),
+    * and an unanalyzed side is never broadcast at all. */
+  def planFilteredJoin(s: SparkSession, statsDir: String,
+      left: DataFrame, leftName: String, leftPreds: Seq[RangePred],
+      right: DataFrame, rightName: String, rightPreds: Seq[RangePred],
+      keys: Seq[String], joinType: String = "inner"): DataFrame = {
+    def applyPreds(df: DataFrame, preds: Seq[RangePred]): DataFrame =
+      preds.foldLeft(df)((d, p) =>
+        d.where(col(p.column) >= p.lo && col(p.column) <= p.hi))
+    val budget = s.conf.getOption(BroadcastRowsKey).map(_.toLong)
+      .getOrElse(DefaultBroadcastRows)
+    val lEff = statsOf(s, statsDir, leftName)
+      .map(effectiveRows(_, leftPreds))
+    val rEff = statsOf(s, statsDir, rightName)
+      .map(effectiveRows(_, rightPreds))
+    val lf = applyPreds(left, leftPreds)
+    val rf = applyPreds(right, rightPreds)
+    val broadcastRight = rEff.exists(r =>
+      r <= budget && lEff.forall(r <= _))
+    val broadcastLeft = !broadcastRight && lEff.exists(_ <= budget)
+    if (broadcastRight) lf.join(broadcast(rf), keys, joinType)
+    else if (broadcastLeft) broadcast(lf).join(rf, keys, joinType)
+    else lf.join(rf, keys, joinType)
   }
 
   /** Estimated output multiplier of the inner equi-join fact⋈dim —

@@ -85,4 +85,79 @@ class CboStatsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cbo_lang")
     }
   }
+
+  test("equi-depth histogram selectivity tracks the exact range count " +
+      "within a bucket of resolution") {
+    import org.apache.spark.sql.functions.col
+    val dir = Scratch.runDir("graft_cbohist")
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+    plans.CostModel.analyze(spark, dir, "customer", cust, Seq("nk"),
+      histCols = Seq("c_custkey"))
+    val stats = plans.CostModel.statsOf(spark, dir, "customer").get
+    val n = cust.count()
+    // three ranges of very different widths
+    // customer at sf0.001 spans c_custkey 1..150
+    for ((lo, hi) <- Seq((1.0, 15.0), (30.0, 90.0), (120.0, 150.0))) {
+      val exact = cust.where(col("c_custkey") >= lo &&
+        col("c_custkey") <= hi).count().toDouble / n
+      val est = plans.CostModel.selectivity(stats,
+        plans.CostModel.RangePred("c_custkey", lo, hi)).get
+      // equi-depth error bound: one bucket of mass on each boundary
+      val tol = 2.0 / plans.CostModel.HistBuckets + 0.01
+      assert(math.abs(est - exact) <= tol,
+        s"[$lo,$hi]: est $est vs exact $exact (tol $tol)")
+    }
+    // un-histogrammed column -> None (planner must not guess)
+    assert(plans.CostModel.selectivity(stats,
+      plans.CostModel.RangePred("nk", 0, 5)).isEmpty)
+  }
+
+  test("planFilteredJoin broadcasts on POST-FILTER cardinality, and " +
+      "only when the predicate column carries a histogram") {
+    import org.apache.spark.sql.functions.col
+    val dir = Scratch.runDir("graft_cbohist2")
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    // customer analyzed twice: once without and once with the histogram
+    plans.CostModel.analyze(spark, dir, "cust_nohist", cust, Seq("nk"))
+    plans.CostModel.analyze(spark, dir, "cust_hist", cust, Seq("nk"),
+      histCols = Seq("c_custkey"))
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(abtKey)
+    spark.conf.set(abtKey, "-1")
+    // budget below the full 150-row customer cardinality but above the
+    // ~10% post-filter estimate
+    spark.conf.set(plans.CostModel.BroadcastRowsKey, "50")
+    try {
+      val pred = Seq(plans.CostModel.RangePred("c_custkey", 1, 15))
+      def planOf(name: String) = plans.CostModel
+        .planFilteredJoin(spark, dir, nat, "nation_unanalyzed", Nil,
+          cust, name, pred, Seq("nk"))
+        .queryExecution.executedPlan.toString
+      // no histogram: the filtered side keeps its full 1500-row price
+      // -> over budget -> sort-merge
+      val p0 = planOf("cust_nohist")
+      assert(!p0.contains("BroadcastHashJoin") &&
+        p0.contains("SortMergeJoin"),
+        s"without a histogram the filter must not be priced:\n$p0")
+      // histogram: ~150 effective rows -> under budget -> broadcast
+      val p1 = planOf("cust_hist")
+      assert(p1.contains("BroadcastHashJoin"),
+        s"histogrammed selective filter must flip to broadcast:\n$p1")
+      // and the filtered-broadcast join computes the same rows as the
+      // plain filter-then-join
+      val a = plans.CostModel.planFilteredJoin(spark, dir,
+        nat, "nation_unanalyzed", Nil, cust, "cust_hist", pred,
+        Seq("nk")).count()
+      val b = nat.join(cust.where(col("c_custkey").between(1, 15)),
+        Seq("nk")).count()
+      assert(a == b, s"filtered join changed the result: $a vs $b")
+    } finally {
+      spark.conf.set(abtKey, prev)
+      spark.conf.unset(plans.CostModel.BroadcastRowsKey)
+    }
+  }
 }
