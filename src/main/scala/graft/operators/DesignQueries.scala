@@ -70,6 +70,24 @@ import org.apache.spark.sql.functions._
   *    census rows under batch_id dynamic overwrite, merged by
   *    summation into the same CI assembly; the mergeable-bootstrap
   *    property gated bit-for-bit against the batch oracle.
+  *  - q301: chi-square homogeneity of the sources × length-bin
+  *    contingency + Cramér's V — the binned-frequency classic beside
+  *    the q279 KS / q280 W1 / q281 MW family. Kept engine-exact by
+  *    DEFINING the statistic with a per-cell milli-floor (each cell
+  *    contributes floor(1000·(o·n − r·c)²/(n·r·c)); zero cells
+  *    included via the K×C grid), so both engines sum identical
+  *    integers; V = isqrt(1000·χ²_milli div (n·min(K−1,C−1))) with the
+  *    argument provably ≤ 1e6 (exact in double sqrt).
+  *  - q302: Benford first-significant-digit audit of order totals —
+  *    the data-quality forensic: digit census vs the floored Benford
+  *    permille constants (301,176,…,45). First digit extracted with
+  *    string-length arithmetic (v div 10^(len−1) built as
+  *    '1' ++ repeat('0')), never float log10.
+  *  - q303: Gini concentration of document length within each source
+  *    (is a crawl dominated by a few giant documents?) — the sorted-
+  *    index formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) in exact permille;
+  *    tie order cannot change Σi·x over equal x, so the windowed rank
+  *    is deterministic-equivalent in both engines.
   *
   * Scale shape: every corpus-sized pass is one scan with map-side
   * combine (q294's replicate partials, q296's bucket sums, q297's
@@ -147,6 +165,13 @@ object DesignQueries {
       s"((($cx $divOp ${1 << i}) % 2) * ${1L << (2 * i)}" +
         s" + (($cy $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
+
+  /** Floored Benford permille for first digit 1..9:
+    * floor(1000·log10(1 + 1/d)) — sums to 995 (5 permille floor loss,
+    * the deviation column absorbs it identically in both engines). */
+  private[operators] val BenfordPermille: Seq[(Int, Long)] =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+      6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
 
   // Z-order probe box on the 0..255 grid: a 96×96 window (~14% of the
   // plane) off-origin so neither layout trivially prunes everything.
@@ -443,6 +468,93 @@ object DesignQueries {
         .orderBy(col("layout"))
     }),
 
+    // Chi-square homogeneity of sources × 8 length bins, plus Cramér's
+    // V. One census pass (the K×C contingency is the ONLY corpus-sized
+    // aggregate); the test statistic runs on the ≤ K·C-row grid with
+    // broadcast margins — zero cells included via the margins' cross
+    // join. The statistic is DEFINED with a per-cell milli-floor so
+    // both engines sum identical integers; V's isqrt argument is
+    // bounded by 1e6 (V ≤ 1), where double sqrt is exact.
+    "q301_chisq_homogeneity" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("source"), col("n_chars"))
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      val o = docs.crossJoin(broadcast(mx))
+        .withColumn("b", expr("CAST((n_chars * 8) div (mx + 1) AS BIGINT)"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("o"))
+      val rm = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val cm = o.groupBy(col("b")).agg(sum(col("o")).as("c"))
+      val nn = o.agg(sum(col("o")).as("n"),
+        countDistinct(col("source")).as("k"),
+        countDistinct(col("b")).as("cb"))
+      val grid = broadcast(rm).crossJoin(broadcast(cm))
+        .join(o, Seq("source", "b"), "left")
+        .withColumn("oo", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(nn))
+        .withColumn("contrib_milli", expr(
+          "CAST((1000 * (CAST(oo AS DECIMAL(38,0)) * n - CAST(r AS" +
+            " DECIMAL(38,0)) * c) * (CAST(oo AS DECIMAL(38,0)) * n -" +
+            " CAST(r AS DECIMAL(38,0)) * c)) div (CAST(n AS" +
+            " DECIMAL(38,0)) * r * c) AS BIGINT)"))
+      grid.groupBy(col("n"), col("k"), col("cb"))
+        .agg(sum(col("contrib_milli")).as("chi2_milli"))
+        .select(col("n"), col("k").as("k_sources"), col("cb").as("c_bins"),
+          expr("(k - 1) * (cb - 1)").as("dof"), col("chi2_milli"),
+          expr("CAST(FLOOR(SQRT(CAST((1000 * chi2_milli) div" +
+            " (n * least(k - 1, cb - 1)) AS DOUBLE))) AS BIGINT)")
+            .as("cramers_v_permille"))
+    }),
+
+    // Benford first-digit audit of floor(o_totalprice): digit census
+    // vs the floored Benford permille expectation — the classic
+    // fabricated-data / unit-mixup forensic. First digit comes from
+    // string-LENGTH arithmetic (v div 10^(len−1), the power built as
+    // '1' ++ zeros), never float log10; one map-side-combined census,
+    // the 9-row expectation broadcast.
+    "q302_benford_audit" -> ((s, d) => {
+      import s.implicits._
+      val obs = T.orders(s, d)
+        .select(expr("CAST(FLOOR(o_totalprice) AS BIGINT)").as("v"))
+        .where(col("v") >= 1)
+        .withColumn("digit", expr("v div CAST(concat('1'," +
+          " repeat('0', length(CAST(v AS STRING)) - 1)) AS BIGINT)"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val exp = BenfordPermille.toDF("digit", "benford_permille")
+      exp.withColumn("digit", col("digit").cast("bigint"))
+        .join(broadcast(obs), Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          expr("(1000 * n_obs) div n").as("obs_permille"),
+          col("benford_permille"),
+          expr("abs((1000 * n_obs) div n - benford_permille)")
+            .as("dev_permille"))
+        .orderBy(col("digit"))
+    }),
+
+    // Gini concentration of document length within each source — the
+    // "is this crawl a few giant documents" instrument. Sorted-index
+    // formula over a PARTITIONED rank window (slim rows), moments to
+    // DECIMAL(38) (Σi·x ~ n²·x̄/2 passes int64 near 1e8 docs/source);
+    // equal lengths contribute the same Σi·x under any tie order, so
+    // the rank is deterministic-equivalent across engines.
+    "q303_gini_concentration" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      T.documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * n_chars")).as("six"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          expr("CAST((1000 * (2 * six - (n_docs + 1) *" +
+            " CAST(total_chars AS DECIMAL(38,0)))) div" +
+            " (n_docs * CAST(total_chars AS DECIMAL(38,0))) AS BIGINT)")
+            .as("gini_permille"))
+        .orderBy(col("source"))
+    }),
+
     // ANF neighborhood function on the nation trade graph: 16 FM
     // bitmask trials per node, 3 bit_or propagation rounds over
     // directed out-edges, readout = Σ_{v,t} lowest-zero-bit index —
@@ -648,6 +760,81 @@ object DesignQueries {
         |SELECT * FROM ax UNION ALL SELECT * FROM az
         |ORDER BY layout""".stripMargin
     },
+
+    "q301_chisq_homogeneity" ->
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |mx AS (SELECT MAX(n_chars) AS mx FROM docs),
+        |o AS (SELECT source,
+        |        CAST((n_chars * 8) // (mx + 1) AS BIGINT) AS b,
+        |        CAST(COUNT(*) AS BIGINT) AS o
+        |      FROM docs, mx GROUP BY 1, 2),
+        |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+        |       FROM o GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS k,
+        |         CAST(COUNT(DISTINCT b) AS BIGINT) AS cb FROM o),
+        |grid AS (
+        |  SELECT rm.source, cm.b, rm.r, cm.c,
+        |    COALESCE(o.o, 0) AS oo
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN o ON o.source = rm.source AND o.b = cm.b),
+        |cells AS (
+        |  SELECT CAST((1000 * (CAST(oo AS HUGEINT) * nn.n
+        |        - CAST(r AS HUGEINT) * c)
+        |      * (CAST(oo AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c))
+        |      // (CAST(nn.n AS HUGEINT) * r * c) AS BIGINT)
+        |      AS contrib_milli,
+        |    nn.n, nn.k, nn.cb
+        |  FROM grid, nn)
+        |SELECT n, k AS k_sources, cb AS c_bins,
+        |  (k - 1) * (cb - 1) AS dof,
+        |  CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli,
+        |  CAST(FLOOR(SQRT(CAST((1000 * CAST(SUM(contrib_milli) AS
+        |      BIGINT)) // (n * least(k - 1, cb - 1)) AS DOUBLE)))
+        |    AS BIGINT) AS cramers_v_permille
+        |FROM cells GROUP BY n, k, cb""".stripMargin,
+
+    "q302_benford_audit" -> {
+      val vals = BenfordPermille
+        .map { case (dd, pp) => s"($dd, $pp)" }.mkString(", ")
+      s"""WITH src AS (
+        |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders),
+        |obs AS (
+        |  SELECT v // CAST('1' || repeat('0',
+        |      CAST(length(CAST(v AS VARCHAR)) AS INTEGER) - 1)
+        |      AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM src WHERE v >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        |e(digit, benford_permille) AS (VALUES $vals)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  COALESCE(obs.n_obs, 0) AS n_obs,
+        |  (1000 * COALESCE(obs.n_obs, 0)) // tot.n AS obs_permille,
+        |  CAST(e.benford_permille AS BIGINT) AS benford_permille,
+        |  abs((1000 * COALESCE(obs.n_obs, 0)) // tot.n
+        |    - e.benford_permille) AS dev_permille
+        |FROM e LEFT JOIN obs ON obs.digit = e.digit, tot
+        |ORDER BY digit""".stripMargin
+    },
+
+    "q303_gini_concentration" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(CAST(i AS HUGEINT) * n_chars) AS HUGEINT) AS six
+        |  FROM rk GROUP BY 1)
+        |SELECT source, n_docs, total_chars,
+        |  CAST((1000 * (2 * six - (n_docs + 1)
+        |      * CAST(total_chars AS HUGEINT)))
+        |    // (CAST(n_docs AS HUGEINT) * total_chars) AS BIGINT)
+        |    AS gini_permille
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q299_anf_sketch" -> {
       def prop(prev: String, cur: String): String =

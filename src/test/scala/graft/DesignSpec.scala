@@ -310,4 +310,87 @@ class DesignSpec extends AnyFunSuite {
       "sketch readout must be monotone in radius")
     assert(got.map(_._3) === got.map(_._3).sorted)
   }
+
+  // ---- q301/q302/q303 distributional audits --------------------------------
+
+  test("q301 matches an exact BigInt chi-square recomputation with the " +
+      "per-cell milli-floor definition") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mx = docs.map(_._2).max
+    val cells = docs.map { case (s0, x) => (s0, x * 8 / (mx + 1)) }
+    val o = cells.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val srcs = cells.map(_._1).distinct.sorted
+    val bins = cells.map(_._2).distinct.sorted
+    val r = srcs.map(s0 => s0 -> o.collect {
+      case ((`s0`, _), c) => c }.sum).toMap
+    val c = bins.map(b => b -> o.collect {
+      case ((_, `b`), cc) => cc }.sum).toMap
+    val n = BigInt(cells.length)
+    val chi2 = (for (s0 <- srcs; b <- bins) yield {
+      val oo = BigInt(o.getOrElse((s0, b), 0L))
+      val diff = oo * n - BigInt(r(s0)) * c(b)
+      (1000 * diff * diff) / (n * r(s0) * c(b))
+    }).sum
+    val m = BigInt(math.min(srcs.length - 1, bins.length - 1))
+    val v = isqrt(1000 * chi2 / (n * m))
+    val row = SparkEntry.queries("q301_chisq_homogeneity")(spark, sf)
+      .collect().head
+    assert(row.getLong(row.fieldIndex("chi2_milli")) === chi2.toLong)
+    assert(row.getLong(row.fieldIndex("dof")) ===
+      (srcs.length - 1).toLong * (bins.length - 1))
+    assert(row.getLong(row.fieldIndex("cramers_v_permille")) === v.toLong)
+    assert(v >= 0 && v <= 1000)
+  }
+
+  test("q302 matches an exact first-digit recomputation and accounts " +
+      "every order") {
+    val vs = Tables.orders(spark, sf)
+      .select(expr("CAST(FLOOR(o_totalprice) AS BIGINT)").as("v"))
+      .collect().map(_.getLong(0)).filter(_ >= 1)
+    val census = vs.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val n = vs.length.toLong
+    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L,
+      5 -> 79L, 6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+    val want = (1 to 9).map { d =>
+      val nObs = census.getOrElse(d.toLong, 0L)
+      val obsP = 1000L * nObs / n
+      (d.toLong, nObs, obsP, benford(d), math.abs(obsP - benford(d)))
+    }
+    val got = SparkEntry.queries("q302_benford_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === n, "digit census must cover every order")
+  }
+
+  test("q303 matches an exact Gini recomputation and a constant-length " +
+      "stratum reads zero") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val xs = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val six = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      src -> (xs.length.toLong, xs.sum,
+        (1000 * (2 * six - (n + 1) * sx) / (n * sx)).toLong)
+    }
+    val got = SparkEntry.queries("q303_gini_concentration")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    got.values.foreach { case (_, _, g) => assert(g >= 0 && g < 1000) }
+    // the Gini of a constant vector is 0 — sanity of the formula
+    val const = Seq.fill(7)(42L)
+    val sixC = const.zipWithIndex.map { case (x, i) =>
+      BigInt(i + 1) * x }.sum
+    assert(1000 * (2 * sixC - BigInt(8) * const.sum) /
+      (BigInt(7) * const.sum) === BigInt(0))
+  }
 }
