@@ -145,8 +145,18 @@ object Bench {
       operators.VideoQueries.stillFrameFixture(spark, sfDir)
       operators.StorageQueries.docsV2Fixture(spark, sfDir)
       operators.SpanQueries.spanIndexFixture(spark, sfDir)
+      operators.DesignQueries.docsBootSplitFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
+    } catch { case _: Throwable => () }
+    // Drop every block the FIXTURE stage persisted (e.g. a fixture
+    // builder's localCheckpointed corpus frame) before the timed loop:
+    // the per-query sweep below is snapshot-diff scoped and would
+    // otherwise exempt fixture-stage RDDs forever, leaving a
+    // corpus-sized checkpoint resident through the whole board.
+    try {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     } catch { case _: Throwable => () }
     // Optional comma-separated prefix filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q50,q56,q57 — the driver never sets it.

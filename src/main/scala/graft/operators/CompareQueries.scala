@@ -727,9 +727,7 @@ object CompareQueries {
           ()
         }
         .start()
-      try q.awaitTermination()
-      catch { case _: org.apache.spark.sql.streaming
-        .StreamingQueryException if failAfter.nonEmpty => () }
+      graft.streaming.PlannedStop.await(q, failAfter.nonEmpty)
       tvFromCensus(
         s.read.parquet(s"$base/cells")
           .groupBy(col("source"), col("w"))

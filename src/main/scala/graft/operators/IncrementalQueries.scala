@@ -235,9 +235,7 @@ object IncrementalQueries {
           .parquet(s"$base/landing")
       }
       .start()
-    try q.awaitTermination()
-    catch { case _: org.apache.spark.sql.streaming
-      .StreamingQueryException => () } // the planned stop
+    graft.streaming.PlannedStop.await(q, failAfter.nonEmpty)
   }
 
   /** One bounded run of the q210 continuous near-dup twin against the
@@ -316,9 +314,7 @@ object IncrementalQueries {
           ()
         }
         .start()
-      try q.awaitTermination()
-      catch { case _: org.apache.spark.sql.streaming
-        .StreamingQueryException if failAfter.nonEmpty => () }
+      graft.streaming.PlannedStop.await(q, failAfter.nonEmpty)
       val raw = s.read.parquet(s"$base/pairs")
       raw.select(
           least(col("id_a"), col("id_b")).as("id_a"),

@@ -365,9 +365,7 @@ object VideoQueries {
           ()
         }
         .start()
-      try q.awaitTermination()
-      catch { case _: org.apache.spark.sql.streaming
-        .StreamingQueryException if failAfter.nonEmpty => () }
+      graft.streaming.PlannedStop.await(q, failAfter.nonEmpty)
       val raw = s.read.parquet(s"$base/pairs")
       // arrival order vs id order: normalize to a < b like q210
       raw.select(

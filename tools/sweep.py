@@ -91,21 +91,47 @@ def main():
                           "; value-gated at sf0.01 by tools/check.py"}
         else:
             todo.append((n, out_dir, sf_dir, oracle.get(n)))
-    # Each query in its own process so a hung oracle is killable.
-    with mp.Pool(JOBS) as pool:
-        async_rs = {a[0]: pool.apply_async(compare_one, (a,))
-                    for a in todo}
-        for n, ar in async_rs.items():
-            try:
-                # slot-relative: earlier gets already waited their share,
-                # so a healthy later task is usually done by its turn
-                name, status, note = ar.get(timeout=TIMEOUT_S)
+    # Each query in its own dedicated Process with a REAL per-task
+    # deadline measured from its own start: a hung oracle is terminated
+    # (freeing its slot) and can never starve queued healthy queries —
+    # mp.Pool's get(timeout) abandons the future but leaves the worker
+    # running, which both blocked a slot and falsely timed out tasks
+    # still sitting in the queue.
+    import collections
+    import time
+
+    def _worker(a, q):
+        try:
+            q.put(compare_one(a))
+        except Exception as e:  # surfaced as a fail row, not a hang
+            q.put((a[0], "fail", f"worker: {e}"))
+
+    pending = collections.deque(todo)
+    running = {}  # name -> (process, queue, started_at)
+    while pending or running:
+        while pending and len(running) < JOBS:
+            a = pending.popleft()
+            q = mp.Queue(1)
+            pr = mp.Process(target=_worker, args=(a, q), daemon=True)
+            pr.start()
+            running[a[0]] = (pr, q, time.monotonic())
+        time.sleep(0.2)
+        for n in list(running):
+            pr, q, t0 = running[n]
+            if not q.empty():
+                name, status, note = q.get()
                 results[name] = {"status": status, "note": note}
-            except mp.TimeoutError:
+            elif not pr.is_alive():
                 results[n] = {"status": "fail",
-                              "note": f"timeout >{TIMEOUT_S}s"}
-            except Exception as e:
-                results[n] = {"status": "fail", "note": f"worker: {e}"}
+                              "note": "worker died without a result"}
+            elif time.monotonic() - t0 > TIMEOUT_S:
+                pr.terminate()
+                results[n] = {"status": "fail",
+                              "note": f"timeout >{TIMEOUT_S}s (killed)"}
+            else:
+                continue
+            pr.join(5)
+            del running[n]
             print(f"  {n}: {results[n]['status']} {results[n]['note']}",
                   flush=True)
     n_ok = sum(1 for r in results.values() if r["status"] == "ok")
