@@ -146,6 +146,7 @@ object Bench {
       operators.StorageQueries.docsV2Fixture(spark, sfDir)
       operators.SpanQueries.spanIndexFixture(spark, sfDir)
       operators.DesignQueries.docsBootSplitFixture(spark, sfDir)
+      operators.VideoQueries.aviShotFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

@@ -123,7 +123,67 @@ object VideoQueries {
     out
   }
 
+  /** Clips with PLANTED shot structure: nf = 9 + id%4 frames, hard cuts
+    * at c1 = 3 + id%2 and c2 = 6 + id%3 (always c1 < c2 < nf); frames
+    * within a shot are byte-identical (pattern keyed by the SHOT index,
+    * not the frame index), so each clip's cut schedule is analytic from
+    * doc_id alone — the q260-style planted truth for q304. */
+  private[graft] def aviShotFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_avi_shots")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (9 + id % 4).toInt
+            val c1 = 3 + id % 2
+            val c2 = 6 + id % 3
+            val frames = (0 until nf).map { f =>
+              val shot = (if (f >= c1) 1L else 0L) +
+                (if (f >= c2) 1L else 0L)
+              val p = framePattern(id, shot)
+              graft.multimodal.Multimodal.JpegCodec.encode(64, 64,
+                (x, y) =>
+                  if (((p >>> ((y / 8) * 8 + (x / 8))) & 1L) == 1L)
+                    (255, 255, 255)
+                  else (0, 0, 0))
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.AviCodec.encode(64, 64, 1,
+                frames))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Shot-boundary detection — the video-curation segmentation step
+    // (sample k frames PER SHOT, not per clip, or dedup at shot
+    // granularity): decode each clip's frames ONCE in the scan pass,
+    // then a cut is every frame whose aHash differs from its
+    // predecessor's — a lag window PARTITIONED by clip over slim
+    // (doc_id, frame_idx, hash) rows; pixels never cross an exchange.
+    // On the planted fixture the detected cut set must equal the
+    // analytic schedule exactly (within-shot frames are byte-identical
+    // so the hash-change detector has zero slack; robustness to
+    // intra-shot noise is deliberately NOT claimed — that is q260's
+    // hamming-band territory).
+    "q304_shot_boundaries" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fh = graft.multimodal.Multimodal.aviFrameHashes(
+        s.read.parquet(aviShotFixture(s, d)))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      fh.withColumn("prev", lag(col("ahash"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("ahash"))
+        .select(col("doc_id"),
+          col("frame_idx").cast("bigint").as("cut_frame"))
+        .orderBy(col("doc_id"), col("cut_frame"))
+    }),
 
     // Clip-level perceptual near-dup: per-frame aHash (decode stays on
     // the executor), then clips pair when they SHARE frame signatures —
@@ -380,6 +440,16 @@ object VideoQueries {
     }
 
   def oracleSql: Map[String, String] = Map(
+
+    // the planted cut schedule is analytic from doc_id: cuts at
+    // 3 + id%2 and 6 + id%3, always distinct and inside every clip
+    "q304_shot_boundaries" ->
+      """SELECT doc_id, CAST(3 + doc_id % 2 AS BIGINT) AS cut_frame
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(6 + doc_id % 3 AS BIGINT) AS cut_frame
+        |FROM documents
+        |ORDER BY doc_id, cut_frame""".stripMargin,
 
     // The planted schedule, re-derived: every even doc with an odd twin
     // shares nf-1 of nf frames (nf = 4 + (doc_id div 2) % 4).

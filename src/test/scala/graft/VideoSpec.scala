@@ -96,4 +96,19 @@ class VideoSpec extends AnyFunSuite {
       s"every planted image must match exactly its twin clips: " +
         s"${perImage.filter(_._2 != 2)}")
   }
+
+  test("q304 recovers exactly the planted shot-cut schedule, two cuts " +
+      "per clip, none inside a shot") {
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.flatMap(id =>
+      Seq((id, 3 + id % 2), (id, 6 + id % 3))).sorted.toSeq
+    val got = SparkEntry.queries("q304_shot_boundaries")(
+        spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    got.groupBy(_._1).foreach { case (id, cuts) =>
+      assert(cuts.length === 2, s"clip $id: ${cuts.length} cuts")
+    }
+  }
 }
