@@ -162,6 +162,36 @@ object VideoQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Keyframe-per-shot sampling — q304's segmentation feeding the
+    // q158 deterministic-reservoir pick: frames get shot ids via a
+    // running cut count, then each (clip, shot) keeps its min-md5
+    // frame — "sample one frame PER SHOT", the curation step that
+    // makes a video corpus trainable without per-clip redundancy.
+    // Both windows are clip-partitioned over slim hash rows; the
+    // representative choice is engine-reproducible (md5 order, ties
+    // by frame index).
+    "q305_keyframe_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fh = graft.multimodal.Multimodal.aviFrameHashes(
+        s.read.parquet(aviShotFixture(s, d)))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val shots = fh
+        .withColumn("prev", lag(col("ahash"), 1).over(w))
+        .withColumn("cut", when(col("prev").isNotNull &&
+          col("prev") =!= col("ahash"), 1L).otherwise(0L))
+        .withColumn("shot", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("m", md5(concat_ws(":", lit("kf"), col("doc_id"),
+          col("frame_idx"))))
+      shots.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("shot"))
+            .orderBy(col("m"), col("frame_idx"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("shot"),
+          col("frame_idx").cast("bigint").as("keyframe"))
+        .orderBy(col("doc_id"), col("shot"))
+    }),
+
     // Shot-boundary detection — the video-curation segmentation step
     // (sample k frames PER SHOT, not per clip, or dedup at shot
     // granularity): decode each clip's frames ONCE in the scan pass,
@@ -450,6 +480,26 @@ object VideoQueries {
         |SELECT doc_id, CAST(6 + doc_id % 3 AS BIGINT) AS cut_frame
         |FROM documents
         |ORDER BY doc_id, cut_frame""".stripMargin,
+
+    // analytic frame->shot mapping + the same md5 representative order
+    "q305_keyframe_sample" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, r.f,
+        |    CAST((CASE WHEN r.f >= 3 + d.doc_id % 2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r.f >= 6 + d.doc_id % 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS shot,
+        |    md5('kf:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(r.f AS VARCHAR)) AS m
+        |  FROM documents d
+        |  JOIN (SELECT range AS f FROM range(13)) r
+        |    ON r.f < 9 + d.doc_id % 4),
+        |rk AS (
+        |  SELECT doc_id, shot, f,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, shot
+        |      ORDER BY m, f) AS rn
+        |  FROM f)
+        |SELECT doc_id, shot, CAST(f AS BIGINT) AS keyframe
+        |FROM rk WHERE rn = 1 ORDER BY doc_id, shot""".stripMargin,
 
     // The planted schedule, re-derived: every even doc with an odd twin
     // shares nf-1 of nf frames (nf = 4 + (doc_id div 2) % 4).

@@ -111,4 +111,31 @@ class VideoSpec extends AnyFunSuite {
       assert(cuts.length === 2, s"clip $id: ${cuts.length} cuts")
     }
   }
+
+  test("q305 picks exactly one md5-min keyframe per planted shot") {
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = ids.flatMap { id =>
+      val nf = (9 + id % 4).toInt
+      val (c1, c2) = (3 + id % 2, 6 + id % 3)
+      (0 until nf)
+        .map(f => (f, (if (f >= c1) 1L else 0L) + (if (f >= c2) 1L else 0L)))
+        .groupBy(_._2).map { case (shot, fs) =>
+          (id, shot, fs.map(_._1)
+            .minBy(f => (md5hex(s"kf:$id:$f"), f)).toLong)
+        }
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q305_keyframe_sample")(
+        spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+    // exactly three shots per clip (two planted cuts)
+    got.groupBy(_._1).foreach { case (id, ss) =>
+      assert(ss.map(_._2).sorted === Seq(0L, 1L, 2L), s"clip $id: $ss")
+    }
+  }
 }
