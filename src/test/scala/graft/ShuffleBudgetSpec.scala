@@ -468,4 +468,25 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       s"sketch path ($sketchBytes B) must undercut the exact " +
         s"universe pass ($exactBytes B) by 4x+")
   }
+
+  test("q304/q305 shot segmentation shuffles frame hashes, never pixels") {
+    // both queries' only exchanges are the clip-partitioned window sorts
+    // over (doc_id, frame_idx, n_frames, ahash) rows (plus q305's
+    // md5 key) — the decode stays in the scan pass. One decoded 64x64
+    // frame is 12 KB; any pixel payload on an exchange overshoots the
+    // per-frame budget immediately.
+    import org.apache.spark.sql.functions.{count, lit}
+    val frames = graft.multimodal.Multimodal.aviFrameHashes(
+      spark.read.parquet(operators.VideoQueries.aviShotFixture(
+        spark, TestSession.sfDir)))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    for (q <- Seq("q304_shot_boundaries", "q305_keyframe_sample")) {
+      val bytes = run(q)
+      info(s"$q shuffle write: $bytes B for $frames frames")
+      assert(bytes > 0, s"$q: expected at least one shuffle")
+      assert(bytes < 160L * frames,
+        s"$q shuffled $bytes B for $frames frames — pixel payloads " +
+          "leaked into an exchange?")
+    }
+  }
 }
