@@ -147,6 +147,7 @@ object Bench {
       operators.SpanQueries.spanIndexFixture(spark, sfDir)
       operators.DesignQueries.docsBootSplitFixture(spark, sfDir)
       operators.VideoQueries.aviShotFixture(spark, sfDir)
+      operators.VideoQueries.wavSegFixture(spark, sfDir)
       warmPageCache(new java.io.File(sfDir))
       warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
     } catch { case _: Throwable => () }

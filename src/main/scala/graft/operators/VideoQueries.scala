@@ -160,7 +160,67 @@ object VideoQueries {
     out
   }
 
+  /** Audio clips with PLANTED segment structure — q304's fixture idea on
+    * PCM: nw = 9 + id%4 windows of 256 samples, hard cuts at 3 + id%2
+    * and 6 + id%3; samples are keyed by the SEGMENT index (not the
+    * window index), so within-segment windows are byte-identical and
+    * the cut schedule is analytic from doc_id. */
+  private[graft] def wavSegFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "docs_wav_segs")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[graft.multimodal.Multimodal.MediaRow] =
+        Encoders.product[graft.multimodal.Multimodal.MediaRow]
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nw = (9 + id % 4).toInt
+            val c1 = 3 + id % 2
+            val c2 = 6 + id % 3
+            val samples = new Array[Short](nw * 256)
+            var w = 0
+            while (w < nw) {
+              val seg = (if (w >= c1) 1L else 0L) +
+                (if (w >= c2) 1L else 0L)
+              val seed = mix(id * 7777L + seg)
+              var i = 0
+              while (i < 256) {
+                samples(w * 256 + i) =
+                  (((seed >>> (i % 48)) + i * (seg + 3)) & 0x7fff).toShort
+                i += 1
+              }
+              w += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.WavCodec.encode(samples))
+          }
+        }.toDF().write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Audio segment boundaries — q304's detector on sound: PCM decodes
+    // and window-hashes in the scan pass (lossless round trip, so
+    // within-segment windows hash identically), then a boundary is
+    // every 256-sample window whose content hash differs from its
+    // predecessor's, under a clip-partitioned lag window over slim
+    // (doc_id, window_idx, hash) rows. Completes the segmentation
+    // story across the modality trio (image corpus q186 / video q304 /
+    // audio here).
+    "q306_audio_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wh = graft.multimodal.Multimodal.wavWindowHashes(
+        s.read.parquet(wavSegFixture(s, d)))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+      wh.withColumn("prev", lag(col("whash"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("whash"))
+        .select(col("doc_id"),
+          col("window_idx").cast("bigint").as("cut_window"))
+        .orderBy(col("doc_id"), col("cut_window"))
+    }),
 
     // Keyframe-per-shot sampling — q304's segmentation feeding the
     // q158 deterministic-reservoir pick: frames get shot ids via a
@@ -480,6 +540,15 @@ object VideoQueries {
         |SELECT doc_id, CAST(6 + doc_id % 3 AS BIGINT) AS cut_frame
         |FROM documents
         |ORDER BY doc_id, cut_frame""".stripMargin,
+
+    // same analytic schedule as q304, read off the audio fixture
+    "q306_audio_segments" ->
+      """SELECT doc_id, CAST(3 + doc_id % 2 AS BIGINT) AS cut_window
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(6 + doc_id % 3 AS BIGINT) AS cut_window
+        |FROM documents
+        |ORDER BY doc_id, cut_window""".stripMargin,
 
     // analytic frame->shot mapping + the same md5 representative order
     "q305_keyframe_sample" ->

@@ -138,4 +138,15 @@ class VideoSpec extends AnyFunSuite {
       assert(ss.map(_._2).sorted === Seq(0L, 1L, 2L), s"clip $id: $ss")
     }
   }
+
+  test("q306 recovers exactly the planted audio-segment schedule") {
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.flatMap(id =>
+      Seq((id, 3 + id % 2), (id, 6 + id % 3))).sorted.toSeq
+    val got = SparkEntry.queries("q306_audio_segments")(
+        spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
 }
