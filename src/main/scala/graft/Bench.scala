@@ -86,6 +86,76 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$restPart,"sf":"$sfName"}"""
   }
 
+  /** Every on-disk fixture any registry query can touch, built (and
+    * timed) BEFORE the timed loop. Builders are idempotent (_SUCCESS /
+    * _DONE guarded), so after this stage no timed query ever pays a
+    * build. BenchFixtureSpec asserts completeness against the source
+    * tree: a `def *Fixture` added anywhere in src/main without an entry
+    * here fails the suite. The two warmup entries are JVM/codegen + scan
+    * warmers, not fixtures, but belong to the same untimed stage. */
+  private[graft] val fixtureBuilders
+      : Seq[(String, (SparkSession, String) => Any)] = Seq[
+        (String, (SparkSession, String) => Any)](
+    "warmup_entry" -> ((s, _) => SparkEntry.entry(s).count()),
+    "warmup_tables" ->
+      ((s, d) => Tables.all.foreach(n => Tables.t(s, d, n).count())),
+    "csvFixture" -> operators.ReferenceQueries.csvFixture _,
+    "jsonFixture" -> operators.ReferenceQueries.jsonFixture _,
+    "walkFixture" -> operators.SystemQueries.walkFixture _,
+    "zipFixture" -> operators.SystemQueries.zipFixture _,
+    "sessionFixture" -> operators.StreamCatalogQueries.sessionFixture _,
+    "orcFixture" -> operators.ExtendedQueries.orcFixture _,
+    "ivfIndexFixture" -> operators.ExtendedQueries.ivfIndexFixture _,
+    "xmlFixture" -> operators.FrontierQueries.xmlFixture _,
+    "zorderFixture" -> operators.FrontierQueries.zorderFixture _,
+    "eventsSplitFixture" -> operators.FrontierQueries.eventsSplitFixture _,
+    "outerFlushFixture" -> operators.FrontierQueries.outerFlushFixture _,
+    "dedupIndexFixture" -> operators.IncrementalQueries.dedupIndexFixture _,
+    "evolutionFixture" -> operators.IncrementalQueries.evolutionFixture _,
+    "corruptFixture" -> operators.IncrementalQueries.corruptFixture _,
+    "docsSplitFixture" ->
+      ((s, d) => operators.IncrementalQueries.docsSplitFixture(s, d)),
+    "ppmFixture" -> operators.ScaleQueries.ppmFixture _,
+    "pngFixture" -> operators.ScaleQueries.pngFixture _,
+    "jpegFixture" -> operators.ScaleQueries.jpegFixture _,
+    "pngDupFixture" -> operators.ScaleQueries.pngDupFixture _,
+    "gifFixture" -> operators.ScaleQueries.gifFixture _,
+    "wavFixture" -> operators.ScaleQueries.wavFixture _,
+    "aviFixture" -> operators.ScaleQueries.aviFixture _,
+    "streamAnnFixture" -> operators.ScaleQueries.streamAnnFixture _,
+    "mixedZoneFixture" -> operators.ScaleQueries.mixedZoneFixture _,
+    "ivfAppendFixture" -> operators.ScaleQueries.ivfAppendFixture _,
+    "manifestFixture" -> operators.StreamCatalogQueries.manifestFixture _,
+    "lateFixture" -> operators.IncrementalQueries.lateFixture _,
+    "docsSourceSplitFixture" ->
+      operators.CorpusQueries.docsSourceSplitFixture _,
+    "embSplitFixture" -> operators.CalibrationQueries.embSplitFixture _,
+    "aviDupFixture" -> operators.VideoQueries.aviDupFixture _,
+    "aviSplitFixture" ->
+      ((s, d) => operators.VideoQueries.aviSplitFixture(s, d)),
+    "wavDupFixture" -> operators.VideoQueries.wavDupFixture _,
+    "stillFrameFixture" -> operators.VideoQueries.stillFrameFixture _,
+    "docsV2Fixture" -> operators.StorageQueries.docsV2Fixture _,
+    "spanIndexFixture" -> operators.SpanQueries.spanIndexFixture _,
+    "docsBootSplitFixture" ->
+      operators.DesignQueries.docsBootSplitFixture _,
+    "aviShotFixture" -> operators.VideoQueries.aviShotFixture _,
+    "wavSegFixture" -> operators.VideoQueries.wavSegFixture _
+  )
+
+  /** Files under the per-SF fixture tree written at or after `sinceMs` —
+    * nonzero means some timed query rebuilt (or first-built) a fixture,
+    * i.e. its wall contains build cost. Emitted in the detail artifact
+    * so the q260 class of swing is self-adjudicating. */
+  private def fixtureWritesSince(sinceMs: Long): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.lastModified() >= sinceMs) 1L else 0L
+    val root = new java.io.File(s"${Scratch.root}/graft_fixtures")
+    if (root.exists()) walk(root) else 0L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,47 +180,32 @@ object Bench {
     // byte-level pre-read of the input + fixture files (page cache warm —
     // the cluster analog is data already resident on executor-local NVMe
     // or in the OS cache of a warmed table).
-    try {
-      SparkEntry.entry(spark).count()
-      Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
-      operators.ReferenceQueries.csvFixture(spark, sfDir)
-      operators.ReferenceQueries.jsonFixture(spark, sfDir)
-      operators.SystemQueries.walkFixture(spark, sfDir)
-      operators.SystemQueries.zipFixture(spark, sfDir)
-      operators.StreamCatalogQueries.sessionFixture(spark, sfDir)
-      operators.ExtendedQueries.orcFixture(spark, sfDir)
-      operators.ExtendedQueries.ivfIndexFixture(spark, sfDir)
-      operators.FrontierQueries.xmlFixture(spark, sfDir)
-      operators.FrontierQueries.zorderFixture(spark, sfDir)
-      operators.FrontierQueries.eventsSplitFixture(spark, sfDir)
-      operators.FrontierQueries.outerFlushFixture(spark, sfDir)
-      operators.IncrementalQueries.dedupIndexFixture(spark, sfDir)
-      operators.IncrementalQueries.evolutionFixture(spark, sfDir)
-      operators.IncrementalQueries.corruptFixture(spark, sfDir)
-      operators.ScaleQueries.ppmFixture(spark, sfDir)
-      operators.ScaleQueries.pngFixture(spark, sfDir)
-      operators.ScaleQueries.jpegFixture(spark, sfDir)
-      operators.ScaleQueries.pngDupFixture(spark, sfDir)
-      operators.ScaleQueries.gifFixture(spark, sfDir)
-      operators.ScaleQueries.wavFixture(spark, sfDir)
-      operators.ScaleQueries.mixedZoneFixture(spark, sfDir)
-      operators.ScaleQueries.ivfAppendFixture(spark, sfDir)
-      operators.StreamCatalogQueries.manifestFixture(spark, sfDir)
-      operators.IncrementalQueries.lateFixture(spark, sfDir)
-      operators.CorpusQueries.docsSourceSplitFixture(spark, sfDir)
-      operators.CalibrationQueries.embSplitFixture(spark, sfDir)
-      operators.VideoQueries.aviDupFixture(spark, sfDir)
-      operators.VideoQueries.aviSplitFixture(spark, sfDir)
-      operators.VideoQueries.wavDupFixture(spark, sfDir)
-      operators.VideoQueries.stillFrameFixture(spark, sfDir)
-      operators.StorageQueries.docsV2Fixture(spark, sfDir)
-      operators.SpanQueries.spanIndexFixture(spark, sfDir)
-      operators.DesignQueries.docsBootSplitFixture(spark, sfDir)
-      operators.VideoQueries.aviShotFixture(spark, sfDir)
-      operators.VideoQueries.wavSegFixture(spark, sfDir)
-      warmPageCache(new java.io.File(sfDir))
-      warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
-    } catch { case _: Throwable => () }
+    //
+    // Each fixture build is timed and guarded INDIVIDUALLY: with one
+    // blanket try, a single failing builder silently skipped every later
+    // one, pushing those builds into whichever timed query first touched
+    // the missing fixture — exactly the attribution hole behind q260's
+    // unexplained 2x wall swing in round 7. The per-fixture seconds are
+    // emitted in the detail artifact ("fixtures", builds >= 0.1 s only)
+    // so a build-cost shift is readable from the artifact alone, and
+    // BenchFixtureSpec lints this list against every `def *Fixture` in
+    // src/main so a new fixture can't be forgotten here.
+    val t0Fx = System.nanoTime()
+    val fixtureStats = fixtureBuilders.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val ok = try { build(spark, sfDir); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val warmSec = {
+      val t0 = System.nanoTime()
+      try {
+        warmPageCache(new java.io.File(sfDir))
+        warmPageCache(new java.io.File(s"${Scratch.root}/graft_fixtures"))
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val fixtureTotalSec = (System.nanoTime() - t0Fx) / 1e9
     // Drop every block the FIXTURE stage persisted (e.g. a fixture
     // builder's localCheckpointed corpus frame) before the timed loop:
     // the per-query sweep below is snapshot-diff scoped and would
@@ -168,6 +223,7 @@ object Bench {
       only.forall(_.exists(n.startsWith))
     }
     val loadStart = loadAvg1m
+    val loopStartMs = System.currentTimeMillis()
     val stats = selected.map { case (name, fn) =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val c0 = processCpuSec
@@ -209,8 +265,23 @@ object Bench {
     val detail = stats.map { case (k, w, c, l) =>
       s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"load":${fmt(l)}}"""
     }.mkString("{", ",", "}")
+    // Fixture attribution: untimed-stage seconds (total + per-build for
+    // builds >= 0.1 s + page-cache warm), any failed builders by name,
+    // and whether any timed query wrote into the fixture tree (nonzero
+    // => that query's wall contains build cost — the artifact says so
+    // instead of leaving a swing to forensic diffing).
+    val fxDetail = fixtureStats.filter(_._2 >= 0.1).map { case (n, s, _) =>
+      s""""$n":${fmt(s)}"""
+    }.mkString("{", ",", "}")
+    val fxFails = fixtureStats.filterNot(_._3).map(f => s""""${f._1}"""")
+      .mkString("[", ",", "]")
     println(s"""{"cpus":$cpus,"load_start":${fmt(loadStart)},""" +
-      s""""load_end":${fmt(loadAvg1m)},"detail":$detail}""")
+      s""""load_end":${fmt(loadAvg1m)},""" +
+      s""""fixture_total_s":${fmt(fixtureTotalSec)},""" +
+      s""""fixture_warm_s":${fmt(warmSec)},"fixtures":$fxDetail,""" +
+      s""""fixture_fails":$fxFails,""" +
+      s""""fixture_writes_during_queries":${fixtureWritesSince(loopStartMs)},""" +
+      s""""detail":$detail}""")
     // Canonical line LAST and compact. The driver keeps only the LAST
     // 2000 bytes of output (verified against BENCH_r03.json: the stored
     // "tail" is exactly 2000 bytes and "parsed" is the json.loads of the

@@ -716,7 +716,7 @@ object CompareQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (failAfter.exists(bid >= _))
-            throw new RuntimeException("planned mid-run stop")
+            graft.streaming.PlannedStop.fail()
           batch.select(col("source"),
               explode(split(trim(lower(col("text"))), " ")).as("w"))
             .groupBy(col("source"), col("w"))

@@ -229,7 +229,7 @@ object IncrementalQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (failAfter.exists(id >= _))
-          throw new RuntimeException("planned mid-run stop")
+          graft.streaming.PlannedStop.fail()
         batch.withColumn("batch_id", lit(id))
           .write.mode("overwrite").partitionBy("batch_id")
           .parquet(s"$base/landing")
@@ -266,7 +266,7 @@ object IncrementalQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (failAfter.exists(bid >= _))
-            throw new RuntimeException("planned mid-run stop")
+            graft.streaming.PlannedStop.fail()
           val bsh = Dedup.shingles(batch).localCheckpoint()
           // ONE signature pass per trigger: bands and the intra-batch
           // candidates both derive from it (the 64-hash aggregate is

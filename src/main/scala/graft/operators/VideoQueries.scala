@@ -461,7 +461,7 @@ object VideoQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (failAfter.exists(bid >= _))
-            throw new RuntimeException("planned mid-run stop")
+            graft.streaming.PlannedStop.fail()
           // one decode pass; DISTINCT (clip, hash) rows so repeated
           // frames never inflate the shared count (q260's contract)
           val bh = graft.multimodal.Multimodal.aviFrameHashes(batch)

@@ -137,7 +137,7 @@ class CboStatsSpec extends AnyFunSuite {
         .planFilteredJoin(spark, dir, nat, "nation_unanalyzed", Nil,
           cust, name, pred, Seq("nk"))
         .queryExecution.executedPlan.toString
-      // no histogram: the filtered side keeps its full 1500-row price
+      // no histogram: the filtered side keeps its full 150-row price
       // -> over budget -> sort-merge
       val p0 = planOf("cust_nohist")
       assert(!p0.contains("BroadcastHashJoin") &&

@@ -122,8 +122,16 @@ def main():
                 name, status, note = q.get()
                 results[name] = {"status": status, "note": note}
             elif not pr.is_alive():
-                results[n] = {"status": "fail",
-                              "note": "worker died without a result"}
+                # TOCTOU guard: the worker may have put its result and
+                # exited between the q.empty() sample and this liveness
+                # check (mp.Queue flushes via a feeder thread at exit).
+                # Drain once with a timeout before declaring it dead.
+                try:
+                    name, status, note = q.get(timeout=1)
+                    results[name] = {"status": status, "note": note}
+                except Exception:
+                    results[n] = {"status": "fail",
+                                  "note": "worker died without a result"}
             elif time.monotonic() - t0 > TIMEOUT_S:
                 pr.terminate()
                 results[n] = {"status": "fail",
