@@ -140,7 +140,8 @@ object Bench {
     "docsBootSplitFixture" ->
       operators.DesignQueries.docsBootSplitFixture _,
     "aviShotFixture" -> operators.VideoQueries.aviShotFixture _,
-    "wavSegFixture" -> operators.VideoQueries.wavSegFixture _
+    "wavSegFixture" -> operators.VideoQueries.wavSegFixture _,
+    "cboStatsFixture" -> operators.StatsQueries.cboStatsFixture _
   )
 
   /** Files under the per-SF fixture tree written at or after `sinceMs` —

@@ -178,15 +178,16 @@ object GraphQueries {
     })
   )
 
-  private[operators] val edgeCte =
-    """e AS (
-      |  SELECT c.c_nationkey AS src, su.s_nationkey AS dst,
+  private[operators] val edgeBody =
+    """  SELECT c.c_nationkey AS src, su.s_nationkey AS dst,
       |    COUNT(*) AS w
       |  FROM customer c
       |  JOIN orders o ON c.c_custkey = o.o_custkey
       |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  GROUP BY 1, 2)""".stripMargin
+      |  GROUP BY 1, 2""".stripMargin
+
+  private[operators] val edgeCte = s"e AS (\n$edgeBody)"
 
   /** One synchronous LPA round as SQL: majority label over neighbors
     * with (count desc, label asc) tie-break; isolated nodes keep
@@ -269,9 +270,15 @@ object GraphQueries {
         |  LEFT JOIN ind ON ind.dst = na.n_nationkey
         |ORDER BY rank_micro DESC, na.n_name""".stripMargin),
 
+    // `e`/`und` MATERIALIZED and the wedge closure as a hash JOIN, not
+    // a correlated EXISTS: DuckDB inlines multiply-referenced CTEs, so
+    // the EXISTS form re-evaluated the 4-table lineitem join per probe
+    // (>240 s at sf0.1 — the round-7 sweep skip); this form is 0.4 s
+    // with identical output (tools/oracle_parity.py pins equality).
     "q252_triangles" -> (
-      s"""WITH $edgeCte,
-        |und AS (
+      s"""WITH e AS MATERIALIZED (
+        |$edgeBody),
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |  FROM e WHERE src <> dst),
         |deg AS (
@@ -291,9 +298,8 @@ object GraphQueries {
         |  SELECT w1.lo AS c, w1.hi AS x, w2.hi AS y
         |  FROM ori w1 JOIN ori w2 ON w1.lo = w2.lo AND w1.hi < w2.hi),
         |tri AS (
-        |  SELECT COUNT(*) AS n_triangles FROM wed
-        |  WHERE EXISTS (SELECT 1 FROM und
-        |    WHERE und.a = wed.x AND und.b = wed.y)),
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y),
         |uw AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT)
         |         AS n_wedges FROM deg),
         |nv AS (SELECT COUNT(*) AS n_vertices FROM deg),

@@ -747,23 +747,15 @@ object IncrementalQueries {
     // The streaming decomposition must find exactly the batch pipeline's
     // pair set — the oracle is the same exhaustive full-corpus scan that
     // gates q30.
+    // Truth via OracleSql.blockedPairs (exactly the all-pairs set, but
+    // near-linear — lets the sf0.1 sweep value-gate this query instead
+    // of skipping its quadratic oracle; parity pinned at sf0.01 by
+    // tools/oracle_parity.py).
     "q210_stream_neardup" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |      for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
-        |        FROM documents)
-        |  WHERE len(w) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(a.s) > 0 AND len(b.s) > 0
-        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${OracleSql.blockedPairs("documents")}
+         |SELECT id_a, id_b, sz_a, sz_b, common, jaccard
+         |FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q117_incremental_dedup" ->
       """WITH sh AS (

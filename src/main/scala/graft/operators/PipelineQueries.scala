@@ -397,12 +397,7 @@ object PipelineQueries {
     })
   )
 
-  private def sqlShingles(rel: String): String =
-    s"""SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |    for i in range(1, len(w) - 1)]) AS s
-       |FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
-       |      FROM $rel)
-       |WHERE len(w) >= 3""".stripMargin
+  private def sqlShingles(rel: String): String = OracleSql.shingleSql(rel)
 
   def oracleSql: Map[String, String] = Map(
     "q25_text_tokens" ->
@@ -451,13 +446,8 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
 
     "q207_split_leakage" ->
-      s"""WITH sh AS (${sqlShingles("documents")}),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      s"""WITH ${OracleSql.blockedPairs("documents")},
+         |p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
          |sp AS (
          |  SELECT doc_id,
          |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
@@ -477,19 +467,16 @@ object PipelineQueries {
          |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
          |FROM e GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
 
-    // Exhaustive O(n²) oracle — the LSH path must find exactly the pairs the
-    // full pairwise scan finds (LSH miss probability at j≥0.8 is ~2e-4/pair).
+    // Exhaustive oracle — the LSH path must find exactly the pairs the
+    // full pairwise scan finds (LSH miss probability at j≥0.8 is
+    // ~2e-4/pair). Truth via OracleSql.blockedPairs: exactly the all-
+    // pairs result (any emitted pair shares >= 1 shingle) but near-
+    // linear, so the sf0.1 sweep runs it instead of skipping
+    // (tools/oracle_parity.py pins old-vs-new equality at sf0.01).
     "q30_dedup_minhash" ->
-      s"""WITH sh AS (${sqlShingles("documents")})
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
-         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
-         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(a.s) > 0 AND len(b.s) > 0
-         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+      s"""WITH ${OracleSql.blockedPairs("documents")}
+         |SELECT id_a, id_b, sz_a, sz_b, common, jaccard
+         |FROM pairs WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Token-multiset equality derived independently of any hash function:
@@ -732,13 +719,9 @@ object PipelineQueries {
          |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20
          |  UNION ALL
          |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id < 20),
-         |sh AS (${sqlShingles("docs2")}),
-         |e AS (
-         |  SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |${OracleSql.blockedPairs("docs2")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      WHERE jaccard >= 0.8),
          |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
          |cc AS (
          |  SELECT u AS id, u AS comp FROM sym
@@ -754,13 +737,9 @@ object PipelineQueries {
 
     "q209_soft_dedup" ->
       s"""WITH RECURSIVE
-         |sh AS (${sqlShingles("documents")}),
-         |e AS (
-         |  SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |${OracleSql.blockedPairs("documents")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      WHERE jaccard >= 0.8),
          |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
          |cc AS (
          |  SELECT u AS id, u AS comp FROM sym

@@ -2343,26 +2343,20 @@ object ScaleQueries {
         |  CAST(SUM(n_ev) AS BIGINT) AS n_events
         |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Truth via OracleSql.blockedPairs (containment >= 0.9 implies a
+    // shared shingle, so the blocked pair set is exhaustive; parity
+    // pinned at sf0.01 by tools/oracle_parity.py). Near-linear, so the
+    // sf0.1 sweep value-gates it inside the slot timeout instead of the
+    // round-7 skip-and-note (~9 min standalone quadratic).
     "q135_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |      for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
-        |        FROM documents)
-        |  WHERE len(w) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
-        |    AS cont_a,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
-        |    AS cont_b
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(a.s) > 0 AND len(b.s) > 0
-        |  AND (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
-        |         >= 0.9
-        |    OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
-        |         >= 0.9)
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${OracleSql.blockedPairs("documents")}
+         |SELECT id_a, id_b, common,
+         |  CAST(common AS DOUBLE) / sz_a AS cont_a,
+         |  CAST(common AS DOUBLE) / sz_b AS cont_b
+         |FROM pairs
+         |WHERE CAST(common AS DOUBLE) / sz_a >= 0.9
+         |   OR CAST(common AS DOUBLE) / sz_b >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q136_top_terms" ->
       """WITH tf AS (

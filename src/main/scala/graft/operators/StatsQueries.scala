@@ -202,10 +202,68 @@ object StatsQueries {
             "THEN (1000 * cov_n * cov_n) div (var_x_n * var_y_n) " +
             "ELSE 0 END AS BIGINT)")
             .as("r2_permille"))
+    }),
+
+    // q307: the THIRD stats-driven planner decision live on the
+    // registry — broadcast-by-post-filter-cardinality. The join runs
+    // through CostModel.planFilteredJoin: the o_totalprice range is
+    // priced against the fixture-persisted equi-depth histogram (the
+    // ANALYZE analog), and the broadcast-vs-shuffle choice runs on the
+    // EFFECTIVE (post-filter) row count, not the relation size Spark's
+    // own byte heuristic sees. Result is plan-invariant (the oracle is
+    // a plain filtered join), so the gate checks the machinery end to
+    // end while ExplainSpec asserts the decision itself flips when ONLY
+    // the histogram changes.
+    "q307_cbo_filtered_join" -> ((s, d) => {
+      val statsDir = cboStatsFixture(s, d)
+      val j = graft.plans.CostModel.planFilteredJoin(s, statsDir,
+        ordersCbo(s, d), "orders_cbo",
+        Seq(graft.plans.CostModel.RangePred(
+          "o_totalprice", PriceLo, PriceHi)),
+        customerCbo(s, d), "customer_cbo", Nil,
+        Seq("ck"))
+      j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("ck")).as("n_custs"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
+  /** Range used by q307 on both the frame and the histogram estimate —
+    * top ~10% of the TPC-H-ish o_totalprice domain. */
+  private[graft] val PriceLo = 450000.0
+  private[graft] val PriceHi = 500000.0
+
+  /** q307's join shapes: shared key name (planFilteredJoin joins USING)
+    * + only the columns the query needs. */
+  private[graft] def ordersCbo(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).select(col("o_custkey").as("ck"), col("o_totalprice"))
+  private[graft] def customerCbo(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(col("c_custkey").as("ck"), col("c_mktsegment"))
+
+  /** ANALYZE-once fixture for q307: row counts + key NDVs for both join
+    * sides and the o_totalprice equi-depth histogram for the fact side,
+    * persisted per sf (the metastore-stats analog; queries read it, the
+    * bench prebuilds it). */
+  private[graft] def cboStatsFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "cbo_stats")
+    if (!new java.io.File(s"$out/customer_cbo/_SUCCESS").exists()) {
+      graft.plans.CostModel.analyze(s, out, "orders_cbo",
+        ordersCbo(s, d), Seq("ck"), Seq("o_totalprice"))
+      graft.plans.CostModel.analyze(s, out, "customer_cbo",
+        customerCbo(s, d), Seq("ck"))
+    }
+    out
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q307_cbo_filtered_join" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_totalprice >= $PriceLo AND o_totalprice <= $PriceHi
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q256_dup_growth" ->
       """WITH f AS (

@@ -374,6 +374,76 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("CostModel filtered-join plan flips when ONLY the histogram " +
+      "changes") {
+    import org.apache.spark.sql.functions.col
+    val dir = Scratch.runDir("graft_cbo_histflip")
+    // Same key distribution (id % 100) in both analyzed shapes, so rows
+    // and NDV come out IDENTICAL; only the measured column's
+    // distribution — hence only the equi-depth histogram — differs:
+    // uniform over [0,1000) vs concentrated in [0,100).
+    val factUniform = spark.range(10000).select(
+      (col("id") % 100).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+    val factConcentrated = spark.range(10000).select(
+      (col("id") % 100).as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    plans.CostModel.analyze(spark, dir, "fact_uniform",
+      factUniform, Seq("k"), Seq("v"))
+    plans.CostModel.analyze(spark, dir, "fact_concentrated",
+      factConcentrated, Seq("k"), Seq("v"))
+    val su = plans.CostModel.statsOf(spark, dir, "fact_uniform").get
+    val sc = plans.CostModel.statsOf(spark, dir, "fact_concentrated").get
+    assert(su.rows == sc.rows && su.ndv == sc.ndv,
+      s"precondition: rows+ndv must match ($su vs $sc)")
+    assert(su.hist("v") != sc.hist("v"),
+      "precondition: histograms must differ")
+    val dim = spark.range(100).select(col("id").as("k"))
+    val pred = Seq(plans.CostModel.RangePred("v", 0, 99.5))
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(abtKey)
+    spark.conf.set(abtKey, "-1")
+    // budget between the two effective-row estimates: ~1000 (uniform,
+    // sel 0.1) vs ~10000 (concentrated, sel 1.0)
+    spark.conf.set(plans.CostModel.BroadcastRowsKey, "2000")
+    try {
+      // the SAME frame both times — the only input that changes between
+      // the two plans is which histogram prices the predicate
+      def planUnder(statsName: String) = plans.CostModel
+        .planFilteredJoin(spark, dir, factUniform, statsName, pred,
+          dim, "dim_unanalyzed", Nil, Seq("k"))
+      val pU = planUnder("fact_uniform")
+      val pC = planUnder("fact_concentrated")
+      val sU = pU.queryExecution.executedPlan.toString
+      val sC = pC.queryExecution.executedPlan.toString
+      assert(sU.contains("BroadcastHashJoin"),
+        s"uniform histogram prices the range at ~10% -> under budget " +
+          s"-> broadcast:\n$sU")
+      assert(!sC.contains("BroadcastHashJoin") &&
+        sC.contains("SortMergeJoin"),
+        s"concentrated histogram prices the range at ~100% -> over " +
+          s"budget -> sort-merge:\n$sC")
+      // the decision changed, the answer must not
+      assert(pU.count() == pC.count())
+    } finally {
+      spark.conf.set(abtKey, prev)
+      spark.conf.unset(plans.CostModel.BroadcastRowsKey)
+    }
+  }
+
+  test("q307 prices the range through the fixture histogram and pushes " +
+      "the filter to the scan") {
+    val p = plan("q307_cbo_filtered_join")
+    // the RangePred lands in the parquet scan, not a post-join filter
+    assert(p.contains("GreaterThanOrEqual(o_totalprice") ||
+      p.contains("PushedFilters: [IsNotNull(o_totalprice)"),
+      s"expected o_totalprice pushdown in:\n$p")
+    // both sides under the default 100k-row budget at gate scale ->
+    // the stats-driven hint must produce a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast in:\n$p")
+  }
+
   test("q276 TV pair layer joins census rows, totals broadcast, no " +
       "cartesian") {
     val p = plan("q276_source_divergence")

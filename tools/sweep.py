@@ -5,10 +5,13 @@ Usage: python3 tools/sweep.py <verify_out_dir> <sf_dir> [out_json]
 
 Same compare as tools/check.py (values with columns sorted by name and
 rows sorted, plus the driver-parity int-vs-float pandas dtype gate), but
-each query runs in its OWN subprocess with a wall timeout, so the five
-documented quadratic all-pairs oracle constructions (q30/q65/q209/q210/
-q252 — fine at sf0.01, >120 s in DuckDB at sf0.1) are skipped-and-noted
-instead of hanging the board. Output: a JSON artifact listing EVERY
+each query runs in its OWN subprocess with a wall timeout so a hung
+oracle can never stall the board. The round-7 skip list is GONE: the
+seven formerly-quadratic truth oracles (q30/q65/q135/q207/q209/q210/
+q252) were rewritten to exactly-equivalent near-linear forms
+(OracleSql.blockedPairs inverted-index blocking; q252 materialized-CTE
+hash-join closure; old-vs-new parity pinned by tools/oracle_parity.py),
+all <4 s in DuckDB at sf0.1. Output: a JSON artifact listing EVERY
 query with ok/skip/fail status.
 """
 import json
@@ -16,22 +19,10 @@ import multiprocessing as mp
 import os
 import sys
 
-# Deliberately-quadratic oracle truth constructions, gated at sf0.01
-# (see .claude/skills/verify/SKILL.md): skip-and-note at sf0.1.
-SKIP = {
-    "q30_dedup_minhash": "quadratic all-pairs MinHash truth oracle",
-    "q65_dedup_clusters": "quadratic all-pairs cluster truth oracle",
-    "q209_soft_dedup": "quadratic all-pairs soft-dedup truth oracle",
-    "q210_stream_neardup": "quadratic all-pairs near-dup truth oracle",
-    "q252_triangles": "EXISTS-probe wedge closure, superlinear in DuckDB",
-    # verified ok standalone at sf0.1 (548 s / 648 s) — same quadratic
-    # all-pairs shingle-intersection truth-oracle class; too slow for
-    # the parallel sweep's slot timeout
-    "q135_containment": "quadratic all-pairs containment truth oracle "
-                        "(~9 min standalone at sf0.1, verified ok)",
-    "q207_split_leakage": "quadratic all-pairs leakage truth oracle "
-                          "(~11 min standalone at sf0.1, verified ok)",
-}
+# Empty since round 8: every oracle is now sub-quadratic (see module
+# docstring). Kept as a mechanism for any future genuinely-ungateable
+# oracle; entries must carry a reason string.
+SKIP = {}
 TIMEOUT_S = int(os.environ.get("SWEEP_TIMEOUT_S", "180"))
 JOBS = int(os.environ.get("SWEEP_JOBS", "6"))
 
