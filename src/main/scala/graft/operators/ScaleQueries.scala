@@ -40,6 +40,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val w = (16 + id % 17).toInt
@@ -66,6 +72,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val w = (16 + id % 17).toInt
@@ -93,6 +105,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.JpegPair]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val w = (16 + id % 17).toInt
@@ -121,6 +139,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val k = id % 40
@@ -150,6 +174,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val w = (12 + id % 5).toInt
@@ -176,6 +206,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val w = (16 + id % 5).toInt
@@ -287,6 +323,12 @@ object ScaleQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val n = (1000 + id % 501).toInt

@@ -51,6 +51,12 @@ object VideoQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val gid = id / 2
@@ -98,6 +104,12 @@ object VideoQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val gid = id / 2
@@ -136,6 +148,12 @@ object VideoQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (9 + id % 4).toInt
@@ -173,6 +191,12 @@ object VideoQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val nw = (9 + id % 4).toInt
@@ -424,6 +448,12 @@ object VideoQueries {
         Encoders.product[graft.multimodal.Multimodal.MediaRow]
       import s.implicits._
       T.documents(s, d).select(col("doc_id")).as[Long]
+        // pre-split the media fixture across 32 files at BUILD time so
+        // the timed decode reads get one partition per file with no
+        // query-time shuffle of media bytes (a single-file media table
+        // decodes near-serially: parquet splits by row group, and these
+        // fall under one maxPartitionBytes split)
+        .repartition(32)
         .mapPartitions { it =>
           it.map { id =>
             val p =

@@ -44,6 +44,62 @@ class IncrementalSpec extends AnyFunSuite {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("over-cap bucket: one-shot stars, the streaming decomposition " +
+      "does not — the DOCUMENTED twin divergence, pinned") {
+    // q210/q262's comments scope batch==stream equality to SUB-cap
+    // buckets; above the cap the two decompose differently by design.
+    // This test plants one bucket of 300 > DefaultBucketCap sharers and
+    // asserts the exact divergence SHAPE, so a silent change to either
+    // cap path (one-shot whole-bucket star, stream intra-batch +
+    // batch-vs-index caps applied separately) fails loudly.
+    import spark.implicits._
+    val cap = dedup.Dedup.DefaultBucketCap // 256
+    val n = 300
+    val all = (0L until n.toLong).map(i => (1, 100L, i))
+    val buckets = all.toDF("band", "bh", "id")
+    // ONE-SHOT over-cap: exactly the linear star from the lowest id —
+    // every member pairs with rep 0 and nothing else
+    val oneShot = dedup.Dedup
+      .cappedSelfJoinPairs(buckets, Seq("band", "bh"), cap)
+      .as[(Long, Long)].collect().toSet
+    val star = (1L until n.toLong).map((0L, _)).toSet
+    assert(oneShot == star,
+      s"one-shot over-cap bucket must be the rep star: got " +
+        s"${oneShot.size} pairs, expected ${star.size}")
+    // STREAM decomposition of the same bucket as two arrivals A|B, each
+    // view sub-cap: intra-A + intra-B all-pairs, B-vs-index(A) full
+    // cross join -> the COMPLETE pair set, not the star
+    val (a, b) = all.splitAt(200)
+    val intraA = dedup.Dedup
+      .cappedSelfJoinPairs(a.toDF("band", "bh", "id"),
+        Seq("band", "bh"), cap).as[(Long, Long)].collect().toSet
+    val intraB = dedup.Dedup
+      .cappedSelfJoinPairs(b.toDF("band", "bh", "id"),
+        Seq("band", "bh"), cap).as[(Long, Long)].collect().toSet
+    val cross = dedup.Dedup
+      .cappedIndexJoinPairs(a.toDF("band", "bh", "id"),
+        b.toDF("band", "bh", "id"), Seq("band", "bh"), cap)
+      .as[(Long, Long)].collect().toSet
+    val streamed = intraA ++ intraB ++ cross
+    assert(streamed.size == n * (n - 1) / 2,
+      s"sub-cap views must produce the complete pair set: " +
+        s"${streamed.size} != ${n * (n - 1) / 2}")
+    assert(star.subsetOf(streamed) && oneShot != streamed,
+      "the divergence shape: star strictly inside the streamed set")
+    // both decompositions keep CLUSTER CONNECTIVITY (the property
+    // downstream CC consumes): every id reaches rep 0
+    assert(oneShot.map(_._2) + 0L == (0L until n.toLong).toSet)
+    // third regime: once the INDEX side is over-cap, later batches pair
+    // with the index rep only — O(batch), not O(batch x bucket)
+    val late = Seq((1, 100L, 9001L), (1, 100L, 9002L))
+      .toDF("band", "bh", "id")
+    val lateCross = dedup.Dedup
+      .cappedIndexJoinPairs(buckets, late, Seq("band", "bh"), cap)
+      .as[(Long, Long)].collect().toSet
+    assert(lateCross == Set((0L, 9001L), (0L, 9002L)),
+      s"over-cap index must star late batches onto the rep: $lateCross")
+  }
+
   test("incremental dedup never recomputes history signatures") {
     // the fixture is built once; a second invocation must reuse it
     val dir = operators.IncrementalQueries.dedupIndexFixture(spark, sf)
