@@ -1234,6 +1234,34 @@ object ScaleQueries {
     // force (the q153 pattern: every input is deterministic — k-means||
     // seeding, Random(42) planes — so the booleans are stable facts of
     // the dataset, and FALSE fails the gate).
+    // HNSW-style graph ANN — the one published ANN index class the
+    // brute/LSH/IVF/PQ family didn't cover: a layered M-bounded
+    // neighbor graph (deterministic geometric levels, adjacency from
+    // capped LSH-bucket joins, greedy descent as iterative equi-joins;
+    // Similarity.hnswTopK). Gated like q176: recall@10 vs exact brute
+    // force, with the bound under every measured sf with margin
+    // (AnnRecallProbe: 96/96/92% at sf0.001/0.01/0.1, vs IVF's 55-66%
+    // and LSH's 65-71% at these settings) so a broken layer assignment,
+    // disconnected adjacency, or descent regression flips the boolean.
+    // Row identity (n_truth) pins the truth set size.
+    "q308_ann_hnsw" -> ((s, d) => {
+      val k = 10
+      val emb = T.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(qs, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hnsw = graft.similarity.Similarity
+        .hnswTopK(qs, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(truth.join(hnsw, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hnsw_hits")))
+        .select(col("n_truth"),
+          (col("hnsw_hits") * 100 >= col("n_truth") * 80)
+            .as("hnsw_recall_ok"))
+    }),
+
     "q176_ann_recall" -> ((s, d) => {
       val k = 10
       val emb = T.embeddings(s, d)
@@ -2175,6 +2203,13 @@ object ScaleQueries {
       """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
         |    AS n_truth,
         |  TRUE AS ivf_recall_ok, TRUE AS lsh_recall_ok""".stripMargin,
+
+    // same contract as q176: truth-set size is data-derived, the recall
+    // bound is a boolean the Spark side must earn
+    "q308_ann_hnsw" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
+        |    AS n_truth,
+        |  TRUE AS hnsw_recall_ok""".stripMargin,
 
     // Same analytic pixel-schedule oracle as q144: the PNG fixture plants
     // the identical schedule and PNG is lossless, so the expected sums

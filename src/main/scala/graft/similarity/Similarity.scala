@@ -394,6 +394,119 @@ object Similarity {
           .as("recall"))
   }
 
+  // ---- HNSW-style layered graph ANN ---------------------------------
+
+  /** Deterministic HNSW level per node: P(level >= l) = 4^-l — the
+    * standard geometric layer assignment (Malkov & Yashunin 2016,
+    * mL = 1/ln 4) drawn from the node id's md5 instead of an RNG, so
+    * the index is reproducible across runs and engines. Level l
+    * requires the first l hex chars of the md5 to fall in '0'..'3'
+    * (probability 1/4 each, independent across positions). */
+  def hnswLevels(corpus: DataFrame, maxLevel: Int = 3,
+      idCol: String = "vec_id"): DataFrame = {
+    val h = md5(concat(lit("hnsw:"), col(idCol).cast("string")))
+    val lvl = (1 to maxLevel).map { l =>
+      val allLow = (1 to l)
+        .map(i => substring(h, i, 1).isin("0", "1", "2", "3"))
+        .reduce(_ && _)
+      when(allLow, 1).otherwise(0)
+    }.reduce(_ + _)
+    corpus.select(col(idCol).as("node"), lvl.as("level"))
+  }
+
+  /** M-bounded per-layer adjacency — the HNSW graph built as bounded
+    * neighbor JOINS, never sequential insertion and never all-pairs:
+    * layer l's members (level >= l) bucket under hyperplane LSH (fewer
+    * bits per level, so the shrinking upper layers keep occupied
+    * buckets), candidates come through the same per-bucket star cap as
+    * text dedup, pairs score exactly (codegen'd cosine on re-joined
+    * vectors), edges symmetrize, and each (layer, src) keeps its top-M
+    * by cosine — HNSW's bidirectional M-bounded links. Shuffle volume
+    * per layer is O(|layer| · cap) candidate id-pairs + one id-keyed
+    * vector re-join; vectors never ride through the distinct.
+    * Output: (layer, src, dst, cos). */
+  def hnswAdjacency(corpus: DataFrame, maxLevel: Int = 3, m: Int = 6,
+      nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val levels = hnswLevels(corpus, maxLevel, idCol)
+    val perLayer = (0 to maxLevel).map { l =>
+      val members = corpus.join(levels.where(col("level") >= l),
+        corpus(idCol) === col("node")).drop("node", "level")
+      val bits = math.max(2, bitsPerTable - 2 * l)
+      val buckets = signatures(members, nTables, bits, dim, idCol, vecCol)
+        .select(col("table"), col("bucket"), col("id"))
+      val cands = graft.dedup.Dedup.cappedSelfJoinPairs(
+        buckets, Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
+      val av = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      val bv = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      val scored = cands.join(av, "id_a").join(bv, "id_b")
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .select(col("id_a"), col("id_b"), col("cos"))
+      scored.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("cos"))
+        .unionByName(scored.select(col("id_b").as("src"),
+          col("id_a").as("dst"), col("cos")))
+        .withColumn("layer", lit(l))
+    }
+    val edges = perLayer.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    edges.withColumn("rn", row_number().over(w)).where(col("rn") <= m)
+      .select(col("layer"), col("src"), col("dst"), col("cos"))
+  }
+
+  /** Greedy HNSW descent as ITERATIVE EQUI-JOINS: the per-query beam
+    * (ef candidates) starts at the global entry point (highest level,
+    * lowest id), and at each layer runs `hops` expansion rounds —
+    * frontier ⋈ adjacency (id equi-join) → score the neighbor set →
+    * keep the top-ef per query — then descends. Every round shuffles at
+    * most |queries| · ef · M id rows plus one id-keyed vector join; the
+    * frontier localCheckpoints per layer so the iterative plan stays
+    * bounded. Output: (query_id, rank, neighbor_id, cos), rank <= k. */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxLevel: Int = 3, m: Int = 12, ef: Int = 32, hops: Int = 3,
+      nTables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val adj = hnswAdjacency(corpus, maxLevel, m, nTables, bitsPerTable,
+      dim, idCol, vecCol).localCheckpoint()
+    val levels = hnswLevels(corpus, maxLevel, idCol)
+    // single entry point: max level, ties to the lowest id — a 1-row
+    // bounded collect, same class as IVF's centroid collects
+    val entry = levels.orderBy(col("level").desc, col("node"))
+      .limit(1).collect()(0).getLong(0)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(broadcast(qv), "query_id").join(cv, "node")
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("cv")).as("cos"))
+    val beam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    var frontier = score(qv.select(col("query_id"))
+      .withColumn("node", lit(entry)))
+    for (l <- maxLevel to 0 by -1) {
+      for (_ <- 1 to hops) {
+        val nbrs = frontier
+          .join(adj.where(col("layer") === l)
+            .select(col("src").as("node"), col("dst")), "node")
+          .select(col("query_id"), col("dst").as("node")).distinct()
+        frontier = frontier.unionByName(score(nbrs))
+          .groupBy(col("query_id"), col("node")).agg(max(col("cos")).as("cos"))
+          .withColumn("rn", row_number().over(beam))
+          .where(col("rn") <= ef).drop("rn")
+      }
+      frontier = frontier.localCheckpoint()
+    }
+    frontier
+      .where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(beam))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** Recall@k of the LSH path against brute force, per query. */
   def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val exact = bruteForceTopK(queries, corpus, k)

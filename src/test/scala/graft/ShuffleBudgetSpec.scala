@@ -489,4 +489,27 @@ class ShuffleBudgetSpec extends AnyFunSuite {
           "leaked into an exchange?")
     }
   }
+
+  test("q308 HNSW build+search shuffle stays edge-and-vector-sized") {
+    // The layered graph's exchanges are: per-layer LSH bucket stats +
+    // capped candidate id-pairs, ONE id-keyed vector re-join per scoring
+    // pass (a 64-float vector = 256 B payload, the same accepted cost
+    // as lshTopK's re-rank), the top-M edge windows, and the per-hop
+    // frontier expansions (query x ef x M id rows). Everything is
+    // proportional to N x layers x vecBytes — a vector payload riding
+    // the candidate DISTINCT (the classic blowup: each id appears in
+    // nTables buckets) would multiply the volume ~8x and overshoot.
+    import org.apache.spark.sql.functions.{count, lit}
+    val n = Tables.embeddings(spark, TestSession.sfDir)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val bytes = run("q308_ann_hnsw")
+    info(s"q308 shuffle write: $bytes B for $n vectors")
+    assert(bytes > 0, "expected at least one shuffle")
+    // measured 1.57 KB/vector at sf0.001 (784 KB / 500 vecs, 4 layers
+    // + search); budget 4 KB/vector ~ 2.6x headroom, well under the ~8x
+    // of a vector-through-the-distinct regression
+    assert(bytes < 4096L * n,
+      s"q308 shuffled $bytes B for $n vectors — vectors riding the " +
+        "candidate/frontier id exchanges?")
+  }
 }
