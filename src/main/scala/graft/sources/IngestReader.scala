@@ -50,6 +50,16 @@ object IngestReader {
       .option("sep", in.fieldDelimiter)
       .option("lineSep", in.recordDelimiter)
       .option("quote", in.quoteCharacter)
+      // Papa-Parse parity (found by IngestSpec's §1.2 dialect fuzz):
+      // a quote inside a quoted field is escaped by DOUBLING (RFC 4180,
+      // Papa's only convention) — Spark's default escape is backslash,
+      // which both misreads doubled quotes and eats literal backslashes.
+      .option("escape", in.quoteCharacter)
+      // Quoted fields may contain the record delimiter (Papa handles
+      // this natively). Costs per-file (not per-split) read parallelism
+      // — the reference's own model: its worker parses each S3 object
+      // in memory; ingest scale-out is by object count either way.
+      .option("multiLine", true)
       .option("mode", "PERMISSIVE")
     if (in.csvHeader) {
       val raw = reader.csv(paths: _*)
@@ -118,6 +128,8 @@ object IngestReader {
       .option("header", in.csvHeader)
       .option("sep", in.fieldDelimiter)
       .option("quote", in.quoteCharacter)
+      .option("escape", in.quoteCharacter) // Papa doubled-quote parity
+      .option("multiLine", true)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
@@ -163,6 +175,13 @@ object IngestReader {
     val parsed = lines.select(
       split(col("line"), java.util.regex.Pattern.quote(in.fieldDelimiter))
         .as("f"))
+      // the reference's headerless zip drops rows that split into fewer
+      // than 2 fields (stray fragments, trailing junk — worker.js:
+      // 481-499); this line-based path can apply the rule exactly. The
+      // spark.read.csv path cannot (PERMISSIVE null-pads short rows
+      // indistinguishably from empty trailing fields) — divergence
+      // documented in COVERAGE.md.
+      .where(size(col("f")) >= 2)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       col("f").getItem(i).as(f.name)
     }

@@ -181,4 +181,191 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("multi-entry") ||
       ex.getCause.getMessage.contains("multi-entry"))
   }
+
+  // ---- SURVEY §1.2 dialect property fuzz ---------------------------------
+  //
+  // The golden-row tests above pin specific documents; this block fuzzes
+  // the documented Papa-Parse + coercion semantics: random
+  // InputSerialization dialects (delimiter x quote x header) x rows built
+  // from the hostile pieces (embedded delimiters, quote-in-quote, CRLF
+  // inside quoted fields, null tokens, "-", prefix-numeric junk). The
+  // oracle is an INDEPENDENT pure-Scala restatement of the SURVEY §1.2
+  // rules — not the Coerce code — serialized through an RFC 4180 writer
+  // (Papa's convention: quote when needed, double embedded quotes).
+  // Divergences found and fixed by this block: Spark's default escape
+  // (backslash) misread doubled quotes; quoted CRLF needed multiLine.
+  // Documented residual divergence: the spark.read.csv path null-pads
+  // <2-field rows instead of dropping them (COVERAGE.md).
+
+  import org.scalacheck.Gen
+  import graft.schema.{DataTypeSchema, FieldSpec, InputSerialization,
+    SeqType}
+
+  /** Plain-scalacheck sample driver (scalatestplus not in the offline
+    * cache) — same pattern as AuthSpec. */
+  private def forAllSampled[A](ga: Gen[A], n: Int = 40)(f: A => Unit)
+      : Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed)(_.next).take(n).foreach { sd =>
+      ga.apply(Gen.Parameters.default, sd).foreach(f)
+    }
+  }
+
+  private val genDialect: Gen[(String, String, Boolean)] = for {
+    sep <- Gen.oneOf(",", ";", "|", "\t")
+    quote <- Gen.oneOf("\"", "'")
+    header <- Gen.oneOf(true, false)
+  } yield (sep, quote, header)
+
+  /** Hostile tokens; `sep`/`quote` injected per dialect. */
+  private def genToken(sep: String, quote: String): Gen[String] =
+    Gen.oneOf(
+      Gen.oneOf("", "-", "null", "NULL", " null ", "abc", " 42 ", "+7",
+        "12abc", "1.5", "-3.25e2", ".5", "7.", "999999999999999999999",
+        "true", "False", " true", "x7", "0", "-0"),
+      Gen.oneOf(s"a${sep}b", s"q${quote}mid", s"${quote}lead",
+        "line1\r\nline2", s"both$sep$quote\r\nx", quote + quote))
+
+  private def genRow(sep: String, quote: String)
+      : Gen[(String, String, String, String)] = for {
+    s <- genToken(sep, quote); i <- genToken(sep, quote)
+    d <- genToken(sep, quote); b <- genToken(sep, quote)
+  } yield (s, i, d, b)
+
+  /** RFC 4180 / Papa writer: quote iff the cell contains the delimiter,
+    * the quote char, or a line break; double embedded quotes. */
+  private def cell(v: String, sep: String, quote: String): String =
+    if (v.contains(sep) || v.contains(quote) || v.contains("\n") ||
+        v.contains("\r"))
+      quote + v.replace(quote, quote + quote) + quote
+    else v
+
+  // ---- the independent §1.2 oracle (pure Scala, no Catalyst) ----
+  private def oNull(t: String): Boolean = t.equalsIgnoreCase("null")
+  private def oLong(raw: String): Option[Long] = {
+    if (raw == null) return None
+    val t = raw.trim
+    if (oNull(t)) None
+    else "^[-+]?\\d+".r.findFirstIn(t).flatMap { p =>
+      val b = BigInt(p)
+      if (b.isValidLong) Some(b.toLong) else None
+    }
+  }
+  private def oDouble(raw: String): Option[Double] = {
+    if (raw == null) return None
+    val t = raw.trim
+    if (oNull(t)) None
+    else "^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?".r
+      .findFirstIn(t).map(_.toDouble)
+  }
+  private def oBool(raw: String): Option[Boolean] = {
+    if (raw == null) return None
+    val t = raw.trim.toLowerCase
+    if (t == "true") Some(true)
+    else if (t == "false") Some(false) else None
+  }
+  private def oString(raw: String): Option[String] =
+    if (raw == null || oNull(raw)) None
+    else Some(raw.replace("\r\n", " "))
+
+  test("dialect fuzz: random InputSerialization x hostile rows round-trip " +
+      "through read+coerce to the independent §1.2 oracle") {
+    val dir = Files.createTempDirectory("graft_dialect_fuzz")
+    var n = 0
+    forAllSampled(for {
+      d <- genDialect
+      rows <- Gen.listOfN(6, genRow(d._1, d._2))
+    } yield (d, rows)) { case ((sep, quote, header), rows) =>
+      n += 1
+      val schema = DataTypeSchema("fuzz", Seq(
+        FieldSpec("rid", SeqType.SInteger), FieldSpec("s", SeqType.SString()),
+        FieldSpec("i", SeqType.SBigint), FieldSpec("d", SeqType.SDouble),
+        FieldSpec("b", SeqType.SBoolean)),
+        InputSerialization(csvHeader = header, fieldDelimiter = sep,
+          quoteCharacter = quote))
+      val body = rows.zipWithIndex.map { case ((s, i, d, b), rid) =>
+        Seq(rid.toString, s, i, d, b).map(cell(_, sep, quote))
+          .mkString(sep)
+      }
+      val text = (if (header)
+        Seq("rid", "s", "i", "d", "b").mkString(sep) +: body
+      else body).mkString("\n") + "\n"
+      val p = dir.resolve(s"f$n.csv")
+      Files.writeString(p, text)
+      val got = IngestReader.csv(spark, schema, p.toString)
+        .collect().map(r => r.getAs[Any]("rid") -> r).toMap
+      assert(got.size == rows.size,
+        s"row count ${got.size} != ${rows.size} [sep=$sep quote=$quote " +
+          s"header=$header]\n$text")
+      rows.zipWithIndex.foreach { case ((s, i, d, b), rid) =>
+        val r = got(rid)
+        val ctx = s"[rid=$rid sep=$sep quote=${quote}CHAR header=$header " +
+          s"raw=(${s}|${i}|${d}|${b})]"
+        assert(Option(r.getAs[String]("s")) == oString(s), s"s $ctx")
+        assert(Option(r.getAs[Any]("i")).map(_.asInstanceOf[Long]) ==
+          oLong(i), s"i $ctx")
+        assert(Option(r.getAs[Any]("d")).map(_.asInstanceOf[Double]) ==
+          oDouble(d), s"d $ctx")
+        assert(Option(r.getAs[Any]("b")).map(_.asInstanceOf[Boolean]) ==
+          oBool(b), s"b $ctx")
+      }
+    }
+    assert(n >= 30, s"generator exhausted early: only $n samples")
+  }
+
+  test("dialect fuzz: header binding is BY NAME — a column-shuffled file " +
+      "lands every value in the declared column") {
+    val dir = Files.createTempDirectory("graft_dialect_shuffle")
+    var n = 0
+    forAllSampled(for {
+      d <- genDialect if d._3 // header mode only
+      rows <- Gen.listOfN(4, genRow(d._1, d._2))
+    } yield (d, rows), n = 60) { case ((sep, quote, _), rows) =>
+      n += 1
+      val schema = DataTypeSchema("fuzz2", Seq(
+        FieldSpec("rid", SeqType.SInteger), FieldSpec("s", SeqType.SString()),
+        FieldSpec("i", SeqType.SBigint), FieldSpec("d", SeqType.SDouble),
+        FieldSpec("b", SeqType.SBoolean)),
+        InputSerialization(csvHeader = true, fieldDelimiter = sep,
+          quoteCharacter = quote))
+      // file order (b, rid, d, s, i) != declared order; extra column
+      // dropped, declared-but-absent column ("i" removed) -> nulls
+      val hdr = Seq("b", "rid", "d", "s", "extra").mkString(sep)
+      val body = rows.zipWithIndex.map { case ((s, _, d, b), rid) =>
+        Seq(b, rid.toString, d, s, "junk").map(cell(_, sep, quote))
+          .mkString(sep)
+      }
+      val p = dir.resolve(s"g$n.csv")
+      Files.writeString(p, (hdr +: body).mkString("\n") + "\n")
+      val got = IngestReader.csv(spark, schema, p.toString)
+        .collect().map(r => r.getAs[Any]("rid") -> r).toMap
+      rows.zipWithIndex.foreach { case ((s, _, d, b), rid) =>
+        val r = got(rid)
+        assert(Option(r.getAs[String]("s")) == oString(s))
+        assert(r.isNullAt(r.fieldIndex("i")), "absent header column -> null")
+        assert(Option(r.getAs[Any]("d")).map(_.asInstanceOf[Double]) ==
+          oDouble(d))
+        assert(Option(r.getAs[Any]("b")).map(_.asInstanceOf[Boolean]) ==
+          oBool(b))
+      }
+    }
+    assert(n >= 20, s"generator exhausted early: only $n samples")
+  }
+
+  test("zipCsv drops rows with fewer than 2 split fields (worker.js " +
+      "481-499 rule)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_zip_drop")
+    val p = dir.resolve("d.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(p))
+    zos.putNextEntry(new ZipEntry("l.csv"))
+    zos.write("1,a\nfragment\n2,b\n3,\n".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val schema = DataTypeSchema("zd", Seq(
+      FieldSpec("k", SeqType.SInteger), FieldSpec("v", SeqType.SString())))
+    val rows = IngestReader.zipCsv(spark, schema, p.toString)
+      .collect().map(r => (r.getAs[Any]("k"), r.getAs[String]("v")))
+    // "fragment" (1 field) dropped; "3," (2 fields, empty second) kept
+    assert(rows.map(_._1).toSet == Set(1, 2, 3), rows.mkString(","))
+  }
 }
