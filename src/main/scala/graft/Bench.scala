@@ -141,7 +141,8 @@ object Bench {
       operators.DesignQueries.docsBootSplitFixture _,
     "aviShotFixture" -> operators.VideoQueries.aviShotFixture _,
     "wavSegFixture" -> operators.VideoQueries.wavSegFixture _,
-    "cboStatsFixture" -> operators.StatsQueries.cboStatsFixture _
+    "cboStatsFixture" -> operators.StatsQueries.cboStatsFixture _,
+    "hnswIndexFixture" -> operators.ScaleQueries.hnswIndexFixture _
   )
 
   /** Files under the per-SF fixture tree written at or after `sinceMs` —

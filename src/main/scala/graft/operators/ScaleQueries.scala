@@ -255,6 +255,17 @@ object ScaleQueries {
     * vec_id < 5, then 5 ≤ vec_id < 10) plus a persisted IVF index over
     * the full embeddings table, built once per sf — the serving-side
     * fixture for q202's streaming retrieval. */
+  /** Persisted HNSW index (adjacency layer-partitioned + vectors +
+    * entry), built once per sf — q309's serving-side store. */
+  private[graft] def hnswIndexFixture(s: SparkSession, d: String): String = {
+    val out = graft.Scratch.fixtureDir(d, "hnsw_index")
+    if (!new java.io.File(s"$out/_DONE").exists()) {
+      graft.similarity.Similarity.saveHnswIndex(T.embeddings(s, d), out)
+      new java.io.File(s"$out/_DONE").createNewFile()
+    }
+    out
+  }
+
   private[graft] def streamAnnFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "stream_ann")
     if (!new java.io.File(s"$out/_DONE").exists()) {
@@ -1262,6 +1273,41 @@ object ScaleQueries {
             .as("hnsw_recall_ok"))
     }),
 
+    // Persisted-index HNSW lifecycle — q91's IVF discipline applied to
+    // the graph index: build once into a layer-partitioned store
+    // (adjacency + vectors + entry), serve from the store alone. The
+    // gate is stronger than a recall bound: the deterministic
+    // construction means the indexed search must equal the in-memory
+    // search BIT-EXACTLY (query_id, rank, neighbor_id), and both must
+    // clear the q308 recall floor.
+    "q309_ann_hnsw_indexed" -> ((s, d) => {
+      val k = 10
+      val emb = T.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val dir = hnswIndexFixture(s, d)
+      val indexed = graft.similarity.Similarity
+        .hnswTopKIndexed(qs, dir, k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val mem = graft.similarity.Similarity.hnswTopK(qs, emb, k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(qs, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(indexed.agg(count(lit(1)).as("n_indexed")))
+        .crossJoin(indexed.join(mem, Seq("query_id", "rank",
+          "neighbor_id")).agg(count(lit(1)).as("n_both")))
+        .crossJoin(truth.join(indexed.select(col("query_id"),
+            col("neighbor_id")), Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits")))
+        .select(col("n_truth"),
+          (col("n_indexed") === col("n_both") &&
+            col("n_indexed") === col("n_truth"))
+            .as("index_matches_memory"),
+          (col("hits") * 100 >= col("n_truth") * 80)
+            .as("hnsw_recall_ok"))
+    }),
+
     "q176_ann_recall" -> ((s, d) => {
       val k = 10
       val emb = T.embeddings(s, d)
@@ -2210,6 +2256,12 @@ object ScaleQueries {
       """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
         |    AS n_truth,
         |  TRUE AS hnsw_recall_ok""".stripMargin,
+
+    "q309_ann_hnsw_indexed" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
+        |    AS n_truth,
+        |  TRUE AS index_matches_memory, TRUE AS hnsw_recall_ok"""
+        .stripMargin,
 
     // Same analytic pixel-schedule oracle as q144: the PNG fixture plants
     // the identical schedule and PNG is lossless, so the expected sums

@@ -476,8 +476,17 @@ object Similarity {
     // bounded collect, same class as IVF's centroid collects
     val entry = levels.orderBy(col("level").desc, col("node"))
       .limit(1).collect()(0).getLong(0)
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    hnswSearch(queries, adj, cv, entry, k, maxLevel, ef, hops,
+      idCol, vecCol)
+  }
+
+  /** The greedy-descent core shared by the in-memory and persisted-index
+    * paths: see [[hnswTopK]] for the algorithm and shuffle shape. */
+  private def hnswSearch(queries: DataFrame, adj: DataFrame,
+      cv: DataFrame, entry: Long, k: Int, maxLevel: Int, ef: Int,
+      hops: Int, idCol: String, vecCol: String): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     def score(cands: DataFrame): DataFrame =
       cands.join(broadcast(qv), "query_id").join(cv, "node")
         .select(col("query_id"), col("node"),
@@ -505,6 +514,46 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         col("cos"))
+  }
+
+  /** Persist the HNSW index: adjacency LAYER-PARTITIONED (each search
+    * round reads exactly one layer through a literal partition filter —
+    * the same pruning discipline as the IVF cell store), the corpus
+    * vectors id-keyed (search joins visited ids against this table;
+    * serving never touches the source corpus), and the 1-row entry
+    * point. Build is one [[hnswAdjacency]] pass — amortized exactly
+    * like [[saveIvfIndex]]. */
+  def saveHnswIndex(corpus: DataFrame, dir: String, maxLevel: Int = 3,
+      m: Int = 12, nTables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    hnswAdjacency(corpus, maxLevel, m, nTables, bitsPerTable, dim,
+      idCol, vecCol)
+      .write.mode("overwrite").partitionBy("layer")
+      .parquet(s"$dir/adjacency")
+    hnswLevels(corpus, maxLevel, idCol)
+      .orderBy(col("level").desc, col("node")).limit(1)
+      .select(col("node").as("entry"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+    corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Search a [[saveHnswIndex]] store. Identical construction to the
+    * in-memory path (same deterministic levels, adjacency, and descent),
+    * so results are bit-equal to [[hnswTopK]] at equal parameters —
+    * q309 gates exactly that. */
+  def hnswTopKIndexed(queries: DataFrame, dir: String, k: Int,
+      maxLevel: Int = 3, ef: Int = 32, hops: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val adj = spark.read.parquet(s"$dir/adjacency")
+    val cv = spark.read.parquet(s"$dir/vectors")
+    val entry = spark.read.parquet(s"$dir/entry")
+      .collect()(0).getLong(0)
+    hnswSearch(queries, adj, cv, entry, k, maxLevel, ef, hops,
+      idCol, vecCol)
   }
 
   /** Recall@k of the LSH path against brute force, per query. */

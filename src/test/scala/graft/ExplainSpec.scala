@@ -444,6 +444,21 @@ class ExplainSpec extends AnyFunSuite {
       s"expected stats-driven broadcast in:\n$p")
   }
 
+  test("q309 HNSW adjacency store reads prune to one layer partition") {
+    import org.apache.spark.sql.functions.col
+    // the persisted graph is layer-partitioned so each descent round
+    // reads exactly its layer — the same literal-partition-filter
+    // discipline as the IVF cell store (q91)
+    val dir = operators.ScaleQueries.hnswIndexFixture(
+      spark, TestSession.sfDir)
+    val p = spark.read.parquet(s"$dir/adjacency")
+      .where(col("layer") === 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(layer") ||
+      p.contains("PartitionFilters: [(layer"),
+      s"expected layer partition pruning in:\n$p")
+  }
+
   test("q276 TV pair layer joins census rows, totals broadcast, no " +
       "cartesian") {
     val p = plan("q276_source_divergence")
