@@ -142,7 +142,8 @@ object Bench {
     "aviShotFixture" -> operators.VideoQueries.aviShotFixture _,
     "wavSegFixture" -> operators.VideoQueries.wavSegFixture _,
     "cboStatsFixture" -> operators.StatsQueries.cboStatsFixture _,
-    "hnswIndexFixture" -> operators.ScaleQueries.hnswIndexFixture _
+    "hnswIndexFixture" -> operators.ScaleQueries.hnswIndexFixture _,
+    "hnswAppendFixture" -> operators.ScaleQueries.hnswAppendFixture _
   )
 
   /** Files under the per-SF fixture tree written at or after `sinceMs` —

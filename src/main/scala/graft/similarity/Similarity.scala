@@ -539,6 +539,98 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Incremental batch INSERT into a [[saveHnswIndex]] store — the
+    * q117/q157 discipline applied to the graph index: per-batch work is
+    * O(batch), history vectors are read but never re-indexed.
+    *
+    * Per layer the new nodes (levels recomputed from ids — the level is
+    * a pure function, so increments agree with any build order) take
+    * candidates from the existing layer members through the SAME capped
+    * bucket machinery as incremental dedup ([[graft.dedup.Dedup
+    * .cappedIndexJoinPairs]]: an oversized history bucket pairs against
+    * its representative only), plus intra-batch candidates via the
+    * self-join cap; each new node keeps its top-M by exact cosine, and
+    * the reverse (existing→new) edges append WITHOUT re-pruning the
+    * touched history nodes — each append adds at most batch×M reverse
+    * edges per layer, widening (never narrowing) exploration, so recall
+    * is monotone in appends while history rows are never rewritten.
+    * The entry point is re-evaluated against the batch's max level. */
+  def appendHnswIndex(batch: DataFrame, dir: String, maxLevel: Int = 3,
+      m: Int = 12, nTables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val existing = spark.read.parquet(s"$dir/vectors") // (node, cv)
+    val newVecs = batch.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    val exLv = hnswLevels(existing, maxLevel, "node")
+      .withColumnRenamed("node", "xn")
+    val newLv = hnswLevels(newVecs, maxLevel, "node")
+      .withColumnRenamed("node", "xn")
+    val beamM = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val perLayer = (0 to maxLevel).map { l =>
+      val exM = existing.join(exLv.where(col("level") >= l),
+        existing("node") === col("xn")).drop("xn", "level")
+      val newM = newVecs.join(newLv.where(col("level") >= l),
+        newVecs("node") === col("xn")).drop("xn", "level")
+      val bits = math.max(2, bitsPerTable - 2 * l)
+      val exB = signatures(exM, nTables, bits, dim, "node", "cv")
+        .select(col("table"), col("bucket"), col("id"))
+      val newB = signatures(newM, nTables, bits, dim, "node", "cv")
+        .select(col("table"), col("bucket"), col("id"))
+      val cross = graft.dedup.Dedup.cappedIndexJoinPairs(exB, newB,
+        Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
+      val intra = graft.dedup.Dedup.cappedSelfJoinPairs(newB,
+        Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
+      val pairs = cross.unionByName(intra)
+      val av = existing.unionByName(newVecs)
+        .select(col("node").as("id_a"), col("cv").as("va"))
+      val bv = newVecs.unionByName(existing)
+        .select(col("node").as("id_b"), col("cv").as("vb"))
+      pairs.join(av, "id_a").join(bv, "id_b")
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .withColumn("layer", lit(l))
+    }
+    val scored = perLayer.reduce(_ unionByName _)
+    // forward edges: each NEW node's top-M (id_b side of cross pairs is
+    // always new; intra pairs are new on both sides — take both
+    // directions and keep only new srcs)
+    val isNew = newVecs.select(col("node").as("src"))
+    val bothDirs = scored.select(col("layer"), col("id_a").as("src"),
+        col("id_b").as("dst"), col("cos"))
+      .unionByName(scored.select(col("layer"), col("id_b").as("src"),
+        col("id_a").as("dst"), col("cos")))
+    val fwd = bothDirs.join(isNew, "src")
+      .withColumn("rn", row_number().over(beamM)).where(col("rn") <= m)
+      .drop("rn")
+    // reverse edges: existing src -> new dst, only those the new side
+    // kept (so reverse volume is bounded by the same top-M); a reverse
+    // edge whose src is itself new is already covered by fwd's top-M
+    val rev = fwd.select(col("layer"), col("dst").as("src"),
+        col("src").as("dst"), col("cos"))
+      .join(isNew, Seq("src"), "left_anti")
+    fwd.unionByName(rev)
+      .select(col("src"), col("dst"), col("cos"), col("layer"))
+      .write.mode("append").partitionBy("layer")
+      .parquet(s"$dir/adjacency")
+    newVecs.write.mode("append").parquet(s"$dir/vectors")
+    // entry: highest level wins, ties to lowest id — compare the stored
+    // entry against the batch's best (levels are pure id functions)
+    val oldEntry = spark.read.parquet(s"$dir/entry")
+      .collect()(0).getLong(0)
+    val cand = newLv.select(col("xn").as("node"), col("level"))
+      .unionByName(hnswLevels(
+        spark.range(1).select(lit(oldEntry).as("vec_id")), maxLevel))
+      .orderBy(col("level").desc, col("node")).limit(1)
+      .collect()(0).getLong(0)
+    if (cand != oldEntry) {
+      import spark.implicits._
+      Seq(cand).toDF("entry").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/entry")
+    }
+  }
+
   /** Search a [[saveHnswIndex]] store. Identical construction to the
     * in-memory path (same deterministic levels, adjacency, and descent),
     * so results are bit-equal to [[hnswTopK]] at equal parameters —

@@ -103,7 +103,13 @@ object IngestReader {
       raw.schema.fields.find(_.name == f.name) match {
         case None => lit(null).cast("string").as(f.name)
         case Some(sf) => sf.dataType match {
-          case _: StructType | _: ArrayType | _: MapType =>
+          case _: ArrayType =>
+            // the reference coerces EMPTY-array attribute values to ""
+            // (worker.js:1001-1005, FIXTURES.md golden case); non-empty
+            // arrays stringify like other nested values
+            when(size(col(s"`${f.name}`")) === 0, lit(""))
+              .otherwise(to_json(col(s"`${f.name}`"))).as(f.name)
+          case _: StructType | _: MapType =>
             to_json(col(s"`${f.name}`")).as(f.name)
           case _ => col(s"`${f.name}`").cast("string").as(f.name)
         }

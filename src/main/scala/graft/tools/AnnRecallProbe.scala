@@ -39,7 +39,16 @@ object AnnRecallProbe {
         .ivfTopK(qs, emb, k, nCells = 16, nProbe = 4))
       val lsh = recall(graft.similarity.Similarity
         .lshTopK(qs, emb, k, nTables = 8, bitsPerTable = 4))
-      println(f"RECALL $d hnsw=$hnsw%.3f ivf=$ivf%.3f lsh=$lsh%.3f")
+      // incrementally-appended store (build 90% + append 10%), fresh dir
+      val adir = graft.Scratch.runDir("graft_hnsw_append_probe")
+      graft.similarity.Similarity.saveHnswIndex(
+        emb.where(col("vec_id") % 10 =!= 0), adir)
+      graft.similarity.Similarity.appendHnswIndex(
+        emb.where(col("vec_id") % 10 === 0), adir)
+      val app = recall(graft.similarity.Similarity
+        .hnswTopKIndexed(qs, adir, k))
+      println(f"RECALL $d hnsw=$hnsw%.3f ivf=$ivf%.3f lsh=$lsh%.3f " +
+        f"hnsw_append=$app%.3f")
     } finally spark.stop()
   }
 }

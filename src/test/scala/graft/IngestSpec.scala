@@ -352,6 +352,26 @@ class IngestSpec extends AnyFunSuite {
     assert(n >= 20, s"generator exhausted early: only $n samples")
   }
 
+  test("JSON ingest: empty-array attribute coerces to \"\" for STRING " +
+      "(worker.js 1001-1005 golden case)") {
+    val p = tmpFile("ea.json",
+      """{"Records":[{"k":1,"tags":[],"meta":{"a":1}},
+        |{"k":2,"tags":["x","y"],"meta":{}}]}""".stripMargin
+        .replace("\n", ""))
+    val schema = DataTypeSchema("ea", Seq(
+      FieldSpec("k", SeqType.SInteger),
+      FieldSpec("tags", SeqType.SString()),
+      FieldSpec("meta", SeqType.SJson)),
+      InputSerialization(jsonType = true, rootElement = "Records"))
+    val rows = IngestReader.json(spark, schema, p)
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[String]("tags")))
+      .toMap
+    assert(rows(1) == "", s"empty array must coerce to empty string: " +
+      s"'${rows(1)}'")
+    assert(rows(2) == """["x","y"]""",
+      s"non-empty array stringifies: '${rows(2)}'")
+  }
+
   test("zipCsv drops rows with fewer than 2 split fields (worker.js " +
       "481-499 rule)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}

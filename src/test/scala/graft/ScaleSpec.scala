@@ -22,6 +22,56 @@ class ScaleSpec extends AnyFunSuite {
     plan.toString
   }
 
+  // ---- q310 incremental HNSW append --------------------------------------
+
+  test("HNSW append never rewrites history: base adjacency files " +
+      "survive byte-identical, work is O(batch)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Scratch.runDir("graft_hnsw_append_spec")
+    similarity.Similarity.saveHnswIndex(
+      emb.where(col("vec_id") % 10 =!= 0), dir)
+    def parquetFiles(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val baseAdj = parquetFiles("adjacency")
+    val baseVec = parquetFiles("vectors")
+    similarity.Similarity.appendHnswIndex(
+      emb.where(col("vec_id") % 10 === 0), dir)
+    val afterAdj = parquetFiles("adjacency")
+    val afterVec = parquetFiles("vectors")
+    // append-only: every base file still present with its exact size
+    baseAdj.foreach { case (p, len) =>
+      assert(afterAdj.get(p).contains(len),
+        s"append rewrote/removed history adjacency file $p")
+    }
+    baseVec.foreach { case (p, len) =>
+      assert(afterVec.get(p).contains(len),
+        s"append rewrote/removed history vector file $p")
+    }
+    assert(afterAdj.size > baseAdj.size && afterVec.size > baseVec.size,
+      "append must add new files")
+    // edge accounting: new edges bounded by batch x M x layers x 2
+    // (forward top-M + at most one reverse per forward edge)
+    val nBatch = emb.where(col("vec_id") % 10 === 0).count()
+    val baseRows = {
+      val d2 = Scratch.runDir("graft_hnsw_append_spec_base")
+      similarity.Similarity.saveHnswIndex(
+        emb.where(col("vec_id") % 10 =!= 0), d2)
+      spark.read.parquet(s"$d2/adjacency").count()
+    }
+    val newRows = spark.read.parquet(s"$dir/adjacency").count() - baseRows
+    assert(newRows <= nBatch * 12 * 4 * 2,
+      s"append added $newRows edges for a $nBatch-node batch — " +
+        "not O(batch)?")
+    assert(newRows > 0, "append must add edges")
+  }
+
   // ---- q107 doc chunks ---------------------------------------------------
 
   test("chunk count equals the analytic stride formula per corpus") {
