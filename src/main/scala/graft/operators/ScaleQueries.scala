@@ -284,6 +284,69 @@ object ScaleQueries {
     out
   }
 
+  /** One bounded run of the q311 CONTINUOUS HNSW index build: embedding
+    * micro-batches arrive (maxFilesPerTrigger=1 over the 3-file split),
+    * each trigger computes its batch's edges against the vectors of
+    * EARLIER batches only (Similarity.appendEdges — the bootstrap batch
+    * degenerates to the one-shot adjacency) and lands edges + vectors
+    * under batch_id-partitioned dynamic overwrite, so a replayed trigger
+    * overwrites exactly its own partitions (exactly-once under
+    * failures) and the exclude-current-batch read never sees a failed
+    * attempt's output. Per-trigger work is O(batch): history vectors
+    * are re-read but never re-indexed, like the other index-building
+    * twins. Returns the search results served from the streamed store;
+    * StreamingSpec kills it mid-run and gates bit-equal recovery. */
+  private[graft] def streamHnswRun(s: SparkSession, d: String,
+      base: String, failAfter: Option[Int]): DataFrame =
+    graft.Confs.dynamicOverwrite(s) {
+      val src = CalibrationQueries.embSplitFixture(s, d)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (failAfter.exists(bid >= _))
+            graft.streaming.PlannedStop.fail()
+          val newVecs = batch
+            .select(col("vec_id").as("node"), col("embedding").as("cv"))
+            .localCheckpoint()
+          val existing =
+            try s.read.parquet(s"$base/vectors")
+              .where(col("batch_id") < bid).select(col("node"), col("cv"))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              newVecs.where(lit(false)) // bootstrap: no store yet
+            }
+          graft.similarity.Similarity
+            .appendEdges(newVecs, existing, maxLevel = 3, m = 12,
+              nTables = 8, bitsPerTable = 6, dim = 64)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id", "layer")
+            .parquet(s"$base/adjacency")
+          newVecs.withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/vectors")
+          ()
+        }
+        .start()
+      graft.streaming.PlannedStop.await(q, failAfter.nonEmpty)
+      // serve from the streamed store: entry is a pure id function of
+      // the stored node set, so no per-batch entry state is needed
+      val cv = s.read.parquet(s"$base/vectors").select(col("node"),
+        col("cv"))
+      val adj = s.read.parquet(s"$base/adjacency")
+      val entry = graft.similarity.Similarity.hnswLevels(cv, 3, "node")
+        .orderBy(col("level").desc, col("node")).limit(1)
+        .collect()(0).getLong(0)
+      val qs = T.embeddings(s, d).where(col("vec_id") < 10)
+      graft.similarity.Similarity
+        .hnswSearch(qs, adj, cv, entry, k = 10, maxLevel = 3, ef = 32,
+          hops = 3, "vec_id", "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
   private[graft] def streamAnnFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "stream_ann")
     if (!new java.io.File(s"$out/_DONE").exists()) {
@@ -1358,6 +1421,32 @@ object ScaleQueries {
             .as("hnsw_recall_ok"))
     }),
 
+    // CONTINUOUS HNSW index build — the streaming twin of q310 (see
+    // streamHnswRun): per-trigger O(batch) edge computation against the
+    // earlier-batch store, batch_id-partitioned exactly-once state,
+    // serving straight from the streamed store. Recall floor as q308;
+    // AnnRecallProbe measures the streamed store at 100/100/90% across
+    // sf0.001/0.01/0.1 (vs 96/96/91 for the one-append store). Mid-run
+    // kill + checkpoint-restart recovery is gated bit-for-bit in
+    // StreamingSpec.
+    "q311_stream_hnsw_build" -> ((s, d) => {
+      val res = streamHnswRun(s, d,
+        graft.Scratch.runDir("graft_streamhnsw"), failAfter = None)
+        .select(col("query_id"), col("neighbor_id"))
+      val emb = T.embeddings(s, d)
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(emb.where(col("vec_id") < 10), emb, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(res.agg(count(lit(1)).as("n_res")))
+        .crossJoin(truth.join(res, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits")))
+        .select(col("n_truth"),
+          (col("n_res") === col("n_truth")).as("result_complete"),
+          (col("hits") * 100 >= col("n_truth") * 80)
+            .as("hnsw_recall_ok"))
+    }),
+
     "q176_ann_recall" -> ((s, d) => {
       val k = 10
       val emb = T.embeddings(s, d)
@@ -2317,6 +2406,11 @@ object ScaleQueries {
       """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
         |    AS n_truth,
         |  TRUE AS store_complete, TRUE AS hnsw_recall_ok""".stripMargin,
+
+    "q311_stream_hnsw_build" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10
+        |    AS n_truth,
+        |  TRUE AS result_complete, TRUE AS hnsw_recall_ok""".stripMargin,
 
     // Same analytic pixel-schedule oracle as q144: the PNG fixture plants
     // the identical schedule and PNG is lossless, so the expected sums

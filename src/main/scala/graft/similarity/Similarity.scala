@@ -481,9 +481,12 @@ object Similarity {
       idCol, vecCol)
   }
 
-  /** The greedy-descent core shared by the in-memory and persisted-index
-    * paths: see [[hnswTopK]] for the algorithm and shuffle shape. */
-  private def hnswSearch(queries: DataFrame, adj: DataFrame,
+  /** The greedy-descent core shared by the in-memory, persisted-index,
+    * and streaming-store paths: see [[hnswTopK]] for the algorithm and
+    * shuffle shape. `adj` may carry extra columns (e.g. a batch_id
+    * partition column from the streaming store) — only layer/src/dst
+    * are consumed. */
+  private[graft] def hnswSearch(queries: DataFrame, adj: DataFrame,
       cv: DataFrame, entry: Long, k: Int, maxLevel: Int, ef: Int,
       hops: Int, idCol: String, vecCol: String): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -562,6 +565,39 @@ object Similarity {
     val spark = batch.sparkSession
     val existing = spark.read.parquet(s"$dir/vectors") // (node, cv)
     val newVecs = batch.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    appendEdges(newVecs, existing, maxLevel, m, nTables, bitsPerTable,
+      dim)
+      .select(col("src"), col("dst"), col("cos"), col("layer"))
+      .write.mode("append").partitionBy("layer")
+      .parquet(s"$dir/adjacency")
+    newVecs.write.mode("append").parquet(s"$dir/vectors")
+    // entry: highest level wins, ties to lowest id — compare the stored
+    // entry against the batch's best (levels are pure id functions)
+    val oldEntry = spark.read.parquet(s"$dir/entry")
+      .collect()(0).getLong(0)
+    val cand = hnswLevels(newVecs, maxLevel, "node")
+      .unionByName(hnswLevels(
+        spark.range(1).select(lit(oldEntry).as("vec_id")), maxLevel))
+      .orderBy(col("level").desc, col("node")).limit(1)
+      .collect()(0).getLong(0)
+    if (cand != oldEntry) {
+      import spark.implicits._
+      Seq(cand).toDF("entry").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/entry")
+    }
+  }
+
+  /** The edge computation behind [[appendHnswIndex]] and the streaming
+    * twin: (layer, src, dst, cos) rows for `newVecs` joining a graph
+    * whose members are `existing` — forward top-M per new node plus
+    * bounded reverse links from touched existing nodes. With an EMPTY
+    * `existing` this degenerates to exactly [[hnswAdjacency]]'s edge set
+    * over the batch (cross candidates vanish, every src is new), so the
+    * bootstrap batch and every later batch share one code path. Both
+    * frames are (node, cv). */
+  private[graft] def appendEdges(newVecs: DataFrame, existing: DataFrame,
+      maxLevel: Int, m: Int, nTables: Int, bitsPerTable: Int,
+      dim: Int): DataFrame = {
     val exLv = hnswLevels(existing, maxLevel, "node")
       .withColumnRenamed("node", "xn")
     val newLv = hnswLevels(newVecs, maxLevel, "node")
@@ -611,24 +647,6 @@ object Similarity {
         col("src").as("dst"), col("cos"))
       .join(isNew, Seq("src"), "left_anti")
     fwd.unionByName(rev)
-      .select(col("src"), col("dst"), col("cos"), col("layer"))
-      .write.mode("append").partitionBy("layer")
-      .parquet(s"$dir/adjacency")
-    newVecs.write.mode("append").parquet(s"$dir/vectors")
-    // entry: highest level wins, ties to lowest id — compare the stored
-    // entry against the batch's best (levels are pure id functions)
-    val oldEntry = spark.read.parquet(s"$dir/entry")
-      .collect()(0).getLong(0)
-    val cand = newLv.select(col("xn").as("node"), col("level"))
-      .unionByName(hnswLevels(
-        spark.range(1).select(lit(oldEntry).as("vec_id")), maxLevel))
-      .orderBy(col("level").desc, col("node")).limit(1)
-      .collect()(0).getLong(0)
-    if (cand != oldEntry) {
-      import spark.implicits._
-      Seq(cand).toDF("entry").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/entry")
-    }
   }
 
   /** Search a [[saveHnswIndex]] store. Identical construction to the

@@ -47,8 +47,11 @@ object AnnRecallProbe {
         emb.where(col("vec_id") % 10 === 0), adir)
       val app = recall(graft.similarity.Similarity
         .hnswTopKIndexed(qs, adir, k))
+      // streamed store (3 micro-batch continuous build)
+      val stream = recall(graft.operators.ScaleQueries.streamHnswRun(
+        spark, d, graft.Scratch.runDir("graft_hnsw_stream_probe"), None))
       println(f"RECALL $d hnsw=$hnsw%.3f ivf=$ivf%.3f lsh=$lsh%.3f " +
-        f"hnsw_append=$app%.3f")
+        f"hnsw_append=$app%.3f hnsw_stream=$stream%.3f")
     } finally spark.stop()
   }
 }

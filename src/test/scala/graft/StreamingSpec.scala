@@ -231,4 +231,13 @@ class StreamingSpec extends AnyFunSuite {
       .streamDivergenceRun(spark, TestSession.sfDir, base, fail),
       "q282kill")
   }
+
+  test("q311 twin: mid-run kill + checkpoint restart = uninterrupted run") {
+    // the HNSW store is order-DEPENDENT (later batches link against
+    // earlier ones), so this gate is stronger than the set-valued twins:
+    // recovery must replay the identical file->batch assignment for the
+    // search results to match bit-for-bit
+    killAndRecover((base, fail) => operators.ScaleQueries
+      .streamHnswRun(spark, TestSession.sfDir, base, fail), "q311kill")
+  }
 }
