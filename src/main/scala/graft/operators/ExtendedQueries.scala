@@ -451,7 +451,12 @@ object ExtendedQueries {
     // for incremental re-loads at 100 TB (rewrite one day/type, not the
     // table). The conf is scoped to the query and restored.
     "q86_partition_overwrite" -> ((s, d) => {
-      val out = graft.Scratch.fixtureDir(d, "events_bytype")
+      // per-run scratch, NOT a fixture dir: this query REWRITES its
+      // table by design (it is the partition-overwrite demo), and a
+      // mid-loop write into the fixture tree would make Bench's
+      // fixture_writes_during_queries flag (0 = no timed query paid a
+      // build) permanently noisy
+      val out = graft.Scratch.runDir("graft_q86_bytype")
       val ev = T.events(s, d)
         .select(col("event_id"), col("value"), col("event_type"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)

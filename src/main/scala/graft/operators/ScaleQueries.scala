@@ -298,6 +298,13 @@ object ScaleQueries {
     * StreamingSpec kills it mid-run and gates bit-equal recovery. */
   private[graft] def streamHnswRun(s: SparkSession, d: String,
       base: String, failAfter: Option[Int]): DataFrame =
+    // every intermediate here is id/edge-sized (<= corpus x M rows);
+    // the default 32 shuffle partitions turn the ~50 stages per trigger
+    // into pure scheduling overhead (measured 100 s wall / 181 s cpu at
+    // sf0.1 before scoping, 8x fewer reducers cut both). Scoped and
+    // restored; heavy stages all execute inside the scope (foreachBatch
+    // bodies + localCheckpoints are eager).
+    graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
     graft.Confs.dynamicOverwrite(s) {
       val src = CalibrationQueries.embSplitFixture(s, d)
       val schema = s.read.parquet(src).schema
@@ -345,6 +352,7 @@ object ScaleQueries {
           hops = 3, "vec_id", "embedding")
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }
     }
 
   private[graft] def streamAnnFixture(s: SparkSession, d: String): String = {
@@ -1336,7 +1344,11 @@ object ScaleQueries {
     // and LSH's 65-71% at these settings) so a broken layer assignment,
     // disconnected adjacency, or descent regression flips the boolean.
     // Row identity (n_truth) pins the truth set size.
-    "q308_ann_hnsw" -> ((s, d) => {
+    "q308_ann_hnsw" -> ((s, d) =>
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
+      // id/edge-sized intermediates: 8 reducers, not the session's 32
+      // (same scoping rationale as streamHnswRun); the build/search
+      // stages execute eagerly inside the scope via localCheckpoint
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)
@@ -1352,6 +1364,7 @@ object ScaleQueries {
         .select(col("n_truth"),
           (col("hnsw_hits") * 100 >= col("n_truth") * 80)
             .as("hnsw_recall_ok"))
+        .localCheckpoint()
     }),
 
     // Persisted-index HNSW lifecycle — q91's IVF discipline applied to
@@ -1361,7 +1374,8 @@ object ScaleQueries {
     // construction means the indexed search must equal the in-memory
     // search BIT-EXACTLY (query_id, rank, neighbor_id), and both must
     // clear the q308 recall floor.
-    "q309_ann_hnsw_indexed" -> ((s, d) => {
+    "q309_ann_hnsw_indexed" -> ((s, d) =>
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)
@@ -1387,6 +1401,7 @@ object ScaleQueries {
             .as("index_matches_memory"),
           (col("hits") * 100 >= col("n_truth") * 80)
             .as("hnsw_recall_ok"))
+        .localCheckpoint()
     }),
 
     // Incremental HNSW insert — build on 90% of the corpus, APPEND the
@@ -1398,7 +1413,8 @@ object ScaleQueries {
     // clears the same floor as the one-shot build (q308) —
     // AnnRecallProbe measures 96/96/91% at sf0.001/0.01/0.1, within a
     // point of the one-shot 96/96/92.
-    "q310_ann_hnsw_append" -> ((s, d) => {
+    "q310_ann_hnsw_append" -> ((s, d) =>
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)
@@ -1419,6 +1435,7 @@ object ScaleQueries {
           (col("n_stored") === col("n_corpus")).as("store_complete"),
           (col("hits") * 100 >= col("n_truth") * 80)
             .as("hnsw_recall_ok"))
+        .localCheckpoint()
     }),
 
     // CONTINUOUS HNSW index build — the streaming twin of q310 (see
