@@ -112,14 +112,31 @@ object Dedup {
     val stats = buckets.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
     val withN = buckets.join(stats, keys)
-    val small = withN.where(col("__n") <= cap)
-      .select(keyCols :+ col("id"): _*)
-    val a = small.as("a")
-    val b = small.as("b")
-    val sameBucket = keys.map(k => col(s"a.$k") === col(s"b.$k"))
-      .reduce(_ && _)
-    val smallPairs = a.join(b, sameBucket && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Sub-cap buckets expand their C(k,2) pairs IN PLACE (the q99
+    // SymSpell shape, generalized here in round 8): each bucket collects
+    // its sorted member set — bounded by the cap, so never more than
+    // `cap` ids in one row — and emits the ascending pairs from one
+    // aggregation, instead of self-joining the exploded frame. The
+    // self-join form shuffles the bucket rows TWICE (both join sides)
+    // and probes a hash relation to emit the same k·(k-1)/2 rows this
+    // expansion emits directly; measured at sf0.1 this halves the
+    // candidate-stage exchange volume for every caller (text minhash
+    // bands, video/audio frame hashes, HNSW layer buckets). Over-cap
+    // buckets never materialize a member array — their star pairs come
+    // straight off the exploded frame, exactly as before, so the skew
+    // bound ("no per-bucket state beyond count/min for giants") is
+    // unchanged.
+    val smallPairs = withN.where(col("__n") >= 2 && col("__n") <= cap)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_set(col("id"))).as("__ids"))
+      .where(size(col("__ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(__ids) - 1), i ->
+          |  transform(sequence(i + 1, size(__ids)), j ->
+          |    struct(element_at(__ids, i) AS id_a,
+          |           element_at(__ids, j) AS id_b))))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
     val starPairs = withN
       .where(col("__n") > cap && col("id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))

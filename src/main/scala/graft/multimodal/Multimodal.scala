@@ -144,27 +144,110 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** Per-thread reusable ImageReaders. `ImageIO.read` constructs (and
+      * disposes) a fresh reader per call after an SPI registry probe over
+      * the stream — at ~100k 64×64 frames per video-dedup pass that fixed
+      * cost dominates the actual Huffman+IDCT work (guide §4.5:
+      * heavyweight state once per task, amortized over every row). A
+      * reused reader is the same decoder class over the same input, so
+      * output is byte-identical; any reader failure falls back to the
+      * stock `ImageIO.read` path and drops the cached instance so a
+      * corrupted reader can't poison later decodes. */
+    private val readerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue()
+            : java.util.HashMap[String, javax.imageio.ImageReader] =
+          new java.util.HashMap()
+      }
+
+    private def magicFormat(b: Array[Byte]): String =
+      if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        "jpeg"
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') "png"
+      else ""
+
+    private def readImage(bytes: Array[Byte])
+        : java.awt.image.BufferedImage = {
+      val fmt = magicFormat(bytes)
+      if (fmt.nonEmpty) {
+        val cache = readerCache.get()
+        var r = cache.get(fmt)
+        if (r == null) {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) { r = it.next(); cache.put(fmt, r) }
+        }
+        if (r != null) {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            r.setInput(iis, true, true)
+            return r.read(0)
+          } catch {
+            case _: Throwable =>
+              cache.remove(fmt)
+              try r.dispose() catch { case _: Throwable => () }
+            // fall through to the stock path, which raises its own error
+          } finally {
+            try iis.close() catch { case _: Throwable => () }
+          }
+        }
+      }
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+
     /** (width, height, rgb bytes row-major). Throws on undecodable input —
       * corrupt media routes through the quarantine pattern (q122), not
-      * here. */
+      * here.
+      *
+      * Pixel extraction avoids the per-pixel `getRGB(x, y)` call (one
+      * color-model dispatch + bounds check per pixel): TYPE_3BYTE_BGR —
+      * what the JDK JPEG reader and non-alpha RGB PNGs decode to — copies
+      * straight from the raster byte buffer (band order B,G,R; identical
+      * values to getRGB's lookup for this standard sRGB type), and every
+      * other type goes through ONE bulk `getRGB` call, which is defined as
+      * the same per-pixel conversion. ExtensionsSpec pins fast-path ==
+      * per-pixel-getRGB equality on both PNG and JPEG fixture bytes. */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       require(img != null, "not a decodable image")
       val w = img.getWidth; val h = img.getHeight
       val px = new Array[Byte](w * h * 3)
-      var i = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          px(i) = ((rgb >> 16) & 0xff).toByte
-          px(i + 1) = ((rgb >> 8) & 0xff).toByte
-          px(i + 2) = (rgb & 0xff).toByte
-          i += 3; x += 1
+      val raster = img.getRaster
+      val direct3 =
+        img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+          raster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+          raster.getDataBuffer.getSize == w * h * 3 &&
+          raster.getSampleModel.isInstanceOf[
+            java.awt.image.PixelInterleavedSampleModel] && {
+            val sm = raster.getSampleModel
+              .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+            sm.getPixelStride == 3 && sm.getScanlineStride == w * 3 &&
+              java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0))
+          }
+      if (direct3) {
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val o = i * 3
+          px(o) = data(o + 2)
+          px(o + 1) = data(o + 1)
+          px(o + 2) = data(o)
+          i += 1
         }
-        y += 1
+      } else {
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        var o = 0
+        while (i < rgb.length) {
+          val v = rgb(i)
+          px(o) = ((v >> 16) & 0xff).toByte
+          px(o + 1) = ((v >> 8) & 0xff).toByte
+          px(o + 2) = (v & 0xff).toByte
+          i += 1; o += 3
+        }
       }
       (w, h, px)
     }

@@ -149,17 +149,22 @@ object SpanQueries {
     * and p+k. The class id is the EQUIVALENCE-CLASS REPRESENTATIVE
     * (min packed position in the class) — equality-preserving and
     * injective, which is all span detection needs, so each round is
-    * two equi-shuffles (pair join + class groupBy) and a join back:
-    * no global sort, no single-partition window anywhere. The inner
+    * two equi-shuffles: the pair join, then ONE exchange keyed on the
+    * class pair with the min computed as a whole-partition window
+    * aggregate (round 8; previously a groupBy + join-back, which
+    * exchanged the corpus-sized frame a third time to re-attach the
+    * representative — a window partitioned by the same key computes
+    * the identical min on the aggregation's own exchange, guide §2.4).
+    * No global sort, no single-partition window anywhere. The inner
     * shift join doubles as the boundary filter: a position without a
     * full 2k-token window simply drops out of the round. */
   private[graft] def doubling(r: DataFrame, k: Int): DataFrame = {
     val paired = r.select(col("did"), col("p"), col("r").as("ra"))
       .join(r.select(col("did"), (col("p") - k).as("p"),
         col("r").as("rb")), Seq("did", "p"))
-    val rep = paired.groupBy(col("ra"), col("rb"))
-      .agg(min(col("did") * PosCap + col("p")).as("r2"))
-    paired.join(rep, Seq("ra", "rb"))
+    val wRep = Window.partitionBy(col("ra"), col("rb"))
+    paired
+      .withColumn("r2", min(col("did") * PosCap + col("p")).over(wRep))
       .select(col("did"), col("p"), col("r2").as("r"))
       .localCheckpoint()
   }
@@ -186,9 +191,11 @@ object SpanQueries {
     // probe pins near-linear wall in corpus size.
     "q292_suffix_dedup" -> ((s, d) => {
       val toks = suffixTokens(s, d).localCheckpoint()
-      val r1 = toks.join(
-          toks.groupBy(col("w"))
-            .agg(min(col("did") * PosCap + col("p")).as("r")), "w")
+      // round 0 groups on raw token strings; window-min over the same
+      // key = one token-keyed exchange, not groupBy + join-back (round 8)
+      val r1 = toks
+        .withColumn("r", min(col("did") * PosCap + col("p")).over(
+          Window.partitionBy(col("w"))))
         .select(col("did"), col("p"), col("r"))
         .localCheckpoint()
       val r32 = Seq(1, 2, 4, 8, 16).foldLeft(r1)(doubling)
@@ -199,10 +206,13 @@ object SpanQueries {
           (col("p") - (SuffixL - 32)).as("p"), col("r").as("rb")),
           Seq("did", "p"))
         .localCheckpoint()
-      val marked = keyed.join(
-          keyed.groupBy(col("ra"), col("rb"))
-            .agg(count(lit(1)).as("n")).where(col("n") >= 2),
-          Seq("ra", "rb"))
+      // shared-50-gram mark: a window count over the same key instead of
+      // a groupBy + join-back — one exchange of the corpus-sized keyed
+      // frame, not two (round 8, same rewrite as doubling's min)
+      val marked = keyed
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("ra"), col("rb"))))
+        .where(col("n") >= 2)
         .select(col("did"), col("p"))
         .localCheckpoint()
       val nPos = keyed.groupBy(col("did"))

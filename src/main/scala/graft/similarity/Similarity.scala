@@ -402,17 +402,25 @@ object Similarity {
     * the index is reproducible across runs and engines. Level l
     * requires the first l hex chars of the md5 to fall in '0'..'3'
     * (probability 1/4 each, independent across positions). */
-  def hnswLevels(corpus: DataFrame, maxLevel: Int = 3,
-      idCol: String = "vec_id"): DataFrame = {
-    val h = md5(concat(lit("hnsw:"), col(idCol).cast("string")))
-    val lvl = (1 to maxLevel).map { l =>
+  /** The level assignment as a pure COLUMN over an id column — levels
+    * are id functions, so layer membership never needs a join against a
+    * separate levels frame (round 8: [[hnswAdjacency]]/[[appendEdges]]
+    * previously equi-joined [[hnswLevels]] per layer — 4 joins per side
+    * per build carrying zero information a column expression doesn't). */
+  private[graft] def levelCol(id: Column, maxLevel: Int): Column = {
+    val h = md5(concat(lit("hnsw:"), id.cast("string")))
+    (1 to maxLevel).map { l =>
       val allLow = (1 to l)
         .map(i => substring(h, i, 1).isin("0", "1", "2", "3"))
         .reduce(_ && _)
       when(allLow, 1).otherwise(0)
     }.reduce(_ + _)
-    corpus.select(col(idCol).as("node"), lvl.as("level"))
   }
+
+  def hnswLevels(corpus: DataFrame, maxLevel: Int = 3,
+      idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol).as("node"),
+      levelCol(col(idCol), maxLevel).as("level"))
 
   /** M-bounded per-layer adjacency — the HNSW graph built as bounded
     * neighbor JOINS, never sequential insertion and never all-pairs:
@@ -429,10 +437,10 @@ object Similarity {
       nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val levels = hnswLevels(corpus, maxLevel, idCol)
     val perLayer = (0 to maxLevel).map { l =>
-      val members = corpus.join(levels.where(col("level") >= l),
-        corpus(idCol) === col("node")).drop("node", "level")
+      // layer membership is a pure id predicate — filter, never a join
+      val members = corpus
+        .where(levelCol(col(idCol), maxLevel) >= l)
       val bits = math.max(2, bitsPerTable - 2 * l)
       val buckets = signatures(members, nTables, bits, dim, idCol, vecCol)
         .select(col("table"), col("bucket"), col("id"))
@@ -496,18 +504,54 @@ object Similarity {
           cosine(col("qv"), col("cv")).as("cos"))
     val beam = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
+    // Per-hop beam update as ONE query-keyed aggregation (round 8): the
+    // previous groupBy(query, node).max + row_number window shape paid
+    // TWO exchanges per hop (hash by (query, node), then hash by query)
+    // — 2 × hops × (maxLevel+1) exchanges per search. The beam is
+    // bounded by construction (ef survivors + at most ef·M scored
+    // neighbors per query), so each query's candidates collect into one
+    // ≤ (ef·(M+1))-entry array and the dedup-by-node (keep max cos) +
+    // top-ef ordering run as array expressions inside codegen — same
+    // survivors, same tie-breaks (cos desc, node asc), one exchange.
+    def beamTopEf(unioned: DataFrame): DataFrame =
+      unioned
+        .groupBy(col("query_id"))
+        .agg(collect_list(struct(col("node"), col("cos"))).as("__c"))
+        // bind the node-sorted array once per row, then dedup keeps the
+        // first (= max-cos) entry per node via an index-aware filter
+        .withColumn("__s", expr(
+          """array_sort(__c, (a, b) ->
+            |  CASE WHEN a.node < b.node THEN -1
+            |       WHEN a.node > b.node THEN 1
+            |       WHEN a.cos > b.cos THEN -1
+            |       WHEN a.cos < b.cos THEN 1 ELSE 0 END)""".stripMargin))
+        .select(col("query_id"), explode(expr(
+          s"""slice(
+             |  array_sort(
+             |    filter(__s, (x, i) ->
+             |      i = 0 OR element_at(__s, i).node <> x.node),
+             |    (a, b) ->
+             |      CASE WHEN a.cos > b.cos THEN -1
+             |           WHEN a.cos < b.cos THEN 1
+             |           WHEN a.node < b.node THEN -1
+             |           WHEN a.node > b.node THEN 1 ELSE 0 END),
+             |  1, $ef)""".stripMargin)).as("__e"))
+        .select(col("query_id"), col("__e.node").as("node"),
+          col("__e.cos").as("cos"))
     var frontier = score(qv.select(col("query_id"))
       .withColumn("node", lit(entry)))
     for (l <- maxLevel to 0 by -1) {
       for (_ <- 1 to hops) {
+        // no distinct before scoring (round 8): duplicate (query, node)
+        // rows — the same dst reached from several frontier nodes —
+        // score to the SAME cos, and beamTopEf's dedup-by-node collapses
+        // them; the dropped exchange was bounding rows the aggregation
+        // bounds anyway (≤ ef·M per query either way)
         val nbrs = frontier
           .join(adj.where(col("layer") === l)
             .select(col("src").as("node"), col("dst")), "node")
-          .select(col("query_id"), col("dst").as("node")).distinct()
-        frontier = frontier.unionByName(score(nbrs))
-          .groupBy(col("query_id"), col("node")).agg(max(col("cos")).as("cos"))
-          .withColumn("rn", row_number().over(beam))
-          .where(col("rn") <= ef).drop("rn")
+          .select(col("query_id"), col("dst").as("node"))
+        frontier = beamTopEf(frontier.unionByName(score(nbrs)))
       }
       frontier = frontier.localCheckpoint()
     }
@@ -598,17 +642,12 @@ object Similarity {
   private[graft] def appendEdges(newVecs: DataFrame, existing: DataFrame,
       maxLevel: Int, m: Int, nTables: Int, bitsPerTable: Int,
       dim: Int): DataFrame = {
-    val exLv = hnswLevels(existing, maxLevel, "node")
-      .withColumnRenamed("node", "xn")
-    val newLv = hnswLevels(newVecs, maxLevel, "node")
-      .withColumnRenamed("node", "xn")
     val beamM = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("cos").desc, col("dst"))
     val perLayer = (0 to maxLevel).map { l =>
-      val exM = existing.join(exLv.where(col("level") >= l),
-        existing("node") === col("xn")).drop("xn", "level")
-      val newM = newVecs.join(newLv.where(col("level") >= l),
-        newVecs("node") === col("xn")).drop("xn", "level")
+      // layer membership is a pure id predicate — filter, never a join
+      val exM = existing.where(levelCol(col("node"), maxLevel) >= l)
+      val newM = newVecs.where(levelCol(col("node"), maxLevel) >= l)
       val bits = math.max(2, bitsPerTable - 2 * l)
       val exB = signatures(exM, nTables, bits, dim, "node", "cv")
         .select(col("table"), col("bucket"), col("id"))

@@ -186,7 +186,12 @@ class ExtendedSpec extends AnyFunSuite {
     // run the query once so the partitioned layout exists with the
     // overwritten purchase partition
     SparkEntry.queries("q86_partition_overwrite")(spark, sf).collect()
-    val out = Scratch.fixtureDir(sf, "events_bytype")
+    // q86 writes per-run scratch (round 8: it rewrites its table by
+    // design, and fixture-tree writes would trip Bench's
+    // fixture_writes_during_queries flag) — locate the newest run dir
+    val parent = new java.io.File(Scratch.root, "graft_q86_bytype")
+    val out = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).maxBy(_.lastModified).getAbsolutePath
     val pruned = spark.read.parquet(out)
       .where(col("event_type") === "purchase")
     val p = pruned.queryExecution.executedPlan.toString

@@ -85,6 +85,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((dims.getInt(0), dims.getInt(1)) == (7, 9))
   }
 
+  test("PngCodec fast-path decode equals per-pixel getRGB on PNG and JPEG") {
+    // reference implementation: the pre-optimization per-pixel getRGB loop
+    def refDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          px(i) = ((rgb >> 16) & 0xff).toByte
+          px(i + 1) = ((rgb >> 8) & 0xff).toByte
+          px(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
+    val M = graft.multimodal.Multimodal
+    // varied gradient so every channel and position is discriminating
+    def pix(x: Int, y: Int) = ((x * 7 + y) % 256, (y * 5 + x) % 256,
+      (x * y + 3) % 256)
+    val png = M.PngCodec.encode(13, 11, pix)
+    val jpg = M.JpegCodec.encode(16, 16, pix)
+    for (bytes <- Seq(png, jpg, png, jpg)) { // twice: exercises reader reuse
+      val (rw, rh, rp) = refDecode(bytes)
+      val (fw, fh, fp) = M.PngCodec.decode(bytes)
+      assert((fw, fh) == (rw, rh))
+      assert(java.util.Arrays.equals(fp, rp),
+        s"fast-path pixels diverge from per-pixel getRGB (${bytes.length}B)")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // heavy skew: 90% of rows share key 1
     val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
