@@ -38,6 +38,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Dozens of whole-stage-codegen classes across the query registry can
   // fill the default 240m code cache mid-run, silently disabling the JIT
-  // (10-50x slowdown for everything after).
-  "-XX:ReservedCodeCacheSize=1g",
+  // (10-50x slowdown for everything after). Round 8: even at 1g the
+  // 309-query board triggers roaming recompile storms late in a full run
+  // (one random query per run paid 50-300 s of pure compiler-thread cpu
+  // — q308 234 s, then q299 57 s, then q266 94 s on consecutive runs;
+  // zero full GCs, idle host; the bench's new per-query "jit" field
+  // makes the storm readable from the artifact). 2g gives the code
+  // cache the same headroom treatment the heap got in round 7.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -20,6 +20,19 @@ object Bench {
       b.getProcessCpuTime / 1e9 // -1e-9 if the JVM can't report it
     case _ => -1.0
   }
+  /** Cumulative JIT compilation time (seconds) — the third measurement
+    * condition beside cpu and load (round 8): full-board runs showed one
+    * ROAMING query per run paying 50–300 s of real cpu (q308 234 s one
+    * run, q299 57 s the next, q266 94 s the third — different query each
+    * time, zero full GCs, idle host). A per-query jit delta makes a
+    * compile storm readable from the artifact alone: storm ⇒ jit ≈ cpu
+    * for the inflated query, engine regression ⇒ jit ≈ 0. */
+  private val jitBean = java.lang.management.ManagementFactory
+    .getCompilationMXBean
+  private def jitSec: Double =
+    if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+      jitBean.getTotalCompilationTime / 1e3
+    else -1.0
   /** 1-minute host load average (all processes, not just this JVM);
     * -1 where the platform can't report it. */
   private def loadAvg1m: Double = osBean.getSystemLoadAverage
@@ -230,10 +243,12 @@ object Bench {
     val stats = selected.map { case (name, fn) =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val c0 = processCpuSec
+      val j0 = jitSec
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = processCpuSec - c0
+      val jit = jitSec - j0
       val load = loadAvg1m
       // Free the query's cached/localCheckpointed blocks before the next
       // one runs: 250+ queries in one JVM otherwise accumulate every
@@ -252,9 +267,9 @@ object Bench {
           .filterNot { case (id, _) => before(id) }
           .values.foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
-      (name, sec, cpu, load)
+      (name, sec, cpu, jit, load)
     }
-    val results = stats.map { case (name, sec, _, _) => name -> sec }
+    val results = stats.map { case (name, sec, _, _, _) => name -> sec }
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Human-readable per-query detail (full names), with the measurement
     // conditions INSIDE the artifact: per-query process-CPU seconds and
@@ -265,8 +280,8 @@ object Bench {
     // work. Deliberately does NOT contain the "metric" key: the driver
     // greps its 2000-byte output tail for the canonical one-line JSON,
     // and this line must not shadow it.
-    val detail = stats.map { case (k, w, c, l) =>
-      s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"load":${fmt(l)}}"""
+    val detail = stats.map { case (k, w, c, j, l) =>
+      s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"jit":${fmt(j)},"load":${fmt(l)}}"""
     }.mkString("{", ",", "}")
     // Fixture attribution: untimed-stage seconds (total + per-build for
     // builds >= 0.1 s + page-cache warm), any failed builders by name,

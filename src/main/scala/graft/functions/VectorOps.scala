@@ -314,6 +314,88 @@ object PqAdc {
   }
 }
 
+/** All LSH hyperplane buckets of one vector in ONE compact kernel:
+  * `array<long>`, element t = the bucket of table t — bit b set iff
+  * dot(vec, planes(t)(b)) ≥ 0 with the exact [[DotProductF]] arithmetic
+  * (double accumulation, ascending index, min-length bound).
+  *
+  * Why an Expression and not 48 composed `dotF(vec, typedlit(plane))`
+  * columns (round 8): the composed form inlines nTables × bits 64-float
+  * literals into one generated projection — multi-thousand-line janino
+  * methods that HotSpot's C2 chews on for SECONDS each (the bench's
+  * per-query `jit` field measured 175 s of compile time inside one
+  * 60 s HNSW query window; the storm roamed to a different victim every
+  * full-board run) and megabyte task binaries (8.4 MiB broadcast
+  * warnings). Here the plane matrix rides ONCE as a codegen reference
+  * object and the generated call site is three lines. */
+case class HyperplaneBuckets(child: Expression,
+    planes: Array[Array[Array[Float]]], bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"hyperplane_buckets expects array<float>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], planes, bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hpPlanes", planes, "float[][][]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.HyperplaneBuckets.compute($s, $planesRef, $bits)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBuckets = copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  /** Row kernel, called from generated code. Bit-for-bit the composed
+    * `dotF(vec, plane) >= 0` semantics: double accumulation in ascending
+    * index order over min(|vec|, |plane|) elements. */
+  def compute(v: ArrayData, planes: Array[Array[Array[Float]]],
+      bits: Int): ArrayData = {
+    val nT = planes.length
+    val out = new Array[Long](nT)
+    var t = 0
+    while (t < nT) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t)(b)
+        val n = math.min(v.numElements(), plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += v.getFloat(i).toDouble * plane(i).toDouble
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column API entry point. */
+  def apply(c: Column, planes: Array[Array[Array[Float]]],
+      bits: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneBuckets(GraftSqlBridge.expression(c), planes, bits))
+}
+
 /** [[PqAdc]] over the raw float embedding: quantization happens inside the
   * kernel, so the scan needs no interpreted transform() at all. */
 case class PqAdcF(child: Expression, cents: Array[Array[Long]],

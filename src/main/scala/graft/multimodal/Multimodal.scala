@@ -127,21 +127,61 @@ object Multimodal {
 
     def encode(w: Int, h: Int,
         pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      val wr = cachedWriter("png")
+      wr.setOutput(ios)
+      wr.write(rgbImage(w, h, pix))
+      ios.flush(); ios.close()
+      baos.toByteArray
+    }
+
+    /** Fill a TYPE_INT_RGB image through its int raster buffer — one
+      * array store per pixel instead of a `setRGB` color-model dispatch
+      * per pixel (same stored values: INT_RGB's data element IS the
+      * packed rgb int). Shared by the PNG and JPEG encoders. */
+    private[multimodal] def rgbImage(w: Int, h: Int,
+        pix: (Int, Int) => (Int, Int, Int)): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val (r, g, b) = pix(x, y)
-          img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+          data(y * w + x) =
+            ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
           x += 1
         }
         y += 1
       }
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
+      img
+    }
+
+    /** Per-thread reusable ImageWriters — the encode-side twin of the
+      * reader cache below (fixture builders encode ~100k frames; a fresh
+      * writer per `ImageIO.write` call is the same fixed cost the decode
+      * path paid). Same writer class + same params ⇒ byte-identical
+      * output for a given JVM, which is the determinism the fixture
+      * oracles rely on. */
+    private val writerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+        override def initialValue()
+            : java.util.HashMap[String, javax.imageio.ImageWriter] =
+          new java.util.HashMap()
+      }
+
+    private[multimodal] def cachedWriter(fmt: String)
+        : javax.imageio.ImageWriter = {
+      val cache = writerCache.get()
+      var w = cache.get(fmt)
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        cache.put(fmt, w)
+      }
+      w
     }
 
     /** Per-thread reusable ImageReaders. `ImageIO.read` constructs (and
@@ -264,29 +304,22 @@ object Multimodal {
 
     def encode(w: Int, h: Int,
         pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val (r, g, b) = pix(x, y)
-          img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
-          x += 1
-        }
-        y += 1
-      }
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpeg").next()
+      // per-thread cached writer + direct raster fill (see PngCodec's
+      // writer cache / rgbImage): same writer class, same explicit
+      // quality ⇒ byte-identical output, none of the per-call
+      // writer-construction cost at ~100k encoded frames per fixture
+      val writer = PngCodec.cachedWriter("jpeg")
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(
         javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(0.9f)
       val baos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
       writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      writer.dispose(); ios.close()
+      writer.write(null,
+        new javax.imageio.IIOImage(PngCodec.rgbImage(w, h, pix), null,
+          null), param)
+      ios.flush(); ios.close()
       baos.toByteArray
     }
 

@@ -319,18 +319,39 @@ object ScaleQueries {
           val newVecs = batch
             .select(col("vec_id").as("node"), col("embedding").as("cv"))
             .localCheckpoint()
-          val existing =
-            try s.read.parquet(s"$base/vectors")
-              .where(col("batch_id") < bid).select(col("node"), col("cv"))
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              newVecs.where(lit(false)) // bootstrap: no store yet
+          // this batch's per-layer buckets, computed ONCE (O(batch)) and
+          // persisted beside the vectors: later triggers READ history
+          // buckets instead of recomputing hyperplane signatures over
+          // every earlier batch — the same identical-bucket values, so
+          // the edge set (and the served result) is unchanged, but the
+          // per-trigger signature work stops growing with history
+          // (round 8; see Similarity.layerSignatures)
+          val newSigs = graft.similarity.Similarity
+            .layerSignatures(newVecs, maxLevel = 3, nTables = 8,
+              bitsPerTable = 6, dim = 64)
+            .localCheckpoint()
+          val (existing, exSigs) =
+            try {
+              (s.read.parquet(s"$base/vectors")
+                 .where(col("batch_id") < bid)
+                 .select(col("node"), col("cv")),
+               s.read.parquet(s"$base/signatures")
+                 .where(col("batch_id") < bid)
+                 .select(col("layer"), col("table"), col("bucket"),
+                   col("id")))
+            } catch { case _: org.apache.spark.sql.AnalysisException =>
+              (newVecs.where(lit(false)), // bootstrap: no store yet
+               newSigs.where(lit(false)))
             }
           graft.similarity.Similarity
-            .appendEdges(newVecs, existing, maxLevel = 3, m = 12,
-              nTables = 8, bitsPerTable = 6, dim = 64)
+            .appendEdgesFrom(newVecs, newSigs, existing, exSigs,
+              maxLevel = 3, m = 12)
             .withColumn("batch_id", lit(bid))
             .write.mode("overwrite").partitionBy("batch_id", "layer")
             .parquet(s"$base/adjacency")
+          newSigs.withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$base/signatures")
           newVecs.withColumn("batch_id", lit(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/vectors")

@@ -97,21 +97,22 @@ object Similarity {
   def signatures(df: DataFrame, nTables: Int = 8, bitsPerTable: Int = 8,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val ps = planes(nTables, bitsPerTable, dim)
-    val tableCols = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        // ±1 plane components are exact in float; dotF keeps the projection
-        // inside whole-stage codegen.
-        val plane = typedlit(ps(t)(b).map(_.toFloat))
-        val proj = VectorOps.dotF(col(vecCol), plane)
-        when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
-      struct(lit(t).as("table"), bits.as("bucket"))
-    }
+    // ±1 plane components are exact in float; the whole nTables × bits
+    // projection runs in ONE compact codegen kernel holding the plane
+    // matrix as a reference object (round 8 — the previous composed
+    // form inlined every plane as a 64-float literal into one giant
+    // generated method; see graft.functions.HyperplaneBuckets for the
+    // C2-compile-storm evidence). Bucket values are bit-identical.
+    val ps: Array[Array[Array[Float]]] = planes(nTables, bitsPerTable, dim)
+      .map(_.map(_.map(_.toFloat).toArray).toArray).toArray
+    // null vectors keep the composed form's semantics (a NULL projection
+    // fell through to the 0L bucket): bucket 0 in every table
+    val buckets = coalesce(
+      graft.functions.HyperplaneBuckets(col(vecCol), ps, bitsPerTable),
+      typedlit(Seq.fill(nTables)(0L)))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array(tableCols: _*)).as("sig"))
-      .select(col("id"), col("vec"), col("sig.table").as("table"),
-        col("sig.bucket").as("bucket"))
+        posexplode(buckets).as(Seq("table", "bucket")))
+      .select(col("id"), col("vec"), col("table"), col("bucket"))
   }
 
   /** LSH ANN: approximate top-k via bucket-join candidates + exact re-rank.
@@ -641,17 +642,44 @@ object Similarity {
     * frames are (node, cv). */
   private[graft] def appendEdges(newVecs: DataFrame, existing: DataFrame,
       maxLevel: Int, m: Int, nTables: Int, bitsPerTable: Int,
-      dim: Int): DataFrame = {
+      dim: Int): DataFrame =
+    appendEdgesFrom(newVecs,
+      layerSignatures(newVecs, maxLevel, nTables, bitsPerTable, dim),
+      existing,
+      layerSignatures(existing, maxLevel, nTables, bitsPerTable, dim),
+      maxLevel, m)
+
+  /** Per-layer LSH buckets for a (node, cv) frame as ONE frame
+    * (layer, table, bucket, id): exactly the buckets [[appendEdges]]
+    * computes per layer — layer l's members are level ≥ l, l's tables
+    * use max(2, bitsPerTable − 2l) hyperplanes. Persisting this beside a
+    * streamed store makes each trigger's history-bucket recompute a
+    * READ: per-trigger work goes O(batch) where recomputing signatures
+    * over all earlier batches was O(history) map work per trigger (the
+    * difference between a linear and a quadratic lifetime at 100 TB). */
+  private[graft] def layerSignatures(vecs: DataFrame, maxLevel: Int,
+      nTables: Int, bitsPerTable: Int, dim: Int): DataFrame =
+    (0 to maxLevel).map { l =>
+      val bits = math.max(2, bitsPerTable - 2 * l)
+      signatures(vecs.where(levelCol(col("node"), maxLevel) >= l),
+          nTables, bits, dim, "node", "cv")
+        .select(lit(l).as("layer"), col("table"), col("bucket"), col("id"))
+    }.reduce(_ unionByName _)
+
+  /** [[appendEdges]] with the per-layer buckets supplied by the caller —
+    * the streaming twin reads `exSigs` from its store instead of
+    * recomputing them over history every trigger. Bucket values are
+    * identical either way ([[layerSignatures]] is the one definition),
+    * so the edge set — and every downstream result — is unchanged. */
+  private[graft] def appendEdgesFrom(newVecs: DataFrame,
+      newSigs: DataFrame, existing: DataFrame, exSigs: DataFrame,
+      maxLevel: Int, m: Int): DataFrame = {
     val beamM = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("cos").desc, col("dst"))
     val perLayer = (0 to maxLevel).map { l =>
-      // layer membership is a pure id predicate — filter, never a join
-      val exM = existing.where(levelCol(col("node"), maxLevel) >= l)
-      val newM = newVecs.where(levelCol(col("node"), maxLevel) >= l)
-      val bits = math.max(2, bitsPerTable - 2 * l)
-      val exB = signatures(exM, nTables, bits, dim, "node", "cv")
+      val exB = exSigs.where(col("layer") === l)
         .select(col("table"), col("bucket"), col("id"))
-      val newB = signatures(newM, nTables, bits, dim, "node", "cv")
+      val newB = newSigs.where(col("layer") === l)
         .select(col("table"), col("bucket"), col("id"))
       val cross = graft.dedup.Dedup.cappedIndexJoinPairs(exB, newB,
         Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
