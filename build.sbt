@@ -46,4 +46,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // makes the storm readable from the artifact). 2g gives the code
   // cache the same headroom treatment the heap got in round 7.
   "-XX:ReservedCodeCacheSize=2g",
+  // Round 9: the 2g code cache did NOT stop the roaming C2 storms (driver
+  // run r08: 25 queries 2-50x slower at 32 cores than 8, different victims
+  // per run, jit ≈ cpu on each victim — ~900 s of 32-core-specific excess).
+  // The default CICompilerCount on this 32-cpu host is 15 ergonomic
+  // compiler threads, which compete with 32 local-mode task threads for
+  // cores whenever the compile queue is deep; bounding them caps the
+  // blast radius of any storm to 4 cores. The QUEUE itself is shrunk at
+  // the source by the codegen-class-cache confs in Bench/Verify (fewer
+  // generated classes reaching the JIT at all).
+  "-XX:CICompilerCount=4",
 )

@@ -57,6 +57,31 @@ object Confs {
       df
     }
 
+  /** Data-scaled shuffle-partition count for a scope whose intermediates
+    * are proportional to `src`'s bytes (round 9, replacing the round-8
+    * hardcoded "8" on the HNSW scopes — a constant tuned to local[32] at
+    * sf0.1 that inverts into a scale-killer at 100 TB, where
+    * "corpus × M"-sized frames through 8 reducers would each carry
+    * terabytes). Derivation: `expansion` × the optimizer's size estimate
+    * of `src` (file-size-based for parquet relations, no job runs),
+    * divided into ~64 MB reducer partitions — the guide §2.2 target
+    * range — clamped to [1, session setting]. At sf0.1 this yields 1–4
+    * partitions (LESS scheduling overhead than the old 8); at 100 TB it
+    * yields the session's own data-appropriate count, because these
+    * intermediates are never bigger than `expansion` × input. */
+  def scaledShufflePartitions(s: SparkSession, src: DataFrame,
+      expansion: Double = 4.0,
+      bytesPerPartition: Long = 64L << 20): Int = {
+    val session =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val bytes =
+      try src.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+      catch { case _: Throwable => return session }
+    val want = math.ceil(bytes * expansion / bytesPerPartition.toDouble)
+    math.max(1, math.min(session.toDouble, want).toInt)
+  }
+
   /** Idempotent pin of the legacy nanos-as-long parquet read flag to the
     * one value this library ever uses (`Tables.t` sets the same pin for
     * every catalog read; raw `readStream`/`read` sites over the events

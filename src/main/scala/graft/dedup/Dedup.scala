@@ -130,11 +130,17 @@ object Dedup {
       .groupBy(keyCols: _*)
       .agg(sort_array(collect_set(col("id"))).as("__ids"))
       .where(size(col("__ids")) >= 2)
+      // slice-based expansion: for the element at 0-based index i, pair
+      // it with every element strictly after it. Identical ascending
+      // pairs to the former sequence(i+1, size) index walk, but with no
+      // sequence() at all — Spark's default-step rule makes an unguarded
+      // sequence silently DESCEND when stop < start (the q178/q195/q198
+      // bug class QueriesSpec lints for), while slice past the end is
+      // just empty.
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(__ids) - 1), i ->
-          |  transform(sequence(i + 1, size(__ids)), j ->
-          |    struct(element_at(__ids, i) AS id_a,
-          |           element_at(__ids, j) AS id_b))))""".stripMargin))
+        """flatten(transform(__ids, (a, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), b ->
+          |    struct(a AS id_a, b AS id_b))))""".stripMargin))
         .as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
     val starPairs = withN

@@ -297,16 +297,22 @@ object ScaleQueries {
     * twins. Returns the search results served from the streamed store;
     * StreamingSpec kills it mid-run and gates bit-equal recovery. */
   private[graft] def streamHnswRun(s: SparkSession, d: String,
-      base: String, failAfter: Option[Int]): DataFrame =
+      base: String, failAfter: Option[Int]): DataFrame = {
     // every intermediate here is id/edge-sized (<= corpus x M rows);
-    // the default 32 shuffle partitions turn the ~50 stages per trigger
-    // into pure scheduling overhead (measured 100 s wall / 181 s cpu at
-    // sf0.1 before scoping, 8x fewer reducers cut both). Scoped and
-    // restored; heavy stages all execute inside the scope (foreachBatch
-    // bodies + localCheckpoints are eager).
-    graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
+    // the session's default partition count turns the ~50 stages per
+    // trigger into pure scheduling overhead at small inputs (measured
+    // 100 s wall / 181 s cpu at sf0.1 before scoping, fewer reducers cut
+    // both). Round 9: the count is DERIVED from the split fixture's
+    // bytes (Confs.scaledShufflePartitions — 1–2 at sf0.1, the session's
+    // own count at cluster scale) instead of the round-8 constant 8.
+    // Scoped and restored; heavy stages all execute inside the scope
+    // (foreachBatch bodies + localCheckpoints are eager).
+    val src0 = CalibrationQueries.embSplitFixture(s, d)
+    val parts = graft.Confs.scaledShufflePartitions(s, s.read.parquet(src0))
+    graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions",
+        parts.toString) {
     graft.Confs.dynamicOverwrite(s) {
-      val src = CalibrationQueries.embSplitFixture(s, d)
+      val src = src0
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -375,6 +381,7 @@ object ScaleQueries {
         .orderBy(col("query_id"), col("rank"))
     }
     }
+  }
 
   private[graft] def streamAnnFixture(s: SparkSession, d: String): String = {
     val out = graft.Scratch.fixtureDir(d, "stream_ann")
@@ -1366,10 +1373,14 @@ object ScaleQueries {
     // disconnected adjacency, or descent regression flips the boolean.
     // Row identity (n_truth) pins the truth set size.
     "q308_ann_hnsw" -> ((s, d) =>
-        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
-      // id/edge-sized intermediates: 8 reducers, not the session's 32
-      // (same scoping rationale as streamHnswRun); the build/search
-      // stages execute eagerly inside the scope via localCheckpoint
+        // id/edge-sized intermediates: reducer count DERIVED from the
+        // corpus bytes (same scoping rationale as streamHnswRun; round 9
+        // replaced the constant 8 with the data-scaled derivation); the
+        // build/search stages execute eagerly inside the scope via
+        // localCheckpoint
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions",
+          graft.Confs.scaledShufflePartitions(s,
+            T.embeddings(s, d)).toString) {
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)
@@ -1396,7 +1407,9 @@ object ScaleQueries {
     // search BIT-EXACTLY (query_id, rank, neighbor_id), and both must
     // clear the q308 recall floor.
     "q309_ann_hnsw_indexed" -> ((s, d) =>
-        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions",
+          graft.Confs.scaledShufflePartitions(s,
+            T.embeddings(s, d)).toString) {
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)
@@ -1435,7 +1448,9 @@ object ScaleQueries {
     // AnnRecallProbe measures 96/96/91% at sf0.001/0.01/0.1, within a
     // point of the one-shot 96/96/92.
     "q310_ann_hnsw_append" -> ((s, d) =>
-        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.Confs.withRunConf(s, "spark.sql.shuffle.partitions",
+          graft.Confs.scaledShufflePartitions(s,
+            T.embeddings(s, d)).toString) {
       val k = 10
       val emb = T.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 10)

@@ -158,7 +158,14 @@ object SpanQueries {
     * No global sort, no single-partition window anywhere. The inner
     * shift join doubles as the boundary filter: a position without a
     * full 2k-token window simply drops out of the round. */
-  private[graft] def doubling(r: DataFrame, k: Int): DataFrame = {
+  private[graft] def doubling(r: DataFrame, k: Int): DataFrame =
+    doublingPlan(r, k).localCheckpoint()
+
+  /** The round's un-checkpointed frame — split out (round 9) so the plan
+    * evidence (PlanDump "internals": the window-keyed representative min
+    * vs the old groupBy + join-back) dumps the REAL round body, not a
+    * reconstruction; q292 executes exactly this via [[doubling]]. */
+  private[graft] def doublingPlan(r: DataFrame, k: Int): DataFrame = {
     val paired = r.select(col("did"), col("p"), col("r").as("ra"))
       .join(r.select(col("did"), (col("p") - k).as("p"),
         col("r").as("rb")), Seq("did", "p"))
@@ -166,7 +173,6 @@ object SpanQueries {
     paired
       .withColumn("r2", min(col("did") * PosCap + col("p")).over(wRep))
       .select(col("did"), col("p"), col("r2").as("r"))
-      .localCheckpoint()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

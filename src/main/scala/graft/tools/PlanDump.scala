@@ -67,6 +67,31 @@ object PlanDump {
           .select(col("vec_id").as("node"), col("embedding").as("cv"))
         graft.similarity.Similarity.appendEdges(newV, exV, 3, 12, 8, 6, 64)
       })
+      // q292 proof (round 9, verdict item 7): the registry query's final
+      // explain hides every doubling round behind localCheckpoint scans,
+      // so dump ONE round's real body (window-keyed representative min —
+      // what q292 executes) beside the round-7 groupBy + join-back shape
+      // it replaced, reconstructed here for the exchange-count contrast.
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.operators.SpanQueries.suffixTokens(spark, sfDir)
+        val posCap = 1L << 20
+        val r1 = toks.withColumn("r",
+          min(col("did") * posCap + col("p")).over(
+            Window.partitionBy(col("w"))))
+          .select(col("did"), col("p"), col("r"))
+        dump("internal_suffix_round_window",
+          graft.operators.SpanQueries.doublingPlan(r1, 1))
+        dump("internal_suffix_round_joinback", {
+          val paired = r1.select(col("did"), col("p"), col("r").as("ra"))
+            .join(r1.select(col("did"), (col("p") - 1).as("p"),
+              col("r").as("rb")), Seq("did", "p"))
+          val reps = paired.groupBy(col("ra"), col("rb"))
+            .agg(min(col("did") * posCap + col("p")).as("r2"))
+          paired.join(reps, Seq("ra", "rb"))
+            .select(col("did"), col("p"), col("r2").as("r"))
+        })
+      }
     }
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 object StreamProbe {
 
   final case class Trigger(query: String, batchId: Long, inputRows: Long,
-      triggerMs: Long, addBatchMs: Long)
+      triggerMs: Long, addBatchMs: Long, breakdown: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -61,11 +61,20 @@ object StreamProbe {
         val label = current
         if (label.isEmpty) return
         val p = e.progress
+        // full per-trigger duration breakdown (round 9): the fixed-cost
+        // hunt needs to see WHERE a trigger's wall goes — queryPlanning,
+        // walCommit, commitOffsets, getBatch, addBatch — not just the
+        // two headline numbers
+        val all = {
+          import scala.jdk.CollectionConverters._
+          p.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(",")
+        }
         triggers.add(Trigger(label, p.batchId, p.numInputRows,
           Option(p.durationMs.get("triggerExecution")).map(_.toLong)
             .getOrElse(-1L),
           Option(p.durationMs.get("addBatch")).map(_.toLong)
-            .getOrElse(-1L)))
+            .getOrElse(-1L), all))
         ()
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -91,7 +100,8 @@ object StreamProbe {
         current = "" // drop (never misattribute) post-drain stragglers
         ts.foreach(t => println(
           f"TRIGGER $name batch=${t.batchId}%d rows=${t.inputRows}%d " +
-          f"triggerMs=${t.triggerMs}%d addBatchMs=${t.addBatchMs}%d"))
+          f"triggerMs=${t.triggerMs}%d addBatchMs=${t.addBatchMs}%d " +
+          s"breakdown[${t.breakdown}]"))
         // zero-row triggers are AvailableNow bookkeeping (no-data final
         // batches); exclude them from the trend
         val work = ts.filter(t => t.inputRows > 0 && t.triggerMs >= 0)

@@ -15,18 +15,23 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("canonical bench line fits the driver tail window, worst case") {
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-case jit block: both values at clamp width, widest query key
+    val jitWorst = Some((123456.7, 123456.7, "9999"))
     // worst realistic width: every query at 9.9s (widest folded value)
-    val line = Bench.canonicalLine(names.map(_ -> 9.9), "sf0.1")
+    val line = Bench.canonicalLine(names.map(_ -> 9.9), "sf0.1", jitWorst)
     assert(line.length + 1 + SbtFooter <= TailWindow,
       s"canonical line ${line.length}B no longer fits the ${TailWindow}B " +
         "tail with the sbt footer — compress the scheme before adding " +
         "more queries (see Bench.scala budget comment)")
     // pathological contended run: per-entry values clamp at 4 chars, so
     // the line stays bounded for ANY value magnitude
-    val worst = Bench.canonicalLine(names.map(_ -> 123456.7), "sf0.1")
+    val worst = Bench.canonicalLine(names.map(_ -> 123456.7), "sf0.1",
+      jitWorst)
     assert(worst.length + 1 + SbtFooter <= TailWindow,
       s"pathological line ${worst.length}B overflows the tail window")
     assert(worst.contains(":9999"), "5+ digit values must clamp to 9999")
+    assert(worst.contains(""""jit":{"total":9999,"max":9999"""),
+      "jit block must clamp like query values")
     // and it must be the driver-expected shape
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""queries":{"""))
