@@ -52,8 +52,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The default CICompilerCount on this 32-cpu host is 15 ergonomic
   // compiler threads, which compete with 32 local-mode task threads for
   // cores whenever the compile queue is deep; bounding them caps the
-  // blast radius of any storm to 4 cores. The QUEUE itself is shrunk at
+  // blast radius of any storm. The QUEUE itself is shrunk at
   // the source by the codegen-class-cache confs in Bench/Verify (fewer
-  // generated classes reaching the JIT at all).
-  "-XX:CICompilerCount=4",
+  // generated classes reaching the JIT at all). Measured at 4 (round 9
+  // run 1): storms gone (max per-query jit 14 s vs r08's 175-s windows),
+  // but the board's one-time ~380 s cold-compile wave drained too slowly
+  // and taxed the first third of the run (q106 12 s jit inside a 32 s
+  // wall, thirds of run at 166/124/87 s jit); 8 drains twice as fast
+  // while still bounding worst-case theft to a quarter of the 32 task
+  // threads.
+  "-XX:CICompilerCount=8",
 )

@@ -33,6 +33,17 @@ object Bench {
     if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
       jitBean.getTotalCompilationTime / 1e3
     else -1.0
+  /** Number of generated classes janino has compiled so far (Spark's
+    * CodegenMetrics) — the per-query delta says whether a query found its
+    * plan shapes in the codegen class cache (0) or compiled fresh ones
+    * (round 9: the storm fix raised the cache to 4096 entries; this
+    * counter is the evidence it actually hits, and for streaming twins
+    * it exposes per-trigger re-generation that the cache cannot absorb,
+    * e.g. literal batch ids inlined into the generated source). */
+  private def genCount: Long =
+    try org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    catch { case _: Throwable => -1L }
   /** 1-minute host load average (all processes, not just this JVM);
     * -1 where the platform can't report it. */
   private def loadAvg1m: Double = osBean.getSystemLoadAverage
@@ -272,11 +283,13 @@ object Bench {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val c0 = processCpuSec
       val j0 = jitSec
+      val g0 = genCount
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = processCpuSec - c0
       val jit = jitSec - j0
+      val gen = genCount - g0
       val load = loadAvg1m
       // Free the query's cached/localCheckpointed blocks before the next
       // one runs: 250+ queries in one JVM otherwise accumulate every
@@ -295,9 +308,9 @@ object Bench {
           .filterNot { case (id, _) => before(id) }
           .values.foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
-      (name, sec, cpu, jit, load)
+      (name, sec, cpu, jit, gen, load)
     }
-    val results = stats.map { case (name, sec, _, _, _) => name -> sec }
+    val results = stats.map { case (name, sec, _, _, _, _) => name -> sec }
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Human-readable per-query detail (full names), with the measurement
     // conditions INSIDE the artifact: per-query process-CPU seconds and
@@ -308,8 +321,9 @@ object Bench {
     // work. Deliberately does NOT contain the "metric" key: the driver
     // greps its 2000-byte output tail for the canonical one-line JSON,
     // and this line must not shadow it.
-    val detail = stats.map { case (k, w, c, j, l) =>
-      s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"jit":${fmt(j)},"load":${fmt(l)}}"""
+    val detail = stats.map { case (k, w, c, j, g, l) =>
+      s"""\"$k\":{"wall":${fmt(w)},"cpu":${fmt(c)},"jit":${fmt(j)},""" +
+        s""""gen":$g,"load":${fmt(l)}}"""
     }.mkString("{", ",", "}")
     // Fixture attribution: untimed-stage seconds (total + per-build for
     // builds >= 0.1 s + page-cache warm), any failed builders by name,
@@ -339,7 +353,7 @@ object Bench {
     // split in canonicalLine; BenchLineSpec enforces the budget at the
     // registry's actual size with every value at its widest.
     val jitStats = {
-      val per = stats.map { case (k, _, _, j, _) =>
+      val per = stats.map { case (k, _, _, j, _, _) =>
         val num = k.takeWhile(_ != '_').dropWhile(!_.isDigit)
         (if (num.nonEmpty) num.toInt.toString else "x") -> j
       }

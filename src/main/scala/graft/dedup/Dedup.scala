@@ -105,8 +105,15 @@ object Dedup {
     * star-substituting and pairwise recall degrades; raise bitsPerTable
     * with corpus size so only genuine duplicate pile-ups hit the cap. */
   private[graft] def cappedSelfJoinPairs(buckets: DataFrame,
-      keys: Seq[String], cap: Int): DataFrame = {
+      keys: Seq[String], cap: Int, carry: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
+    // `carry` (⊆ keys; round 9) rides through to the output so a FUSED
+    // multi-group caller (the HNSW layered build: one frame holding all
+    // layers' buckets, keys = layer::table::bucket, carry = layer) gets
+    // per-group pairs from ONE pass instead of a per-group loop of
+    // whole pipelines. With carry = Nil the output and the distinct are
+    // exactly the round-8 (id_a, id_b) shape.
+    val carryCols = carry.map(col)
     // One count+min per bucket — partial-aggregated before the exchange, so
     // the stat pass is a narrow shuffle of (keys, long, long) rows.
     val stats = buckets.groupBy(keyCols: _*)
@@ -137,17 +144,19 @@ object Dedup {
       // sequence silently DESCEND when stop < start (the q178/q195/q198
       // bug class QueriesSpec lints for), while slice past the end is
       // just empty.
-      .select(explode(expr(
+      .select(carryCols :+ explode(expr(
         """flatten(transform(__ids, (a, i) ->
           |  transform(slice(__ids, i + 2, size(__ids)), b ->
           |    struct(a AS id_a, b AS id_b))))""".stripMargin))
-        .as("__p"))
-      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+        .as("__p"): _*)
+      .select(carryCols ++ Seq(col("__p.id_a").as("id_a"),
+        col("__p.id_b").as("id_b")): _*)
     val starPairs = withN
       .where(col("__n") > cap && col("id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("id").as("id_b"))
-    // distinct on bare (long, long) pairs — the only corpus-sized shuffle
-    // here, and it carries no signature/vector payload.
+      .select(carryCols ++ Seq(col("__rep").as("id_a"),
+        col("id").as("id_b")): _*)
+    // distinct on bare (carry…, long, long) pairs — the only corpus-sized
+    // shuffle here, and it carries no signature/vector payload.
     smallPairs.unionByName(starPairs).distinct()
   }
 
@@ -159,7 +168,7 @@ object Dedup {
     * per-bucket output is O(batch · cap + batch), never
     * O(batch · |bucket|) against an unbounded cluster. */
   private[graft] def cappedIndexJoinPairs(index: DataFrame, batch: DataFrame,
-      keys: Seq[String], cap: Int): DataFrame = {
+      keys: Seq[String], cap: Int, carry: Seq[String] = Nil): DataFrame = {
     val stats = index.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
     val withN = index.join(stats, keys)
@@ -169,7 +178,7 @@ object Dedup {
       .select((keys.map(col) :+ col("__rep").as("id_a")): _*).distinct()
     small.unionByName(reps)
       .join(batch.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(carry.map(col) ++ Seq(col("id_a"), col("id_b")): _*).distinct()
   }
 
   /** LSH candidate pairs (id_a < id_b) from banded minhash signatures,

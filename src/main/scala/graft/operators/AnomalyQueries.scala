@@ -172,7 +172,7 @@ object AnomalyQueries {
                 .as("h"), col("event_type"))
             .groupBy(col("event_type"), col("h"))
             .agg(count(lit(1)).as("cn"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/cells")
           ()

@@ -348,7 +348,7 @@ object CalibrationQueries {
             .agg(sum(col("v").cast(
               org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
               .as("sdec"), count(col("v")).as("cnt"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/inc")
           ()

@@ -721,7 +721,7 @@ object CompareQueries {
               explode(split(trim(lower(col("text"))), " ")).as("w"))
             .groupBy(col("source"), col("w"))
             .agg(count(lit(1)).as("c"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/cells")
           ()

@@ -258,7 +258,7 @@ object CorpusQueries {
           batch.select(col("source"), permilleScore.as("score"))
             .groupBy(col("source"), col("score"))
             .agg(count(lit(1)).as("c"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/hist")
           ()
@@ -692,7 +692,7 @@ object CorpusQueries {
               explode(split(trim(lower(col("text"))), " ")).as("word"))
             .distinct()
             .groupBy(col("word")).agg(count(lit(1)).as("dfd"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/df")
           ()

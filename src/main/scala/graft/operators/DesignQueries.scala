@@ -274,12 +274,12 @@ object DesignQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             bootstrapPartials(batch)
-              .withColumn("batch_id", lit(bid))
+              .withColumn("batch_id", graft.functions.RefLit.long(bid))
               .write.mode("overwrite").partitionBy("batch_id")
               .parquet(s"$base/partials")
             batch.groupBy(col("source"))
               .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
-              .withColumn("batch_id", lit(bid))
+              .withColumn("batch_id", graft.functions.RefLit.long(bid))
               .write.mode("overwrite").partitionBy("batch_id")
               .parquet(s"$base/census")
             ()

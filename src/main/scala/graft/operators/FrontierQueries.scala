@@ -269,7 +269,7 @@ object FrontierQueries {
           batch.persist()
           try {
             // sink 1: raw landing zone, exactly-once per batch partition
-            batch.withColumn("batch_id", lit(id))
+            batch.withColumn("batch_id", graft.functions.RefLit.long(id))
               .write.mode("overwrite").partitionBy("batch_id")
               .parquet(s"$base/landing")
             // sink 2: incremental totals snapshot

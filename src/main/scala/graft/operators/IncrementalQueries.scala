@@ -230,7 +230,7 @@ object IncrementalQueries {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (failAfter.exists(id >= _))
           graft.streaming.PlannedStop.fail()
-        batch.withColumn("batch_id", lit(id))
+        batch.withColumn("batch_id", graft.functions.RefLit.long(id))
           .write.mode("overwrite").partitionBy("batch_id")
           .parquet(s"$base/landing")
       }
@@ -303,13 +303,13 @@ object IncrementalQueries {
               .unionByName(bSizes) else bSizes
           Dedup.jaccardVerify(cands, allSh, Some(allSizes))
             .where(col("jaccard") >= 0.8)
-            .withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/pairs")
-          bBands.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+          bBands.withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/bands")
-          bsh.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+          bsh.withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/shingles")
-          bSizes.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+          bSizes.withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/sizes")
           ()
         }

@@ -352,13 +352,13 @@ object ScaleQueries {
           graft.similarity.Similarity
             .appendEdgesFrom(newVecs, newSigs, existing, exSigs,
               maxLevel = 3, m = 12)
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id", "layer")
             .parquet(s"$base/adjacency")
-          newSigs.withColumn("batch_id", lit(bid))
+          newSigs.withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/signatures")
-          newVecs.withColumn("batch_id", lit(bid))
+          newVecs.withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/vectors")
           ()
@@ -1021,7 +1021,7 @@ object ScaleQueries {
         .foreachBatch { (batch: DataFrame, id: Long) =>
           graft.similarity.Similarity
             .ivfTopKIndexed(batch, s"$fix/index", k = 5, nProbe = 16)
-            .withColumn("batch_id", lit(id))
+            .withColumn("batch_id", graft.functions.RefLit.long(id))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/results")
         }

@@ -538,9 +538,9 @@ object VideoQueries {
               expr("(1000 * shared) div least(nf_a, nf_b)")
                 .as("overlap_permille"))
             .where(col("overlap_permille") >= 500)
-            .withColumn("batch_id", lit(bid)).write.mode("overwrite")
+            .withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/pairs")
-          bh.withColumn("batch_id", lit(bid)).write.mode("overwrite")
+          bh.withColumn("batch_id", graft.functions.RefLit.long(bid)).write.mode("overwrite")
             .partitionBy("batch_id").parquet(s"$base/index")
           ()
         }

@@ -246,7 +246,7 @@ object WebCurationQueries {
           batch.select(
               canonicalize(plantedUrl(withLang = false)).as("cu"))
             .groupBy(col("cu")).agg(count(lit(1)).as("n"))
-            .withColumn("batch_id", lit(bid))
+            .withColumn("batch_id", graft.functions.RefLit.long(bid))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$base/delta")
           ()

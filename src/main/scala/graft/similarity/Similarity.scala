@@ -89,6 +89,14 @@ object Similarity {
     Seq.fill(nTables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** [[planes]] as the float arrays the codegen kernel consumes — ONE
+    * definition so the per-layer fused paths and [[signatures]] feed
+    * bit-identical plane matrices to [[graft.functions.HyperplaneBuckets]]. */
+  private def planesF(nTables: Int, bitsPerTable: Int, dim: Int)
+      : Array[Array[Array[Float]]] =
+    planes(nTables, bitsPerTable, dim)
+      .map(_.map(_.map(_.toFloat).toArray).toArray).toArray
+
   /** Per-table LSH bucket signature: sign-bit vector of hyperplane
     * projections packed into a long. `bitsPerTable = 0` degenerates to a
     * single bucket per table (every pair a candidate) — the exhaustive
@@ -103,8 +111,7 @@ object Similarity {
     // form inlined every plane as a 64-float literal into one giant
     // generated method; see graft.functions.HyperplaneBuckets for the
     // C2-compile-storm evidence). Bucket values are bit-identical.
-    val ps: Array[Array[Array[Float]]] = planes(nTables, bitsPerTable, dim)
-      .map(_.map(_.map(_.toFloat).toArray).toArray).toArray
+    val ps: Array[Array[Array[Float]]] = planesF(nTables, bitsPerTable, dim)
     // null vectors keep the composed form's semantics (a NULL projection
     // fell through to the 0L bucket): bucket 0 in every table
     val buckets = coalesce(
@@ -438,27 +445,28 @@ object Similarity {
       nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val perLayer = (0 to maxLevel).map { l =>
-      // layer membership is a pure id predicate — filter, never a join
-      val members = corpus
-        .where(levelCol(col(idCol), maxLevel) >= l)
-      val bits = math.max(2, bitsPerTable - 2 * l)
-      val buckets = signatures(members, nTables, bits, dim, idCol, vecCol)
-        .select(col("table"), col("bucket"), col("id"))
-      val cands = graft.dedup.Dedup.cappedSelfJoinPairs(
-        buckets, Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
-      val av = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      val bv = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      val scored = cands.join(av, "id_a").join(bv, "id_b")
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .select(col("id_a"), col("id_b"), col("cos"))
-      scored.select(col("id_a").as("src"), col("id_b").as("dst"),
-          col("cos"))
-        .unionByName(scored.select(col("id_b").as("src"),
-          col("id_a").as("dst"), col("cos")))
-        .withColumn("layer", lit(l))
-    }
-    val edges = perLayer.reduce(_ unionByName _)
+    // FUSED over layers (round 9; previously maxLevel+1 whole per-layer
+    // pipelines unioned — 4x the scans, candidate expansions and scoring
+    // joins of the same corpus): ONE layered signature pass
+    // ([[layerSignatures]] — identical buckets per layer), ONE capped
+    // pair expansion keyed (layer, table, bucket) with the layer carried
+    // through, ONE scoring join pair. Per-layer pair sets, cosines and
+    // the (cos desc, dst) top-M tie-breaks are unchanged, so the edge
+    // set is bit-identical to the loop's.
+    val nodes = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    val sigs = layerSignatures(nodes, maxLevel, nTables, bitsPerTable, dim)
+    val cands = graft.dedup.Dedup.cappedSelfJoinPairs(
+      sigs, Seq("layer", "table", "bucket"),
+      graft.dedup.Dedup.DefaultBucketCap, carry = Seq("layer"))
+    val av = nodes.select(col("node").as("id_a"), col("cv").as("va"))
+    val bv = nodes.select(col("node").as("id_b"), col("cv").as("vb"))
+    val scored = cands.join(av, "id_a").join(bv, "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("layer"), col("id_a"), col("id_b"), col("cos"))
+    val edges = scored.select(col("layer"), col("id_a").as("src"),
+        col("id_b").as("dst"), col("cos"))
+      .unionByName(scored.select(col("layer"), col("id_b").as("src"),
+        col("id_a").as("dst"), col("cos")))
     val w = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("cos").desc, col("dst"))
     edges.withColumn("rn", row_number().over(w)).where(col("rn") <= m)
@@ -658,13 +666,40 @@ object Similarity {
     * over all earlier batches was O(history) map work per trigger (the
     * difference between a linear and a quadratic lifetime at 100 TB). */
   private[graft] def layerSignatures(vecs: DataFrame, maxLevel: Int,
-      nTables: Int, bitsPerTable: Int, dim: Int): DataFrame =
-    (0 to maxLevel).map { l =>
+      nTables: Int, bitsPerTable: Int, dim: Int): DataFrame = {
+    // FUSED single pass (round 9; previously a per-layer loop of whole
+    // signature pipelines unioned — maxLevel+1 scans/explodes where one
+    // suffices): each node explodes to its member layers 0..level(node)
+    // (same membership as the old `level >= l` filter), and the bucket
+    // array per row comes from a CaseWhen over the SAME per-layer
+    // HyperplaneBuckets kernels (same planesF matrices, same bit
+    // widths), so every (layer, table, bucket, id) row is bit-identical
+    // to the loop's output. Null vectors keep the bucket-0 fallthrough
+    // per branch.
+    val lvl = levelCol(col("node"), maxLevel)
+    val layerArr = (1 to maxLevel).foldLeft(
+      when(lvl === 0, typedlit(List(0)))) { (acc, v) =>
+      acc.when(lvl === v, typedlit((0 to v).toList))
+    }
+    val withLayer = vecs.select(col("node").as("id"), col("cv"),
+      explode(layerArr).as("layer"))
+    val bucketsByLayer = (0 to maxLevel).map { l =>
       val bits = math.max(2, bitsPerTable - 2 * l)
-      signatures(vecs.where(levelCol(col("node"), maxLevel) >= l),
-          nTables, bits, dim, "node", "cv")
-        .select(lit(l).as("layer"), col("table"), col("bucket"), col("id"))
-    }.reduce(_ unionByName _)
+      val ps = planesF(nTables, bits, dim)
+      (l, coalesce(
+        graft.functions.HyperplaneBuckets(col("cv"), ps, bits),
+        typedlit(Seq.fill(nTables)(0L))))
+    }
+    val bucketCase = bucketsByLayer.tail.foldLeft(
+      when(col("layer") === bucketsByLayer.head._1,
+        bucketsByLayer.head._2)) { case (acc, (l, b)) =>
+      acc.when(col("layer") === l, b)
+    }
+    withLayer
+      .select(col("id"), col("layer"),
+        posexplode(bucketCase).as(Seq("table", "bucket")))
+      .select(col("layer"), col("table"), col("bucket"), col("id"))
+  }
 
   /** [[appendEdges]] with the per-layer buckets supplied by the caller —
     * the streaming twin reads `exSigs` from its store instead of
@@ -676,26 +711,28 @@ object Similarity {
       maxLevel: Int, m: Int): DataFrame = {
     val beamM = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    val perLayer = (0 to maxLevel).map { l =>
-      val exB = exSigs.where(col("layer") === l)
-        .select(col("table"), col("bucket"), col("id"))
-      val newB = newSigs.where(col("layer") === l)
-        .select(col("table"), col("bucket"), col("id"))
-      val cross = graft.dedup.Dedup.cappedIndexJoinPairs(exB, newB,
-        Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
-      val intra = graft.dedup.Dedup.cappedSelfJoinPairs(newB,
-        Seq("table", "bucket"), graft.dedup.Dedup.DefaultBucketCap)
-      val pairs = cross.unionByName(intra)
-      val av = existing.unionByName(newVecs)
-        .select(col("node").as("id_a"), col("cv").as("va"))
-      val bv = newVecs.unionByName(existing)
-        .select(col("node").as("id_b"), col("cv").as("vb"))
-      pairs.join(av, "id_a").join(bv, "id_b")
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .select(col("id_a"), col("id_b"), col("cos"))
-        .withColumn("layer", lit(l))
-    }
-    val scored = perLayer.reduce(_ unionByName _)
+    // FUSED over layers (round 9, same rewrite as [[hnswAdjacency]]):
+    // the per-layer loop ran a whole capped-join + scoring pipeline per
+    // layer over the SAME signature frames; keying the capped joins by
+    // (layer, table, bucket) with the layer carried through produces the
+    // identical per-layer pair sets from one pass.
+    val exB = exSigs.select(col("layer"), col("table"), col("bucket"),
+      col("id"))
+    val newB = newSigs.select(col("layer"), col("table"), col("bucket"),
+      col("id"))
+    val lKeys = Seq("layer", "table", "bucket")
+    val cross = graft.dedup.Dedup.cappedIndexJoinPairs(exB, newB,
+      lKeys, graft.dedup.Dedup.DefaultBucketCap, carry = Seq("layer"))
+    val intra = graft.dedup.Dedup.cappedSelfJoinPairs(newB,
+      lKeys, graft.dedup.Dedup.DefaultBucketCap, carry = Seq("layer"))
+    val pairs = cross.unionByName(intra)
+    val av = existing.unionByName(newVecs)
+      .select(col("node").as("id_a"), col("cv").as("va"))
+    val bv = newVecs.unionByName(existing)
+      .select(col("node").as("id_b"), col("cv").as("vb"))
+    val scored = pairs.join(av, "id_a").join(bv, "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("layer"), col("id_a"), col("id_b"), col("cos"))
     // forward edges: each NEW node's top-M (id_b side of cross pairs is
     // always new; intra pairs are new on both sides — take both
     // directions and keep only new srcs)
