@@ -481,7 +481,19 @@ object FrontierQueries {
           |               substr(name, j + 1, len)))))
           |  ELSE CAST(array() AS ARRAY<STRING>) END)),
           |  v -> xxhash64(v)))""".stripMargin)
-      val variants = g.select(col("minid").as("gid"), col("nat"),
+      // the deletion-variant expansion is the query's heavy per-row work
+      // (~1+L+L²/2 string slices per name); g is a post-aggregation frame
+      // whose BYTES are tiny, so AQE coalesces it to one partition and
+      // the expansion ran single-threaded (measured: cpu ≈ 24 s against
+      // wall ≈ 11-13 s at sf0.1 — parallelism 2 on 32 cores). Spread the
+      // group frame by its stable key before expanding: one narrow
+      // exchange of (nat, name, m, minid) rows, explicit count so AQE
+      // keeps the parallelism (guide §2.5 — cost the per-row work, not
+      // the bytes). defaultParallelism locally = cores; on a cluster,
+      // the executor total.
+      val gSpread = g.repartition(s.sparkContext.defaultParallelism,
+        col("nat"), col("name"))
+      val variants = gSpread.select(col("minid").as("gid"), col("nat"),
         col("len"), explode(vh).as("v"))
       // ONE exchange, not a two-sided self-join: variants group into
       // (nation, len, hash) buckets — len in the key because only
